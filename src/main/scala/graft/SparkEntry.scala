@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** Typed rows for DynamicOp's Dataset.map path (JVM-compiled user logic —
+  * Graft's analog of the reference's DynamicCompile transform).
+  */
+case class NationRow(n_nationkey: Int, n_name: String, n_regionkey: Int)
+case class NationOut(nation_id: Long, name_lc: String)
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
+  *
+  * Every `queries` entry is one SURVEY §2 capability exercised on the
+  * driver's parquet tables; `oracleSql` holds the DuckDB-equivalent SQL.
+  * Contract notes: aggregates go through exact decimal arithmetic and are
+  * cast to double only at the end (so Spark and DuckDB bit-match despite
+  * different summation orders), every query has a total ORDER BY, and all
+  * computed columns are aliased identically on both sides.
+  */
 object SparkEntry {
+
+  /** Exact-arithmetic sum: cast each double to a decimal, sum exactly,
+    * return as double. Bit-identical across engines regardless of
+    * aggregation order.
+    */
+  private def dsum(c: String, scale: Int = 2) =
+    sum(col(c).cast(DecimalType(18, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 q1: TPC-H Q1-style pricing summary — groupBy/agg with partial
+    // (map-side) aggregation; scan prunes to 7 of 11 lineitem columns and
+    // the shipdate predicate pushes to parquet.
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 4)) -
+               col("l_discount").cast(DecimalType(18, 4))))
+            .cast("double").as("sum_disc_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.1.1 FieldMapper
+    "q_field_mapper" -> ((s, dir) => {
+      FieldOps.fieldMapper(
+        Tables.load(s, dir, "customer"),
+        Seq("c_custkey" -> "cust_id", "c_name" -> "name",
+            "c_mktsegment" -> "segment", "c_acctbal" -> "balance"))
+        .orderBy("cust_id")
+    }),
+
+    // §2.1.2 FieldRename (prefix affix mode)
+    "q_field_rename" -> ((s, dir) => {
+      FieldOps.renameAffix(Tables.load(s, dir, "region"), prefix = "dim_")
+        .orderBy("dim_r_regionkey")
+    }),
+
+    // §2.1.3 Copy
+    "q_copy" -> ((s, dir) => {
+      FieldOps.copyFields(Tables.load(s, dir, "nation"), Seq("n_name" -> "n_name_copy"))
+        .select("n_nationkey", "n_name", "n_regionkey", "n_name_copy")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1.4 Filter (keep columns)
+    "q_filter_fields" -> ((s, dir) => {
+      FieldOps.keepFields(Tables.load(s, dir, "orders"), Seq("o_orderkey", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.1.5 FilterRow — predicate pushes to the parquet scan
+    "q_filter_rows" -> ((s, dir) => {
+      RowOps.filterRows(Tables.load(s, dir, "lineitem"),
+          "l_quantity > 45.0 AND l_discount < 0.05")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.1.6 Split
+    "q_split" -> ((s, dir) => {
+      RowOps.splitField(Tables.load(s, dir, "part"), " ", "p_name", Seq("p_adj", "p_noun"))
+        .select("p_partkey", "p_name", "p_adj", "p_noun")
+        .orderBy("p_partkey")
+    }),
+
+    // §2.1.7 Replace — literal and regex modes
+    "q_replace" -> ((s, dir) => {
+      val lit0 = RowOps.replaceField(
+        Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_name").as("c_name_re")),
+        "c_name", "Customer#", "C-")
+      RowOps.replaceField(lit0, "c_name_re", "0+", "0", isRegex = true)
+        .orderBy("c_custkey")
+    }),
+
+    // §2.1.8 / §2.2 SQL transform (projection + WHERE + scalar functions)
+    "q_sql_transform" -> ((s, dir) => {
+      SqlOp.sql(s, Tables.load(s, dir, "orders"),
+        """SELECT o_orderkey, UPPER(o_orderpriority) AS pri,
+          |       YEAR(o_orderdate) AS yr, o_totalprice
+          |FROM input WHERE o_orderstatus = 'F'
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // §2.1.9 JsonPath — codegen'd get_json_object, no per-row JSON library
+    "q_jsonpath" -> ((s, dir) => {
+      JsonPathOp.extract(Tables.load(s, dir, "events"),
+          Seq(JsonPathOp.PathSpec("props", "$.k", "k", Some(IntegerType))))
+        .select("event_id", "k")
+        .orderBy("event_id")
+    }),
+
+    // §2.1.10 Metadata injection
+    "q_metadata" -> ((s, dir) => {
+      MetadataOp.inject(Tables.load(s, dir, "nation"),
+          Map("Database" -> "db_name", "Table" -> "tbl_name"),
+          MetadataOp.MetaConfig(database = Some("graft"), table = Some("nation")))
+        .select("n_nationkey", "n_name", "n_regionkey", "db_name", "tbl_name")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.1.11 FilterRowKind over a derived changelog
+    "q_filter_rowkind" -> ((s, dir) => {
+      val changelog = Tables.load(s, dir, "orders").withColumn(RowKindOps.RowKindCol,
+        when(col("o_orderstatus") === "F", "+I")
+          .when(col("o_orderstatus") === "O", "+U").otherwise("-D"))
+      RowKindOps.filterRowKind(changelog, Seq("+I", "+U"))
+        .select("o_orderkey", "o_orderstatus", "__row_kind")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.1.12 RowKindExtractor (FULL format)
+    "q_rowkind_extractor" -> ((s, dir) => {
+      val changelog = Tables.load(s, dir, "orders").withColumn(RowKindOps.RowKindCol,
+        when(col("o_orderstatus") === "F", "+I")
+          .when(col("o_orderstatus") === "O", "+U").otherwise("-D"))
+      RowKindOps.extractRowKind(changelog, "kind", full = true)
+        .select("o_orderkey", "kind")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.1.13 TableMerge — shard tables unioned by name, tagged with source
+    "q_table_merge" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val catalog = Map(
+        "orders_f" -> orders.where(col("o_orderstatus") === "F"),
+        "orders_o" -> orders.where(col("o_orderstatus") === "O"),
+        "orders_p" -> orders.where(col("o_orderstatus") === "P"))
+      TableOps.mergeTables(catalog, "orders_[fo]", "orders_m", tagSourceTable = true)("orders_m")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.1.15 DynamicCompile analog: typed Dataset.map user function
+    "q_dynamic" -> ((s, dir) => {
+      import s.implicits._
+      DynamicOp.applyTyped(
+        Tables.load(s, dir, "nation").as[NationRow],
+        (n: NationRow) => NationOut(n.n_nationkey.toLong * 2L, n.n_name.toLowerCase))
+        .toDF().orderBy("nation_id")
+    }),
+
+    // §2.1.16 Embedding (deterministic hashing-trick embedder; rows-only check)
+    "q_embedding" -> ((s, dir) => {
+      EmbeddingOp.embed(Tables.load(s, dir, "documents"), "text", "embedding", dim = 16)
+        .select("doc_id", "embedding")
+        .orderBy("doc_id")
+    }),
+
+    // §2.1.17 LLM transform with the deterministic offline provider
+    "q_llm" -> ((s, dir) => {
+      LlmOp.transform(Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "text", "label", LlmOp.RuleProvider(Seq("data", "join", "spark")))
+        .select("doc_id", "label")
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column names,
+    * same ORDER BY). Omitted keys (q_embedding) get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_field_mapper" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
+        |       c_acctbal AS balance
+        |FROM customer ORDER BY cust_id""".stripMargin,
+
+    "q_field_rename" ->
+      "SELECT r_regionkey AS dim_r_regionkey, r_name AS dim_r_name FROM region ORDER BY dim_r_regionkey",
+
+    "q_copy" ->
+      "SELECT n_nationkey, n_name, n_regionkey, n_name AS n_name_copy FROM nation ORDER BY n_nationkey",
+
+    "q_filter_fields" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+
+    "q_filter_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_split" ->
+      """SELECT p_partkey, p_name,
+        |       split_part(p_name, ' ', 1) AS p_adj,
+        |       split_part(p_name, ' ', 2) AS p_noun
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_replace" ->
+      """SELECT c_custkey,
+        |       REPLACE(c_name, 'Customer#', 'C-') AS c_name,
+        |       regexp_replace(c_name, '0+', '0', 'g') AS c_name_re
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_transform" ->
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS pri,
+        |       CAST(YEAR(o_orderdate) AS INTEGER) AS yr, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_jsonpath" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_metadata" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       'graft' AS db_name, 'nation' AS tbl_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_filter_rowkind" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'F' THEN '+I'
+        |            WHEN o_orderstatus = 'O' THEN '+U' ELSE '-D' END AS __row_kind
+        |FROM orders WHERE o_orderstatus IN ('F','O')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_rowkind_extractor" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN 'INSERT'
+        |            WHEN o_orderstatus = 'O' THEN 'UPDATE_AFTER'
+        |            ELSE 'DELETE' END AS kind
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_table_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'orders_f' AS __meta_table
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'orders_o' AS __meta_table
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dynamic" ->
+      """SELECT CAST(n_nationkey AS BIGINT) * 2 AS nation_id, LOWER(n_name) AS name_lc
+        |FROM nation ORDER BY nation_id""".stripMargin,
+
+    "q_llm" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4 AS c_data,
+        |    (length(lower(text)) - length(replace(lower(text), 'join', ''))) / 4 AS c_join,
+        |    (length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS c_spark
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(c_data, c_join, c_spark) = 0 THEN 'data'
+        |       WHEN c_spark = greatest(c_data, c_join, c_spark) THEN 'spark'
+        |       WHEN c_join = greatest(c_data, c_join, c_spark) THEN 'join'
+        |       ELSE 'data' END AS label
+        |FROM c ORDER BY doc_id""".stripMargin
+  )
 }

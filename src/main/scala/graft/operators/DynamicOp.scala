@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.StructType
+
+/** User-code transform.
+  *
+  * Reference: seatunnel-transforms-v2
+  * .../dynamiccompile/DynamicCompileTransform.java:38 — hot-compiles
+  * user-supplied Java/Groovy source and invokes it per row via reflection.
+  *
+  * Graft's equivalent is a typed function the JVM JIT-compiles like any
+  * other code: `Dataset.map` with case-class encoders (preferred — Tungsten
+  * encodes/decodes once per row, no reflection), or a Row-level variant for
+  * dynamic schemas. Where the user logic is expressible as Columns, prefer
+  * `DataFrame.withColumns` so it stays in codegen.
+  */
+object DynamicOp {
+
+  /** Typed row-function transform: the idiomatic DynamicCompile analog. */
+  def applyTyped[T: Encoder, U: Encoder](ds: Dataset[T], fn: T => U): Dataset[U] =
+    ds.map(fn)
+
+  /** Dynamic-schema variant: Row => Row with an explicit output schema. */
+  def applyRows(df: DataFrame, outSchema: StructType, fn: Row => Row): DataFrame = {
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.map(fn)
+  }
+
+  /** Per-partition variant for logic with expensive setup (the reference's
+    * compiled-instance-per-task pattern); setup runs once per partition.
+    */
+  def applyPartitions(df: DataFrame, outSchema: StructType, fn: Iterator[Row] => Iterator[Row]): DataFrame = {
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions(fn)
+  }
+}

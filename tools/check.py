@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracle parity (mimics the driver's t2):
+runs each oracle_sql.json query in DuckDB against the sf parquet tables and
+compares with the Verify parquet dumps (columns sorted by name, exact
+value compare; floats compared exactly AND with isclose for diagnosis).
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = pd.read_parquet(pdir)
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}"); n_bad += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"[SCHM] {name}: spark={list(got.columns)} duck={list(want.columns)}"); n_bad += 1; continue
+        if len(got) != len(want):
+            print(f"[ROWS] {name}: spark={len(got)} duck={len(want)}"); n_bad += 1; continue
+        bad_cols = []
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            try:
+                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    exact = np.array_equal(a, b, equal_nan=True)
+                    close = np.allclose(a.astype(float), b.astype(float), rtol=1e-12, equal_nan=True)
+                    if not exact:
+                        bad_cols.append((c, "close" if close else "far"))
+                else:
+                    if not (pd.Series(a).astype(object).fillna("\0N") ==
+                            pd.Series(b).astype(object).fillna("\0N")).all():
+                        bad_cols.append((c, "neq"))
+            except Exception as e:
+                bad_cols.append((c, f"cmp-err {e}"))
+        if bad_cols:
+            print(f"[DIFF] {name}: {bad_cols}")
+            for c, _ in bad_cols[:2]:
+                mask = ~(pd.Series(got[c]).astype(object).fillna("\0N") ==
+                         pd.Series(want[c]).astype(object).fillna("\0N")).to_numpy()
+                idx = np.nonzero(mask)[0][:3]
+                for i in idx:
+                    print(f"    row {i} col {c}: spark={got[c].iloc[i]!r} duck={want[c].iloc[i]!r}")
+            n_bad += 1
+        else:
+            print(f"[ OK ] {name} ({len(got)} rows)"); n_ok += 1
+    # rows-only entries (queries without oracle)
+    for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        nm = os.path.basename(pdir)
+        if os.path.isdir(pdir) and nm not in oracle:
+            n = len(pd.read_parquet(pdir)) if glob.glob(pdir + "/*.parquet") else 0
+            print(f"[ROWS-ONLY] {nm}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
