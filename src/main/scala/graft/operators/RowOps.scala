@@ -33,9 +33,10 @@ object RowOps {
     val parts = split(col(splitField), java.util.regex.Pattern.quote(separator))
     df.withColumns(
       outputFields.zipWithIndex.map { case (f, i) =>
-        // element_at is 1-based and returns null past the end — matches the
-        // reference's pad-with-null behavior for short splits.
-        f -> element_at(parts, i + 1)
+        // try_element_at is 1-based and returns null past the end — matches
+        // the reference's pad-with-null behavior for short splits (plain
+        // element_at throws under Spark 4's ANSI mode).
+        f -> try_element_at(parts, lit(i + 1))
       }.toMap)
   }
 

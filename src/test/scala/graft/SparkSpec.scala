@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session, specs run in
+  * the forked test JVM).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
