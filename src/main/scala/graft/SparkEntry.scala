@@ -181,6 +181,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.3 zeta string function coverage (builtins + registered compat fns)
+    "q_fn_string" -> ((s, dir) => {
+      graft.functions.ZetaFunctions.register(s)
+      SqlOp.sql(s, Tables.load(s, dir, "customer"),
+        """SELECT c_custkey,
+          |  UPPER(c_name) AS up, LOWER(c_name) AS lo, LENGTH(c_name) AS len,
+          |  SUBSTR(c_name, 1, 8) AS sub8,
+          |  LPAD(CAST(c_custkey AS STRING), 8, '0') AS pad,
+          |  CONCAT_WS('|', c_name, c_mktsegment) AS cw,
+          |  REPLACE(c_name, 'Customer', 'Cust') AS rep,
+          |  LEFT(c_name, 4) AS lft, RIGHT(c_name, 3) AS rgt,
+          |  ASCII(c_mktsegment) AS a1,
+          |  REPEAT(c_mktsegment, 2) AS rpt,
+          |  TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS trn,
+          |  INSTR(c_name, '#') AS hashpos,
+          |  insert_str(c_name, 1, 8, 'CUST') AS ins
+          |FROM input ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // §2.3 zeta numeric functions (IEEE-deterministic subset for the oracle;
+    // transcendental parity is spec-tested instead)
+    "q_fn_numeric" -> ((s, dir) => {
+      graft.functions.ZetaFunctions.register(s)
+      SqlOp.sql(s, Tables.load(s, dir, "lineitem"),
+        """SELECT l_orderkey, l_linenumber,
+          |  ABS(l_discount - 0.05) AS ab,
+          |  CEIL(l_quantity) AS ce, FLOOR(l_quantity) AS fl,
+          |  ROUND(l_quantity, 1) AS rd,
+          |  SQRT(l_quantity) AS sq,
+          |  MOD(l_orderkey, 7) AS md,
+          |  SIGN(l_discount - 0.05) AS sg,
+          |  POWER(l_linenumber, 2) AS pw,
+          |  truncate(l_extendedprice, 1) AS tr
+          |FROM input ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // §2.3 zeta date/time functions
+    "q_fn_datetime" -> ((s, dir) => {
+      graft.functions.ZetaFunctions.register(s)
+      SqlOp.sql(s, Tables.load(s, dir, "orders"),
+        """SELECT o_orderkey,
+          |  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+          |  QUARTER(o_orderdate) AS q,
+          |  day_of_month(o_orderdate) AS dom,
+          |  day_of_year(o_orderdate) AS doy,
+          |  day_of_week(o_orderdate) AS dow,
+          |  dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn,
+          |  week(o_orderdate) AS wk,
+          |  date_trunc('month', o_orderdate) AS mstart,
+          |  dateadd(o_orderdate, 30, 'DAY') AS plus30,
+          |  zeta_datediff(o_orderdate, TIMESTAMP '2000-01-01 00:00:00', 'DAY') AS to2k,
+          |  formatdatetime(o_orderdate, 'yyyy-MM-dd') AS fmt
+          |FROM input ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // §2.3 system functions (COALESCE/IFNULL/NULLIF/CAST)
+    "q_fn_system" -> ((s, dir) => {
+      SqlOp.sql(s, Tables.load(s, dir, "customer"),
+        """SELECT c_custkey,
+          |  COALESCE(CASE WHEN c_acctbal < 1000 THEN NULL ELSE c_mktsegment END, 'LOW') AS seg,
+          |  IFNULL(CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END, 'EVEN') AS nm,
+          |  NULLIF(c_mktsegment, 'FURNITURE') AS nf,
+          |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+          |  CAST(c_custkey AS STRING) AS key_s,
+          |  CAST(c_acctbal AS BIGINT) AS bal_l
+          |FROM input ORDER BY c_custkey""".stripMargin)
+    }),
+
     // §2.1.17 LLM transform with the deterministic offline provider
     "q_llm" -> ((s, dir) => {
       LlmOp.transform(Tables.load(s, dir, "documents").select("doc_id", "text"),
@@ -279,6 +347,59 @@ object SparkEntry {
     "q_dynamic" ->
       """SELECT CAST(n_nationkey AS BIGINT) * 2 AS nation_id, LOWER(n_name) AS name_lc
         |FROM nation ORDER BY nation_id""".stripMargin,
+
+    "q_fn_string" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS up, LOWER(c_name) AS lo, CAST(LENGTH(c_name) AS INTEGER) AS len,
+        |  SUBSTR(c_name, 1, 8) AS sub8,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  CONCAT_WS('|', c_name, c_mktsegment) AS cw,
+        |  REPLACE(c_name, 'Customer', 'Cust') AS rep,
+        |  LEFT(c_name, 4) AS lft, RIGHT(c_name, 3) AS rgt,
+        |  CAST(ASCII(c_mktsegment) AS INTEGER) AS a1,
+        |  REPEAT(c_mktsegment, 2) AS rpt,
+        |  TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS trn,
+        |  CAST(INSTR(c_name, '#') AS INTEGER) AS hashpos,
+        |  'CUST' || SUBSTR(c_name, 9) AS ins
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_fn_numeric" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS ab,
+        |  CEIL(l_quantity) AS ce, FLOOR(l_quantity) AS fl,
+        |  ROUND(l_quantity, 1) AS rd,
+        |  SQRT(l_quantity) AS sq,
+        |  CAST(MOD(l_orderkey, 7) AS BIGINT) AS md,
+        |  SIGN(l_discount - 0.05) AS sg,
+        |  POWER(l_linenumber, 2) AS pw,
+        |  FLOOR(l_extendedprice * 10) / 10 AS tr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  dayname(o_orderdate) AS dn, monthname(o_orderdate) AS mn,
+        |  CAST(week(o_orderdate) AS INTEGER) AS wk,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS to2k,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_system" ->
+      """SELECT c_custkey,
+        |  COALESCE(CASE WHEN c_acctbal < 1000 THEN NULL ELSE c_mktsegment END, 'LOW') AS seg,
+        |  IFNULL(CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END, 'EVEN') AS nm,
+        |  NULLIF(c_mktsegment, 'FURNITURE') AS nf,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+        |  CAST(c_custkey AS VARCHAR) AS key_s,
+        |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_l
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_llm" ->
       """WITH c AS (

@@ -14,6 +14,7 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.datetime.java8API.enabled", "false")
     .getOrCreate()
 }
 
