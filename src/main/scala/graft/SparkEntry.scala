@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 
 /** Typed rows for DynamicOp's Dataset.map path (JVM-compiled user logic —
   * Graft's analog of the reference's DynamicCompile transform).
@@ -255,6 +258,86 @@ object SparkEntry {
           "text", "label", LlmOp.RuleProvider(Seq("data", "join", "spark")))
         .select("doc_id", "label")
         .orderBy("doc_id")
+    }),
+
+    // §2.6 exact dedup: digest groupBy with map-side partial agg
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")
+    }),
+
+    // §2.6 MinHash+LSH near-dup: kept docs after greedy pair-drop
+    // (rows-only check; pair recall is spec-tested with planted dups)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.6 SimHash near-dup (rows-only; spec-tested with planted dups)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(docs, "doc_id", "text")
+      Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.6 n-gram Jaccard near-dup (rows-only; spec-tested)
+    "q_dedup_ngram" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.6 embedding-cosine near-dup via hyperplane LSH (rows-only)
+    "q_neardup_cosine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64, threshold = 0.9)
+      Dedup.dropNearDups(emb, "vec_id", pairs).select("vec_id").orderBy("vec_id")
+    }),
+
+    // §2.6 exact brute-force cosine top-k ANN (oracle-checked: DuckDB list
+    // lambdas reproduce the double-precision fold bit-exactly)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 LSH-bucketed ANN, the corpus-scale path (rows-only; recall
+    // vs brute force is spec-tested)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 10)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 language-ID heuristic (pure Column exprs, codegen'd)
+    "q_text_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 quality scoring features
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_q", "n_words", "punct_ratio", "mean_word_len",
+          "distinct_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 token counting (whitespace + BPE-ish regex)
+    "q_text_tokens" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 document fingerprint (normalized md5-16)
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -400,6 +483,70 @@ object SparkEntry {
         |  CAST(c_custkey AS VARCHAR) AS key_s,
         |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_l
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keep_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(q.qe, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, embeddings c),
+        |r AS (SELECT q_id, n_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INTEGER) AS rnk
+        |      FROM s)
+        |SELECT q_id, n_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'der')) + len(list_filter(w, x -> x = 'und'))
+        |    + len(list_filter(w, x -> x = 'die')) + len(list_filter(w, x -> x = 'ist')) AS s_de,
+        |  len(list_filter(w, x -> x = 'the')) + len(list_filter(w, x -> x = 'and'))
+        |    + len(list_filter(w, x -> x = 'of')) + len(list_filter(w, x -> x = 'is')) AS s_en,
+        |  len(list_filter(w, x -> x = 'el')) + len(list_filter(w, x -> x = 'la'))
+        |    + len(list_filter(w, x -> x = 'que')) + len(list_filter(w, x -> x = 'es')) AS s_es,
+        |  len(list_filter(w, x -> x = 'le')) + len(list_filter(w, x -> x = 'la'))
+        |    + len(list_filter(w, x -> x = 'et')) + len(list_filter(w, x -> x = 'est')) AS s_fr
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w,
+        |  CAST(length(text) AS INTEGER) AS nc
+        |FROM documents)
+        |SELECT doc_id, nc AS n_chars_q,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(nc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / nc AS punct_ratio,
+        |  CAST(nc - len(w) + 1 AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / len(w) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_llm" ->
       """WITH c AS (

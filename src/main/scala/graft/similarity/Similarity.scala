@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.6).
+  *
+  * Scale design: `bruteForceTopK` is exact and correct whenever the QUERY
+  * set is small — the corpus is scanned once and the query side is
+  * broadcast, so cost is O(|corpus| * |queries|) with no corpus shuffle.
+  * For corpus-sized query sets use `lshTopK`: hyperplane-LSH buckets cut
+  * the candidate set, trading recall (spec-measured) for a bucket-join
+  * plan that scales linearly.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
+    *                until the per-query top-k window.
+    * @param queries small (idCol, vecCol) table — broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q)
+      .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cosine")
+  }
+
+  /** LSH-bucketed ANN: candidates are corpus vectors sharing at least one
+    * signature band with the query; exact cosine ranks within candidates.
+    * Recall vs bruteForceTopK is measured in LshAnnSpec.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int = 10,
+      sigBits: Int = 16, bandBits: Int = 4, seed: Int = 42): DataFrame = {
+    val sig = Dedup.planeSigUdf(dim, sigBits, seed)
+    val numBands = sigBits / bandBits
+
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("sig", sig(col(vec)))
+        .select(col(id), col(vec),
+          explode(array((0 until numBands).map(i =>
+            struct(lit(i).as("band_idx"),
+              shiftrightunsigned(col("sig"), i * bandBits)
+                .bitwiseAND(lit((1 << bandBits) - 1)).as("band_val"))): _*)).as("b"))
+        .select(col(id), col(vec), col("b.band_idx"), col("b.band_val"))
+
+    val qb = broadcast(banded(queries, "q_id", "q_vec"))
+    val cb = banded(corpus, "n_id", "n_vec")
+    val candidates = cb.join(qb, Seq("band_idx", "band_val"))
+      .dropDuplicates("q_id", "n_id")
+    candidates
+      .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cosine")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.6).
+  *
+  * Everything here is pure Column expressions over Spark builtins — no
+  * UDFs, so the whole stage stays in codegen and scales as a narrow map.
+  */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram-heuristic language ID. Tiny by
+    * design (deterministic, auditable); swap for real profiles in prod.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  private def wordCount(tokens: Column, w: String): Column =
+    size(filter(tokens, x => x === lit(w)))
+
+  /** Language-ID heuristic: argmax of marker-word occurrence counts;
+    * ties break toward the lexicographically larger language code, score 0
+    * falls back to "und" (undetermined).
+    */
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(textCol), "\\W+")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> words.map(w => wordCount(toks, w)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // ascending fold leaves the largest code outermost -> it wins ties.
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring features: char length, word count, punctuation ratio,
+    * mean word length, distinct-word (repetition) ratio, stopword ratio.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(lower(t)), "\\s+")
+    val nWords = size(words)
+    val nChars = length(t)
+    val punct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stopHits = size(filter(words, w => w.isin(stopwords.map(s => lit(s)): _*)))
+    df.withColumns(Map(
+      "n_chars_q" -> nChars.cast("int"),
+      "n_words" -> nWords.cast("int"),
+      "punct_ratio" -> (punct.cast("double") / nChars),
+      "mean_word_len" -> ((nChars - nWords + 1).cast("double") / nWords),
+      "distinct_ratio" -> (size(array_distinct(words)).cast("double") / nWords),
+      "stopword_ratio" -> (stopHits.cast("double") / nWords)))
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "ws_tokens" -> size(split(trim(t), "\\s+")).cast("int"),
+      "bpe_tokens" -> regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")))
+  }
+
+  /** Content fingerprint: md5 of the whitespace/case-normalized text,
+    * truncated to 16 hex chars. Cross-engine reproducible (DuckDB md5
+    * agrees), constant-width, partition-key friendly.
+    */
+  def fingerprint(textCol: Column): Column =
+    substring(md5(regexp_replace(lower(trim(textCol)), "\\s+", " ")), 1, 16)
+}

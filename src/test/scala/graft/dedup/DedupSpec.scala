@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted duplicates: 10/11 near-identical, 20/21 identical
+  private def docs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (20L, "spark shuffles data between executors during wide transformations always"),
+    (21L, "spark shuffles data between executors during wide transformations always"),
+    (30L, "completely unrelated content about cooking pasta with garlic and olive oil"),
+    (40L, "another standalone document discussing quantum error correction codes")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical digests, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 5) // 20/21 collapse
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 20L)
+    val kept = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(10L, 11L, 20L, 30L, 40L))
+  }
+
+  test("minHashPairs finds planted near-dup and exact-dup, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      Dedup.MinHashConfig(threshold = 0.5)).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((10L, 11L)), s"missing near-dup pair, got $pairSet")
+    assert(pairSet.contains((20L, 21L)))
+    assert(!pairSet.exists { case (a, b) => Set(a, b).intersect(Set(30L, 40L)).nonEmpty })
+    val jac = pairs.find(r => r.getLong(0) == 20L).get.getAs[Double]("jaccard")
+    assert(jac == 1.0)
+  }
+
+  test("dropNearDups keeps the smaller id of each pair") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", Dedup.MinHashConfig(threshold = 0.5))
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("simHashPairs finds near-dups within hamming budget") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((20L, 21L))) // identical -> hamming 0
+    val h = pairs.find(r => r.getLong(0) == 20L).get.getAs[Int]("hamming")
+    assert(h == 0)
+  }
+
+  test("ngramJaccardPairs inverted-index join finds overlapping docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((10L, 11L)))
+    assert(pairSet.contains((20L, 21L)))
+    assert(pairSet.size == 2)
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors") {
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val nearly = base.clone(); nearly(0) = base(0) + 0.001f
+    val other = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, nearly.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim = 8,
+      threshold = 0.99, sigBits = 8, bandBits = 4).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)), s"got $pairSet")
+    assert(!pairSet.contains((1L, 3L)))
+  }
+
+  test("TextHashing primitives are deterministic and sane") {
+    val s1 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
+    val s2 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
+    assert(s1.toSeq == s2.toSeq)
+    assert(TextHashing.jaccard(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
+    assert(TextHashing.simHash64("x y z") == TextHashing.simHash64("x y z"))
+    assert(TextHashing.ngrams("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+  }
+}

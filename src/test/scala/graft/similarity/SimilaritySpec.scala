@@ -1,0 +1,38 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("bruteForceTopK: rank 1 is self with cosine ~1, k rows per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 15)
+    val self = out.filter(_.getAs[Int]("rnk") == 1)
+    self.foreach { r =>
+      assert(r.getAs[Long]("q_id") == r.getAs[Long]("n_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+    // ranks strictly ordered by cosine within each query
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 10,
+      sigBits = 16, bandBits = 2) // 8 bands of 2 bits -> high recall
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // self must always be found (identical signature)
+    (0L until 10L).foreach(q0 => assert(lsh.contains((q0, q0))))
+  }
+}
