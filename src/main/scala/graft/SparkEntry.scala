@@ -7,6 +7,8 @@ import org.apache.spark.sql.types._
 import graft.operators._
 import graft.dedup.Dedup
 import graft.similarity.Similarity
+import graft.sources.{CdcFormats, FakeSource, FileSources}
+import graft.sinks.Sinks
 import graft.text.TextAnalysis
 
 /** Typed rows for DynamicOp's Dataset.map path (JVM-compiled user logic —
@@ -338,6 +340,69 @@ object SparkEntry {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // §2.4 csv file source round-trip (testdata -> csv -> FileSources)
+    "q_src_csv" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/csv_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(Tables.load(s, dir, "nation"),
+        Sinks.FileSinkConfig(tmp, "csv", options = Map("header" -> "true")))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "csv",
+          Some(StructType(Seq(StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType), StructField("n_regionkey", IntegerType)))),
+          Map("header" -> "true")))
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.4 json file source round-trip
+    "q_src_json" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/json_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(Tables.load(s, dir, "region"), Sinks.FileSinkConfig(tmp, "json"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "json",
+          Some(StructType(Seq(StructField("r_regionkey", IntegerType),
+            StructField("r_name", StringType))))))
+        .orderBy("r_regionkey")
+    }),
+
+    // §2.4 FakeSource generator (deterministic; rows-only check)
+    "q_fake_source" -> ((s, dir) => {
+      FakeSource.generate(s,
+        Seq("name" -> "string", "num" -> "int", "flag" -> "boolean"), 1000)
+        .orderBy("name")
+    }),
+
+    // §2.4 debezium-json CDC envelope -> row-kind-tagged change rows.
+    // Envelope synthesized deterministically from orders, then parsed back.
+    "q_cdc_debezium" -> ((s, dir) => {
+      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+        when(col("o_orderstatus") === "O",
+            struct(col("o_orderkey"), (col("o_totalprice") - 1.0d).as("o_totalprice")))
+          .when(col("o_orderstatus") === "P", struct(col("o_orderkey"), col("o_totalprice")))
+          .as("before"),
+        when(col("o_orderstatus").isin("F", "O"),
+            struct(col("o_orderkey"), col("o_totalprice")))
+          .as("after"),
+        when(col("o_orderstatus") === "F", "c")
+          .when(col("o_orderstatus") === "O", "u").otherwise("d").as("op")
+      )).as("json"))
+      CdcFormats.parseDebezium(env, "json",
+          new StructType().add("o_orderkey", LongType).add("o_totalprice", DoubleType))
+        .orderBy("o_orderkey", "__row_kind")
+    }),
+
+    // §2.4 canal-json CDC envelope (old[] patch pre-image reconstruction)
+    "q_cdc_canal" -> ((s, dir) => {
+      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+        array(struct(col("o_orderkey"), col("o_totalprice"))).as("data"),
+        when(col("o_orderstatus") === "O",
+          array(struct(lit(null).cast(LongType).as("o_orderkey"),
+            (col("o_totalprice") - 1.0d).as("o_totalprice")))).as("old"),
+        when(col("o_orderstatus") === "F", "INSERT")
+          .when(col("o_orderstatus") === "O", "UPDATE").otherwise("DELETE").as("type")
+      )).as("json"))
+      CdcFormats.parseCanal(env, "json",
+          new StructType().add("o_orderkey", LongType).add("o_totalprice", DoubleType))
+        .orderBy("o_orderkey", "__row_kind")
     })
   )
 
@@ -547,6 +612,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_src_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_src_json" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_cdc_debezium" ->
+      """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT o_orderkey, o_totalprice - 1.0, '-U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_cdc_canal" ->
+      """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT o_orderkey, o_totalprice - 1.0, '-U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey, __row_kind""".stripMargin,
 
     "q_llm" ->
       """WITH c AS (

@@ -1,0 +1,201 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.operators._
+import graft.sources.{FakeSource, FileSources}
+import graft.sinks.Sinks
+
+/** SeaTunnel-style declarative pipeline: source → transform* → sink.
+  *
+  * Reference job model: seatunnel-core config (env/source/transform/sink
+  * HOCON blocks with plugin_input/plugin_output wiring). Graft accepts the
+  * same structure as JSON (a strict subset of HOCON) or as a typed Scala
+  * DSL, and materializes it as ONE Catalyst plan per sink — SeaTunnel
+  * executes each transform as a separate row-at-a-time stage, while here
+  * Catalyst fuses the whole chain into shared whole-stage-codegen'd
+  * stages with end-to-end pushdown.
+  */
+object Pipeline {
+
+  final case class Plugin(
+      plugin: String,
+      options: Map[String, Any],
+      input: Option[String],
+      output: Option[String]) {
+
+    def str(k: String): String = options(k).toString
+    def strOpt(k: String): Option[String] = options.get(k).map(_.toString)
+    def int(k: String, default: Int): Int =
+      options.get(k).map(_.toString.toInt).getOrElse(default)
+    def bool(k: String, default: Boolean): Boolean =
+      options.get(k).map(_.toString.toBoolean).getOrElse(default)
+    def list(k: String): Seq[String] = options.get(k) match {
+      case Some(l: Seq[_]) => l.map(_.toString)
+      case Some(other) => Seq(other.toString)
+      case None => Nil
+    }
+    def map(k: String): Map[String, String] = options.get(k) match {
+      case Some(m: Map[_, _]) => m.map { case (a, b) => a.toString -> b.toString }
+      case _ => Map.empty
+    }
+  }
+
+  final case class Job(
+      sources: Seq[Plugin], transforms: Seq[Plugin], sinks: Seq[Plugin])
+
+  // ---------- JSON config ----------
+
+  private val mapper = new ObjectMapper()
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  /** Parse a JSON job config:
+    * {"source":[{"plugin":"FakeSource","plugin_output":"t", ...}],
+    *  "transform":[{"plugin":"Sql","query":"...", "plugin_input":"t"}],
+    *  "sink":[{"plugin":"Console","plugin_input":"..."}]}
+    */
+  def parse(json: String): Job = {
+    val root = toScala(mapper.readValue(json, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+    def block(name: String): Seq[Plugin] = root.get(name) match {
+      case Some(l: Seq[_]) => l.map { p =>
+        val m = p.asInstanceOf[Map[String, Any]]
+        Plugin(m("plugin").toString,
+          m - "plugin" - "plugin_input" - "plugin_output",
+          m.get("plugin_input").map(_.toString),
+          m.get("plugin_output").map(_.toString))
+      }
+      case _ => Nil
+    }
+    Job(block("source"), block("transform"), block("sink"))
+  }
+
+  // ---------- execution ----------
+
+  private def resolveSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
+    case "FakeSource" =>
+      val fields = p.options.get("schema") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]]("fields").asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString }.toSeq.sortBy(_._1)
+        case _ => Seq("id" -> "long")
+      }
+      FakeSource.generate(spark, fields, p.int("row.num", 10).toLong)
+    case "LocalFile" | "File" =>
+      FileSources.read(spark, FileSources.FileSourceConfig(
+        p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
+        p.strOpt("schema").map(s => DataType.fromDDL(s).asInstanceOf[StructType]),
+        p.map("options")))
+    case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
+  }
+
+  private def applyTransform(spark: SparkSession, p: Plugin, df: DataFrame): DataFrame = p.plugin match {
+    case "Copy" => FieldOps.copyFields(df, p.map("fields").toSeq.sortBy(_._2).map(_.swap))
+    case "FieldMapper" => FieldOps.fieldMapper(df, orderedPairs(p, "field_mapper"))
+    case "FieldRename" => FieldOps.renameFields(df, p.map("fields"))
+    case "Filter" =>
+      if (p.list("include_fields").nonEmpty) FieldOps.keepFields(df, p.list("include_fields"))
+      else FieldOps.dropFields(df, p.list("exclude_fields"))
+    case "FilterRowKind" =>
+      if (p.list("include_kinds").nonEmpty) RowKindOps.filterRowKind(df, p.list("include_kinds"))
+      else RowKindOps.filterRowKindExclude(df, p.list("exclude_kinds"))
+    case "RowKindExtractor" =>
+      RowKindOps.extractRowKind(df, p.strOpt("custom_field_name").getOrElse("row_kind"),
+        p.strOpt("transform_format").exists(_.equalsIgnoreCase("FULL")))
+    case "Replace" =>
+      RowOps.replaceField(df, p.str("replace_field"), p.str("pattern"), p.str("replacement"),
+        p.bool("is_regex", default = false), p.bool("replace_first", default = false))
+    case "Split" =>
+      RowOps.splitField(df, p.str("separator"), p.str("split_field"), p.list("output_fields"))
+    case "Sql" | "SQL" =>
+      graft.functions.ZetaFunctions.register(spark)
+      SqlOp.sql(spark, df, p.str("query"), p.input.getOrElse("input"))
+    case "JsonPath" =>
+      JsonPathOp.extract(df, p.options("columns").asInstanceOf[Seq[Any]].map { c =>
+        val m = c.asInstanceOf[Map[String, Any]]
+        JsonPathOp.PathSpec(m("src_field").toString, m("path").toString,
+          m("dest_field").toString, m.get("dest_type").map(t => DataType.fromDDL(t.toString)))
+      })
+    case "Metadata" =>
+      MetadataOp.inject(df, p.map("metadata_fields"), MetadataOp.MetaConfig(
+        p.strOpt("database"), p.strOpt("table"), p.strOpt("event_time_field")))
+    case other => throw new IllegalArgumentException(s"unknown transform plugin: $other")
+  }
+
+  /** field_mapper preserves declared order; jackson gives LinkedHashMap so
+    * insertion order survives toScala conversion only if we keep a Seq —
+    * options store is a Map, so accept either pair-list or map form.
+    */
+  private def orderedPairs(p: Plugin, key: String): Seq[(String, String)] =
+    p.options(key) match {
+      case l: Seq[_] => l.map { e =>
+        val m = e.asInstanceOf[Map[String, Any]]
+        m("source_field").toString -> m("target_field").toString
+      }
+      case m: Map[_, _] => m.map { case (a, b) => a.toString -> b.toString }.toSeq
+      case other => throw new IllegalArgumentException(s"bad $key: $other")
+    }
+
+  private def runSink(df: DataFrame, p: Plugin): Unit = p.plugin match {
+    case "Console" => Sinks.console(df, p.int("limit", 20))
+    case "LocalFile" | "File" =>
+      Sinks.writeFile(df, Sinks.FileSinkConfig(
+        p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
+        p.strOpt("save_mode").getOrElse("overwrite"), p.list("partition_by"), p.map("options")))
+    case "Assert" =>
+      val rules = p.options.get("rules").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil).map { r =>
+        val m = r.asInstanceOf[Map[String, Any]]
+        m("rule").toString match {
+          case "row_count_between" =>
+            Sinks.RowCountBetween(m("min").toString.toLong, m("max").toString.toLong)
+          case "not_null" => Sinks.NotNull(m("field").toString)
+          case "min_value" => Sinks.MinValue(m("field").toString, m("min").toString.toDouble)
+          case "max_value" => Sinks.MaxValue(m("field").toString, m("max").toString.toDouble)
+          case "matches_regex" => Sinks.MatchesRegex(m("field").toString, m("regex").toString)
+          case other => throw new IllegalArgumentException(s"unknown assert rule: $other")
+        }
+      }
+      Sinks.assertRules(df, rules)
+    case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
+  }
+
+  /** Execute a parsed job. Returns the final catalog (table name → plan)
+    * so callers/tests can inspect intermediate tables.
+    */
+  def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
+    var catalog = Map.empty[String, DataFrame]
+    var last: Option[String] = None
+    job.sources.foreach { s =>
+      val name = s.output.getOrElse(s.plugin)
+      catalog += name -> resolveSource(spark, s)
+      last = Some(name)
+    }
+    job.transforms.foreach { t =>
+      val in = t.input.orElse(last).getOrElse(
+        throw new IllegalArgumentException(s"${t.plugin}: no input table"))
+      val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
+      val name = t.output.getOrElse(in + "_out")
+      catalog += name -> applyTransform(spark, t, df)
+      last = Some(name)
+    }
+    job.sinks.foreach { s =>
+      val in = s.input.orElse(last).getOrElse(
+        throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+      runSink(catalog.getOrElse(in,
+        throw new IllegalArgumentException(s"unknown table $in")), s)
+    }
+    catalog
+  }
+
+  def runJson(spark: SparkSession, json: String): Map[String, DataFrame] =
+    run(spark, parse(json))
+}

@@ -1,0 +1,89 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Sink connectors (SURVEY §2.4).
+  *
+  * References:
+  *  - connector-file sinks (format + save mode + partition keys)
+  *  - connector-console (ConsoleSinkWriter: log N rows per batch)
+  *  - connector-assert (AssertSink: row-count and field rules evaluated at
+  *    the end of the stream; failure aborts the job)
+  */
+object Sinks {
+
+  // ---------- file ----------
+
+  final case class FileSinkConfig(
+      path: String,
+      format: String, // parquet | orc | json | csv | text
+      mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty)
+
+  def writeFile(df: DataFrame, cfg: FileSinkConfig): Unit = {
+    var w: DataFrameWriter[Row] = df.write.mode(cfg.mode).options(cfg.options)
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    cfg.format.toLowerCase match {
+      case "parquet" => w.parquet(cfg.path)
+      case "orc" => w.orc(cfg.path)
+      case "json" => w.json(cfg.path)
+      case "csv" => w.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
+      case "text" => w.text(cfg.path)
+      case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
+    }
+  }
+
+  // ---------- console ----------
+
+  /** Print up to `limit` rows (driver-side, bounded — like the reference's
+    * console sink which logs each row up to a configured count).
+    */
+  def console(df: DataFrame, limit: Int = 20, truncate: Boolean = false): Unit =
+    df.show(limit, truncate)
+
+  // ---------- assert ----------
+
+  sealed trait AssertRule
+  final case class RowCountBetween(min: Long, max: Long) extends AssertRule
+  final case class NotNull(field: String) extends AssertRule
+  final case class MinValue(field: String, min: Double) extends AssertRule
+  final case class MaxValue(field: String, max: Double) extends AssertRule
+  final case class MatchesRegex(field: String, regex: String) extends AssertRule
+
+  final class AssertionFailed(msg: String) extends RuntimeException(msg)
+
+  /** Evaluate all rules in ONE aggregation pass over the data (the naive
+    * per-rule pass would rescan a 100 TB input once per rule).
+    */
+  def assertRules(df: DataFrame, rules: Seq[AssertRule]): Unit = {
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
+      case (NotNull(f), i) => Seq(sum(when(col(f).isNull, 1).otherwise(0)).as(s"__r$i"))
+      case (MinValue(f, _), i) => Seq(min(col(f).cast("double")).as(s"__r$i"))
+      case (MaxValue(f, _), i) => Seq(max(col(f).cast("double")).as(s"__r$i"))
+      case (MatchesRegex(f, re), i) =>
+        Seq(sum(when(!regexp_like(col(f), lit(re)), 1).otherwise(0)).as(s"__r$i"))
+      case (RowCountBetween(_, _), _) => Nil
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    val failures = rules.zipWithIndex.flatMap {
+      case (RowCountBetween(lo, hi), _) =>
+        if (n < lo || n > hi) Some(s"row count $n outside [$lo,$hi]") else None
+      case (NotNull(f), i) =>
+        val bad = row.getAs[Long](s"__r$i")
+        if (bad > 0) Some(s"$f has $bad nulls") else None
+      case (MinValue(f, lo), i) =>
+        val v = row.getAs[Double](s"__r$i")
+        if (v < lo) Some(s"min($f)=$v < $lo") else None
+      case (MaxValue(f, hi), i) =>
+        val v = row.getAs[Double](s"__r$i")
+        if (v > hi) Some(s"max($f)=$v > $hi") else None
+      case (MatchesRegex(f, re), i) =>
+        val bad = row.getAs[Long](s"__r$i")
+        if (bad > 0) Some(s"$f has $bad rows not matching /$re/") else None
+    }
+    if (failures.nonEmpty) throw new AssertionFailed(failures.mkString("; "))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File source connector (local/HDFS/S3-style paths all go through the same
+  * Hadoop FileSystem API — at 100 TB this is the partitioned-scan path with
+  * predicate pushdown and column pruning from Catalyst).
+  *
+  * Reference: seatunnel-connectors-v2/connector-file (LocalFile source with
+  * file_format_type parquet/orc/json/csv/text/excel/xml + schema options).
+  */
+object FileSources {
+
+  final case class FileSourceConfig(
+      path: String,
+      format: String, // parquet | orc | json | csv | text
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty)
+
+  def read(spark: SparkSession, cfg: FileSourceConfig): DataFrame = {
+    val fmt = cfg.format.toLowerCase
+    val defaults: Map[String, String] = fmt match {
+      // reference csv defaults: delimiter ',', header detection off
+      case "csv" => Map("delimiter" -> ",", "header" -> "false", "inferSchema" -> "false")
+      case _ => Map.empty
+    }
+    var r: DataFrameReader = spark.read.options(defaults ++ cfg.options)
+    cfg.schema.foreach(s => r = r.schema(s))
+    fmt match {
+      case "parquet" => r.parquet(cfg.path)
+      case "orc" => r.orc(cfg.path)
+      case "json" => r.json(cfg.path)
+      case "csv" => r.csv(cfg.path)
+      case "text" => r.text(cfg.path)
+      case other => throw new IllegalArgumentException(s"unsupported file format: $other")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  test("JSON job config: FakeSource -> Sql + Split -> File sink") {
+    val out = Files.createTempDirectory("graft-pipe").toString + "/out"
+    val config =
+      s"""{
+         |  "source": [{
+         |    "plugin": "FakeSource", "plugin_output": "fake",
+         |    "row.num": 50,
+         |    "schema": {"fields": {"name": "string", "num": "int"}}
+         |  }],
+         |  "transform": [
+         |    {"plugin": "Sql", "plugin_input": "fake", "plugin_output": "sel",
+         |     "query": "SELECT name, num, num % 10 AS bucket FROM fake WHERE num >= 0"},
+         |    {"plugin": "Split", "plugin_input": "sel", "plugin_output": "split",
+         |     "separator": "_", "split_field": "name", "output_fields": ["prefix", "suffix"]}
+         |  ],
+         |  "sink": [{"plugin": "File", "plugin_input": "split",
+         |            "path": "$out", "file_format_type": "parquet"}]
+         |}""".stripMargin
+    val catalog = Pipeline.runJson(spark, config)
+    assert(catalog.keySet == Set("fake", "sel", "split"))
+    val written = spark.read.parquet(out)
+    assert(written.count() == 50)
+    assert(written.columns.toSet == Set("name", "num", "bucket", "prefix", "suffix"))
+    // split of "name_<i>" -> prefix "name"
+    assert(written.select("prefix").distinct().collect().map(_.getString(0)).toSeq == Seq("name"))
+  }
+
+  test("Assert sink integrates and fails the job on violation") {
+    val config =
+      """{
+        |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 5,
+        |              "schema": {"fields": {"num": "int"}}}],
+        |  "sink": [{"plugin": "Assert", "plugin_input": "f",
+        |            "rules": [{"rule": "row_count_between", "min": 100, "max": 200}]}]
+        |}""".stripMargin
+    intercept[graft.sinks.Sinks.AssertionFailed] { Pipeline.runJson(spark, config) }
+  }
+
+  test("transform chain without explicit inputs threads the last output") {
+    val config =
+      """{
+        |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 3,
+        |              "schema": {"fields": {"a": "int", "b": "string"}}}],
+        |  "transform": [
+        |    {"plugin": "Filter", "include_fields": ["a"]},
+        |    {"plugin": "FieldRename", "fields": {"a": "renamed"}}
+        |  ],
+        |  "sink": [{"plugin": "Console", "limit": 1}]
+        |}""".stripMargin
+    val catalog = Pipeline.runJson(spark, config)
+    assert(catalog("f_out_out").columns.toSeq == Seq("renamed"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+import graft.sinks.Sinks
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FakeSource generates deterministic schema-driven rows on the cluster") {
+    val df = FakeSource.generate(spark,
+      Seq("id_str" -> "string", "n" -> "int", "flag" -> "boolean", "ts" -> "timestamp"), 100, slices = 4)
+    assert(df.count() == 100)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName).toMap ==
+      Map("id_str" -> "string", "n" -> "integer", "flag" -> "boolean", "ts" -> "timestamp"))
+    val again = FakeSource.generate(spark,
+      Seq("id_str" -> "string", "n" -> "int", "flag" -> "boolean", "ts" -> "timestamp"), 100, slices = 4)
+    assert(df.collect().map(_.toString).sorted.sameElements(again.collect().map(_.toString).sorted))
+  }
+
+  test("file round-trip: csv/json/orc/parquet/text through FileSources/Sinks") {
+    val dir = Files.createTempDirectory("graft-files").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+      Sinks.writeFile(df, Sinks.FileSinkConfig(s"$dir/$fmt", fmt))
+      val schema = if (fmt == "csv" || fmt == "json")
+        Some(StructType(Seq(StructField("k", LongType), StructField("s", StringType), StructField("v", DoubleType))))
+      else None
+      val back = FileSources.read(spark, FileSources.FileSourceConfig(
+        s"$dir/$fmt", fmt, schema, if (fmt == "csv") Map("header" -> "true") else Map.empty))
+      assert(back.orderBy("k").collect().map(_.toSeq.toList).toList ==
+        List(List(1L, "a", 1.5), List(2L, "b", 2.5)), s"round-trip failed for $fmt")
+    }
+    // text is single-column
+    Sinks.writeFile(df.selectExpr("concat(k, ',', s) AS value"), Sinks.FileSinkConfig(s"$dir/text", "text"))
+    val txt = FileSources.read(spark, FileSources.FileSourceConfig(s"$dir/text", "text"))
+    assert(txt.count() == 2)
+  }
+
+  private val userSchema = new StructType().add("id", LongType).add("name", StringType)
+
+  test("parseDebezium emits row-kind-tagged change rows") {
+    val rows = Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c"}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"},"op":"u"}""",
+      """{"before":{"id":1,"name":"b"},"after":null,"op":"d"}""").toDF("json")
+    val out = CdcFormats.parseDebezium(rows, "json", userSchema)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("__row_kind")))
+    assert(out.toSet == Set((1L, "a", "+I"), (1L, "a", "-U"), (1L, "b", "+U"), (1L, "b", "-D")))
+  }
+
+  test("parseCanal reconstructs update pre-image from old[] patch") {
+    val rows = Seq(
+      """{"data":[{"id":1,"name":"x"},{"id":2,"name":"y"}],"old":null,"type":"INSERT"}""",
+      """{"data":[{"id":1,"name":"x2"}],"old":[{"name":"x"}],"type":"UPDATE"}""",
+      """{"data":[{"id":2,"name":"y"}],"old":null,"type":"DELETE"}""").toDF("json")
+    val out = CdcFormats.parseCanal(rows, "json", userSchema)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("__row_kind")))
+    assert(out.toSet == Set(
+      (1L, "x", "+I"), (2L, "y", "+I"),
+      (1L, "x", "-U"), (1L, "x2", "+U"),
+      (2L, "y", "-D")))
+  }
+
+  test("parseMaxwell handles single-row envelopes") {
+    val rows = Seq(
+      """{"data":{"id":5,"name":"n"},"old":null,"type":"insert"}""",
+      """{"data":{"id":5,"name":"m"},"old":{"name":"n"},"type":"update"}""").toDF("json")
+    val out = CdcFormats.parseMaxwell(rows, "json", userSchema)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("__row_kind")))
+    assert(out.toSet == Set((5L, "n", "+I"), (5L, "n", "-U"), (5L, "m", "+U")))
+  }
+
+  test("assert sink: one-pass rules, failures reported") {
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "s")
+    Sinks.assertRules(df, Seq(Sinks.RowCountBetween(1, 5), Sinks.MinValue("k", 0)))
+    val err = intercept[Sinks.AssertionFailed] {
+      Sinks.assertRules(df, Seq(Sinks.NotNull("s"), Sinks.RowCountBetween(3, 5)))
+    }
+    assert(err.getMessage.contains("nulls") && err.getMessage.contains("row count"))
+  }
+}
