@@ -342,6 +342,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.5 watermark-windowed aggregation (same plan batch/streaming;
+    // streaming path spec-tested with MemoryStream)
+    "q_window_agg" -> ((s, dir) => {
+      val events = graft.streaming.StreamingOps.withEventTime(
+        Tables.load(s, dir, "events"), "ts", "et")
+      graft.streaming.StreamingOps.windowedAgg(events, "et", "1 hour",
+          Seq(count(lit(1)).as("n"), dsum("value").as("sum_value")),
+          keys = Seq("event_type"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
+    // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
+    // loses sub-microsecond digits, so both sides emit micros.
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.StreamingOps.sessionizeBatch(
+          Tables.load(s, dir, "events"), "user_id", "ts", gapNs = 1800L * 1000000000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          expr("start_ns DIV 1000").as("start_us"),
+          expr("end_ns DIV 1000").as("end_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // §2.4 csv file source round-trip (testdata -> csv -> FileSources)
     "q_src_csv" -> ((s, dir) => {
       val tmp = s"/tmp/graft_src/csv_${dir.replaceAll("\\W", "_")}"
@@ -612,6 +637,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |x AS (SELECT user_id, tsn,
+        |  CASE WHEN lag(tsn) OVER w IS NULL THEN 1
+        |       WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+        |y AS (SELECT user_id, tsn,
+        |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(tsn) // 1000 AS start_us, max(tsn) // 1000 AS end_us
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     "q_src_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Evt(k: String, tsNs: Long, v: Double)
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in ns
+
+  test("windowedAgg over a MemoryStream produces hourly buckets") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val events = StreamingOps.withEventTime(input.toDF(), "tsNs", "et")
+    val agg = StreamingOps.windowedAgg(events, "et", "1 hour",
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")), keys = Seq("k"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    try {
+      input.addData(Evt("a", 100, 1.0), Evt("a", 200, 2.0), Evt("a", H + 100, 5.0), Evt("b", 150, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select(col("window.start").cast("long").as("ws"), col("k"), col("n"), col("sv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((0L, "a", 2L, 3.0), (3600L, "a", 1L, 5.0), (0L, "b", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val T0 = 1704067200L * 1000000000L // 2024-01-01 in ns
+    val input = MemoryStream[Evt]
+    val deduped = StreamingOps.streamingDedup(
+      StreamingOps.withEventTime(input.toDF(), "tsNs", "et"), Seq("k"), "et", "1 second")
+    val q = deduped.writeStream.format("memory").queryName("dedupst")
+      .outputMode("append").start()
+    try {
+      // three events incl. a duplicate key within the 1s horizon
+      input.addData(Evt("x", T0, 1.0), Evt("x", T0 + 1000000L, 2.0), Evt("y", T0, 3.0))
+      q.processAllAvailable()
+      // advance the watermark past T0+1s so the first batch finalizes
+      input.addData(Evt("z", T0 + 600L * 1000000000L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedupst").select("k", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+      // duplicate x within the horizon dropped; first-seen x kept
+      assert(rows.toSeq == Seq("x" -> 1.0, "y" -> 3.0, "z" -> 4.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream closes sessions on gap and emits via state") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapNs = 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 100ns apart (one session), then a 5000ns gap ->
+      // first session closes when the third event arrives.
+      input.addData(StreamingOps.SessionEvent(1L, 100), StreamingOps.SessionEvent(1L, 200))
+      q.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(1L, 6000))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[StreamingOps.SessionOut].collect()
+      assert(closed.toSeq == Seq(StreamingOps.SessionOut(1L, 2, 100, 200)))
+    } finally q.stop()
+  }
+
+  test("applyCdcBatch merges +I/+U/-D with last-write-wins per key") {
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "a2", "+U", 10L), (1L, "a3", "+U", 11L), // two updates, latest wins
+      (2L, "b", "-D", 12L), // delete
+      (2L, "bx", "-U", 11L), // pre-image, ignored
+      (4L, "d", "+I", 13L) // insert
+    ).toDF("id", "v", "__row_kind", "ord")
+    val merged = StreamingOps.applyCdcBatch(snapshot, changes, Seq("id"), "ord")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("sessionizeBatch assigns gap-based session ids (batch/SQL form)") {
+    val df = Seq(
+      (7L, 1000L), (7L, 2000L), (7L, 10000L), (8L, 500L)
+    ).toDF("user_id", "ts_ns")
+    val out = StreamingOps.sessionizeBatch(df, "user_id", "ts_ns", gapNs = 5000L)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, 2L, 1000L, 2000L), (7L, 2L, 1L, 10000L, 10000L), (8L, 1L, 1L, 500L, 500L)))
+  }
+}
