@@ -14,6 +14,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZetaFunctions.register(spark)
+    // JVM/session warm-up outside the timed region (codegen, block manager,
+    // shuffle machinery) so the first query doesn't absorb startup cost.
+    spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -186,6 +186,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.2 join pipeline (TPC-H Q3 shape): dims broadcast, fact shuffles
+    // once on the join key; revenue via exact decimal arithmetic.
+    "q_sql_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o.o_orderkey,
+          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          |  o.o_orderdate
+          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY o.o_orderkey, o.o_orderdate
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // §2.2 window functions
+    "q_sql_window" -> ((s, dir) => {
+      SqlOp.sql(s, Tables.load(s, dir, "orders"),
+        """SELECT o_orderkey, o_custkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |FROM input ORDER BY o_custkey, rn""".stripMargin)
+    }),
+
+    // §2.2 CTE + broadcast dim join + agg
+    "q_sql_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH rn AS (
+          |  SELECT n.n_nationkey, r.r_name
+          |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)
+          |SELECT rn.r_name, count(*) AS n_suppliers,
+          |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM supplier s JOIN rn ON s.s_nationkey = rn.n_nationkey
+          |GROUP BY rn.r_name ORDER BY rn.r_name""".stripMargin)
+    }),
+
+    // §2.2 set operations
+    "q_sql_setops" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY k""".stripMargin)
+    }),
+
+    // §2.2 LATERAL VIEW explode (zeta EXPLODE)
+    "q_sql_explode" -> ((s, dir) => {
+      SqlOp.sql(s, Tables.load(s, dir, "part"),
+        """SELECT p_partkey, word
+          |FROM input LATERAL VIEW explode(split(p_name, ' ')) t AS word
+          |ORDER BY p_partkey, word""".stripMargin)
+    }),
+
     // §2.3 zeta string function coverage (builtins + registered compat fns)
     "q_fn_string" -> ((s, dir) => {
       graft.functions.ZetaFunctions.register(s)
@@ -520,6 +576,42 @@ object SparkEntry {
     "q_dynamic" ->
       """SELECT CAST(n_nationkey AS BIGINT) * 2 AS nation_id, LOWER(n_name) AS name_lc
         |FROM nation ORDER BY nation_id""".stripMargin,
+
+    "q_sql_join" ->
+      """SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_sql_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_sql_cte" ->
+      """WITH rn AS (
+        |  SELECT n.n_nationkey, r.r_name
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT rn.r_name, count(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier s JOIN rn ON s.s_nationkey = rn.n_nationkey
+        |GROUP BY rn.r_name ORDER BY rn.r_name""".stripMargin,
+
+    "q_sql_setops" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+
+    "q_sql_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        |FROM part ORDER BY p_partkey, word""".stripMargin,
 
     "q_fn_string" ->
       """SELECT c_custkey,
