@@ -63,15 +63,15 @@ object Dedup {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val bandsUdf = udf { (text: String) =>
-      val sig = TextHashing.minHashSignature(
-        TextHashing.shingleHashes(text, cfg.shingleSize), cfg.numPerms, cfg.seed)
-      TextHashing.bandHashes(sig, cfg.numBands, cfg.rowsPerBand)
-    }
+    // signature+banding runs as a native codegen'd expression (no UDF
+    // encoder round-trip on the per-document hot path)
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val bands = expr(
+      s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})")
     val banded = df
       .select(col(idCol).as("doc"), col(textCol).as("txt"))
       .select(col("doc"), col("txt"),
-        posexplode(bandsUdf(col("txt"))).as(Seq("band_idx", "band_hash")))
+        posexplode(bands).as(Seq("band_idx", "band_hash")))
 
     // skew cap: drop buckets larger than maxBucketSize
     val bucketed = banded
@@ -115,8 +115,9 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val simUdf = udf((t: String) => TextHashing.simHash64(t))
-    val sigs = df.select(col(idCol).as("doc"), simUdf(col(textCol)).as("sig"))
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("doc"),
+      expr(s"simhash64(`$textCol`)").as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band_idx"),
