@@ -471,6 +471,55 @@ object SparkEntry {
         .orderBy("o_orderkey", "__row_kind")
     }),
 
+    // §2.4 maxwell-json CDC envelope (single-row, old-patch pre-image)
+    "q_cdc_maxwell" -> ((s, dir) => {
+      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+        struct(col("o_orderkey"), col("o_totalprice")).as("data"),
+        when(col("o_orderstatus") === "O",
+          struct(lit(null).cast(LongType).as("o_orderkey"),
+            (col("o_totalprice") - 1.0d).as("o_totalprice"))).as("old"),
+        when(col("o_orderstatus") === "F", "insert")
+          .when(col("o_orderstatus") === "O", "update").otherwise("delete").as("type")
+      )).as("json"))
+      CdcFormats.parseMaxwell(env, "json",
+          new StructType().add("o_orderkey", LongType).add("o_totalprice", DoubleType))
+        .orderBy("o_orderkey", "__row_kind")
+    }),
+
+    // §2.4 ogg-json CDC envelope
+    "q_cdc_ogg" -> ((s, dir) => {
+      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+        when(col("o_orderstatus").isin("O", "P"),
+          struct(col("o_orderkey"),
+            when(col("o_orderstatus") === "O", col("o_totalprice") - 1.0d)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))).as("before"),
+        when(col("o_orderstatus").isin("F", "O"),
+          struct(col("o_orderkey"), col("o_totalprice"))).as("after"),
+        when(col("o_orderstatus") === "F", "I")
+          .when(col("o_orderstatus") === "O", "U").otherwise("D").as("op_type")
+      )).as("json"))
+      CdcFormats.parseOgg(env, "json",
+          new StructType().add("o_orderkey", LongType).add("o_totalprice", DoubleType))
+        .orderBy("o_orderkey", "__row_kind")
+    }),
+
+    // §2.4 declarative JSON pipeline end-to-end (source->SQL->sink plan)
+    "q_pipeline" -> ((s, dir) => {
+      val cfg =
+        s"""{
+           |  "source": [{"plugin": "LocalFile", "plugin_output": "cust",
+           |              "path": "$dir/customer.parquet",
+           |              "file_format_type": "parquet"}],
+           |  "transform": [
+           |    {"plugin": "Sql", "plugin_input": "cust", "plugin_output": "sel",
+           |     "query": "SELECT c_custkey, UPPER(c_mktsegment) AS seg, c_acctbal FROM cust WHERE c_acctbal > 5000"},
+           |    {"plugin": "Replace", "plugin_input": "sel", "plugin_output": "rep",
+           |     "replace_field": "seg", "pattern": "MACHINERY", "replacement": "MACH"}
+           |  ]
+           |}""".stripMargin
+      graft.api.Pipeline.runJson(s, cfg)("rep").orderBy("c_custkey")
+    }),
+
     // §2.4 canal-json CDC envelope (old[] patch pre-image reconstruction)
     "q_cdc_canal" -> ((s, dir) => {
       val env = Tables.load(s, dir, "orders").select(to_json(struct(
@@ -762,6 +811,25 @@ object SparkEntry {
         |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
         |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_cdc_maxwell" ->
+      """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT o_orderkey, o_totalprice - 1.0, '-U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_cdc_ogg" ->
+      """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT o_orderkey, o_totalprice - 1.0, '-U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_pipeline" ->
+      """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
+        |FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_cdc_canal" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

@@ -69,6 +69,26 @@ object CdcFormats {
     images.select(col("img.row.*"), col("img.kind").as(RowKindOps.RowKindCol))
   }
 
+  /** Oracle GoldenGate (ogg-json): {before, after, op_type: I|U|D, table,
+    * op_ts}. I -> +I(after); U -> -U(before) and +U(after); D -> -D(before).
+    */
+  def parseOgg(df: DataFrame, jsonCol: String, dataSchema: StructType): DataFrame = {
+    val envSchema = new StructType()
+      .add("before", dataSchema).add("after", dataSchema)
+      .add("op_type", StringType)
+    val parsed = df.withColumn("__env", from_json(col(jsonCol), envSchema))
+    val images = parsed.select(col("__env"),
+      explode(filter(array(
+        struct(col("__env.before").as("row"),
+          when(col("__env.op_type") === "U", "-U")
+            .when(col("__env.op_type") === "D", "-D").as("kind")),
+        struct(col("__env.after").as("row"),
+          when(col("__env.op_type") === "I", "+I")
+            .when(col("__env.op_type") === "U", "+U").as("kind"))
+      ), x => x.getField("kind").isNotNull && x.getField("row").isNotNull)).as("img"))
+    images.select(col("img.row.*"), col("img.kind").as(RowKindOps.RowKindCol))
+  }
+
   /** Maxwell: {data, old, type: insert|update|delete, ...}. Single-row
     * envelopes; update pre-image = data patched with old's changed fields.
     */
