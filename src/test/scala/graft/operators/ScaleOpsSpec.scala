@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches plain join results") {
+    val large = (1 to 1000).map(i => (i % 3, s"v$i")).toDF("k", "v") // key skew: 3 keys
+    val dim = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
+    val expected = large.join(dim, Seq("k")).collect().map(_.toSeq).toSet
+    val got = ScaleOps.saltedJoin(large, dim, Seq("k"), saltFactor = 4).collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 1000)
+  }
+
+  test("saltedJoin left join keeps unmatched rows exactly once") {
+    val large = Seq((1, "a"), (9, "nomatch")).toDF("k", "v")
+    val dim = Seq((1, "one")).toDF("k", "name")
+    val got = ScaleOps.saltedJoin(large, dim, Seq("k"), saltFactor = 4, joinType = "left")
+      .collect()
+    assert(got.length == 2)
+    assert(got.count(_.isNullAt(2)) == 1)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      ScaleOps.writeBucketed(a, "bucketed_a", 4, Seq("k"))
+      ScaleOps.writeBucketed(b, "bucketed_b", 4, Seq("k"))
+      val joined = ScaleOps.colocatedJoin(spark, "bucketed_a", "bucketed_b", Seq("k"))
+      assert(joined.count() == 500)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty, s"expected shuffle-free co-located join, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
