@@ -369,6 +369,15 @@ object SparkEntry {
         .orderBy("q_id", "rnk")
     }),
 
+    // §2.6 IVF ANN: KMeans coarse quantizer + nProbe cell probing
+    // (rows-only; recall vs brute force is spec-tested)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nLists = 8, nProbe = 4)
+        .orderBy("q_id", "rnk")
+    }),
+
     // §2.6 language-ID heuristic (pure Column exprs, codegen'd)
     "q_text_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")

@@ -37,6 +37,45 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a seeded MLlib KMeans coarse quantizer
+    * partitions the corpus into nLists cells; each query probes its nProbe
+    * nearest cells and ranks candidates by exact cosine. The classic
+    * trade: one-off train + assign cost, then every query touches only
+    * nProbe/nLists of the corpus — the right ANN shape when the corpus is
+    * re-queried many times.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featured = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("features", array_to_vector(col("n_vec").cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured).select(col("n_id"), col("n_vec"), col("prediction"))
+
+    // centroids are tiny (nLists x dim): closed over into one probe UDF.
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val probes = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("prediction", explode(probeUdf(col("q_vec")))))
+
+    assigned.join(probes, Seq("prediction"))
+      .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cosine")
+  }
+
   /** LSH-bucketed ANN: candidates are corpus vectors sharing at least one
     * signature band with the query; exact cosine ranks within candidates.
     * Recall vs bruteForceTopK is measured in LshAnnSpec.

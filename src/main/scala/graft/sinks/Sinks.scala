@@ -31,6 +31,7 @@ object Sinks {
       case "json" => w.json(cfg.path)
       case "csv" => w.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
       case "text" => w.text(cfg.path)
+      case "xml" => w.option("rowTag", cfg.options.getOrElse("rowTag", "RECORD")).xml(cfg.path)
       case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
   }

@@ -33,6 +33,9 @@ object FileSources {
       case "json" => r.json(cfg.path)
       case "csv" => r.csv(cfg.path)
       case "text" => r.text(cfg.path)
+      // Spark 4 native XML (reference: connector-file xml file_format_type);
+      // rowTag comes through options, default matches the reference docs.
+      case "xml" => r.option("rowTag", cfg.options.getOrElse("rowTag", "RECORD")).xml(cfg.path)
       case other => throw new IllegalArgumentException(s"unsupported file format: $other")
     }
   }

@@ -23,6 +23,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 10, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // self is always in the probed cell
+    (0L until 10L).foreach(q0 => assert(ivf.contains((q0, q0))))
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val q = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)

@@ -38,6 +38,30 @@ class SourcesSpec extends SparkSpec {
     Sinks.writeFile(df.selectExpr("concat(k, ',', s) AS value"), Sinks.FileSinkConfig(s"$dir/text", "text"))
     val txt = FileSources.read(spark, FileSources.FileSourceConfig(s"$dir/text", "text"))
     assert(txt.count() == 2)
+    // xml (Spark 4 native)
+    Sinks.writeFile(df, Sinks.FileSinkConfig(s"$dir/xml", "xml", options = Map("rowTag" -> "row")))
+    val xml = FileSources.read(spark, FileSources.FileSourceConfig(s"$dir/xml", "xml",
+      options = Map("rowTag" -> "row")))
+    assert(xml.orderBy("k").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L))
+  }
+
+  test("file stream source: readStream json -> transform -> memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    spark.range(0, 5).selectExpr("id", "concat('n', id) AS name")
+      .coalesce(1).write.mode("overwrite").json(dir)
+    val stream = spark.readStream.schema(schema).json(dir)
+    assert(stream.isStreaming)
+    val transformed = graft.operators.FieldOps.renameFields(
+      graft.operators.RowOps.filterRows(stream, "id >= 2"), Map("name" -> "label"))
+    val q = transformed.writeStream.format("memory").queryName("filestream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("filestream").collect()
+      assert(rows.length == 3)
+      assert(spark.table("filestream").columns.toSeq == Seq("id", "label"))
+    } finally q.stop()
   }
 
   private val userSchema = new StructType().add("id", LongType).add("name", StringType)
