@@ -168,10 +168,27 @@ object Pipeline {
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 
-  /** Execute a parsed job. Returns the final catalog (table name → plan)
-    * so callers/tests can inspect intermediate tables.
+  /** Execute a parsed job and report per-sink row metrics (the reference's
+    * job metrics surface: rows written per sink), collected via
+    * `Dataset.observe` — zero extra passes over the data.
+    * Note: Console truncates at its limit, so its observed count covers
+    * only the rows actually fetched.
     */
-  def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
+  def runWithMetrics(spark: SparkSession, job: Job): (Map[String, DataFrame], Map[String, Long]) = {
+    val (catalog, last) = buildCatalog(spark, job)
+    val metrics = job.sinks.zipWithIndex.map { case (s, i) =>
+      val in = s.input.orElse(last).getOrElse(
+        throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+      val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
+      val obs = new org.apache.spark.sql.Observation(s"graft_sink_$i")
+      runSink(df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows")), s)
+      s"${s.plugin}[$in]" -> obs.get("rows").asInstanceOf[Long]
+    }.toMap
+    (catalog, metrics)
+  }
+
+  private def buildCatalog(spark: SparkSession, job: Job): (Map[String, DataFrame], Option[String]) = {
     var catalog = Map.empty[String, DataFrame]
     var last: Option[String] = None
     job.sources.foreach { s =>
@@ -187,6 +204,14 @@ object Pipeline {
       catalog += name -> applyTransform(spark, t, df)
       last = Some(name)
     }
+    (catalog, last)
+  }
+
+  /** Execute a parsed job. Returns the final catalog (table name → plan)
+    * so callers/tests can inspect intermediate tables.
+    */
+  def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
+    val (catalog, last) = buildCatalog(spark, job)
     job.sinks.foreach { s =>
       val in = s.input.orElse(last).getOrElse(
         throw new IllegalArgumentException(s"${s.plugin}: no input table"))

@@ -35,4 +35,31 @@ object DynamicOp {
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
     df.mapPartitions(fn)
   }
+
+  /** True hot-compile analog of the reference's DynamicCompileTransform:
+    * `source` is Scala source for a `Row => Row` function, compiled ON THE
+    * EXECUTOR the first time each JVM sees it (per-JVM cache) — the same
+    * ship-source/compile-per-node model the reference uses for its
+    * Java/Groovy snippets, so nothing needs to be on the driver classpath.
+    */
+  def applyCompiled(df: DataFrame, outSchema: StructType, source: String): DataFrame = {
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val fn = CompiledFunctions.rowFunction(source)
+      rows.map(fn)
+    }
+  }
+}
+
+/** Executor-side compilation cache for [[DynamicOp.applyCompiled]]. */
+object CompiledFunctions {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Row => Row]()
+
+  def rowFunction(source: String): Row => Row =
+    cache.computeIfAbsent(source, { src =>
+      import scala.reflect.runtime.universe
+      import scala.tools.reflect.ToolBox
+      val tb = universe.runtimeMirror(getClass.getClassLoader).mkToolBox()
+      tb.eval(tb.parse(src)).asInstanceOf[Row => Row]
+    })
 }

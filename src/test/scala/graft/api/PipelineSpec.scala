@@ -33,6 +33,19 @@ class PipelineSpec extends SparkSpec {
     assert(written.select("prefix").distinct().collect().map(_.getString(0)).toSeq == Seq("name"))
   }
 
+  test("runWithMetrics reports rows written per sink via observe") {
+    val out = Files.createTempDirectory("graft-metrics").toString + "/out"
+    val config =
+      s"""{
+         |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 42,
+         |              "schema": {"fields": {"num": "int"}}}],
+         |  "sink": [{"plugin": "File", "plugin_input": "f",
+         |            "path": "$out", "file_format_type": "parquet"}]
+         |}""".stripMargin
+    val (_, metrics) = Pipeline.runWithMetrics(spark, Pipeline.parse(config))
+    assert(metrics == Map("File[f]" -> 42L))
+  }
+
   test("Assert sink integrates and fails the job on violation") {
     val config =
       """{

@@ -47,6 +47,18 @@ class MiscOpsSpec extends SparkSpec {
     assert(rows.collect()(0).toSeq == Seq(2, "a!"))
   }
 
+  test("DynamicOp.applyCompiled hot-compiles Scala source per JVM") {
+    val df = Seq((1, "ab"), (2, "cd")).toDF("n", "s")
+    val schema = StructType(Seq(StructField("n", IntegerType), StructField("s", StringType)))
+    val src =
+      """(r: org.apache.spark.sql.Row) =>
+        |  org.apache.spark.sql.Row(r.getInt(0) * 10, r.getString(1).toUpperCase)""".stripMargin
+    val out = DynamicOp.applyCompiled(df, schema, src).orderBy("n").collect()
+    assert(out.map(_.toSeq.toList).toList == List(List(10, "AB"), List(20, "CD")))
+    // second run hits the executor-side cache (same source key)
+    assert(DynamicOp.applyCompiled(df, schema, src).count() == 2)
+  }
+
   test("EmbeddingOp deterministic, unit-norm, cosine self-similarity 1") {
     val a = EmbeddingOp.embedText("spark join data spark", 32)
     val b = EmbeddingOp.embedText("spark join data spark", 32)
