@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.6).
@@ -13,6 +12,20 @@ import org.apache.spark.sql.functions._
   * are capped to bound worst-case skew.
   */
 object Dedup {
+
+  /** Drop rows whose bucket (the `keys` combination) exceeds `cap` rows.
+    * Implemented as a partial-agg count + broadcast anti-join of the
+    * (tiny) oversized-key list — NOT a window count, which would sort
+    * every exploded partition at 100 TB. Oversized buckets are degenerate
+    * content; dropping them is both the skew guard and a quality filter.
+    */
+  private[graft] def dropOversizedBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversized), keys, "left_anti")
+  }
 
   // ---------- exact ----------
 
@@ -73,11 +86,7 @@ object Dedup {
       .select(col("doc"), col("txt"),
         posexplode(bands).as(Seq("band_idx", "band_hash")))
 
-    // skew cap: drop buckets larger than maxBucketSize
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
-      .where(col("bucket_n") <= cfg.maxBucketSize)
+    val bucketed = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
 
     val a = bucketed.select(col("band_idx"), col("band_hash"),
       col("doc").as("id_a"), col("txt").as("txt_a"))
@@ -123,11 +132,10 @@ object Dedup {
           struct(lit(i).as("band_idx"),
             shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("b"))
       .select(col("doc"), col("sig"), col("b.band_idx"), col("b.band_val"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
-      .where(col("bucket_n") <= maxBucketSize)
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
-    val a = banded.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("sig").as("sig_b"))
+    val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -149,9 +157,9 @@ object Dedup {
     val ngramsUdf = udf((t: String) => TextHashing.ngrams(t, n))
     val grams = df.select(col(idCol).as("doc"), explode(ngramsUdf(col(textCol))).as("gram"))
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
-    val filtered = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .where(col("df") <= maxDocFreq)
+    // stop-gram drop via agg + broadcast anti-join (no sort of the full
+    // exploded gram set — see dropOversizedBuckets)
+    val filtered = dropOversizedBuckets(grams, Seq("gram"), maxDocFreq)
 
     val a = filtered.select(col("gram"), col("doc").as("id_a"))
     val b = filtered.select(col("gram"), col("doc").as("id_b"))
@@ -218,11 +226,10 @@ object Dedup {
             shiftrightunsigned(col("sig"), i * bandBits)
               .bitwiseAND(lit((1 << bandBits) - 1)).as("band_val"))): _*)).as("b"))
       .select(col("doc"), col("vec"), col("b.band_idx"), col("b.band_val"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
-      .where(col("bucket_n") <= maxBucketSize)
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
-    val a = banded.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("vec").as("vec_b"))
+    val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
