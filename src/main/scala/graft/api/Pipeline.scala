@@ -46,7 +46,11 @@ object Pipeline {
   }
 
   final case class Job(
-      sources: Seq[Plugin], transforms: Seq[Plugin], sinks: Seq[Plugin])
+      sources: Seq[Plugin], transforms: Seq[Plugin], sinks: Seq[Plugin],
+      env: Map[String, String] = Map.empty) {
+    /** Reference env options: job.mode BATCH|STREAMING, parallelism. */
+    def isStreaming: Boolean = env.get("job.mode").exists(_.equalsIgnoreCase("STREAMING"))
+  }
 
   // ---------- JSON config ----------
 
@@ -76,7 +80,11 @@ object Pipeline {
       }
       case _ => Nil
     }
-    Job(block("source"), block("transform"), block("sink"))
+    val env = root.get("env") match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v.toString }
+      case _ => Map.empty[String, String]
+    }
+    Job(block("source"), block("transform"), block("sink"), env)
   }
 
   // ---------- execution ----------
@@ -189,6 +197,8 @@ object Pipeline {
   }
 
   private def buildCatalog(spark: SparkSession, job: Job): (Map[String, DataFrame], Option[String]) = {
+    // env.parallelism maps onto the shuffle-partition count for this job
+    job.env.get("parallelism").foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     var catalog = Map.empty[String, DataFrame]
     var last: Option[String] = None
     job.sources.foreach { s =>

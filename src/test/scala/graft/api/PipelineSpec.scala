@@ -57,6 +57,20 @@ class PipelineSpec extends SparkSpec {
     intercept[graft.sinks.Sinks.AssertionFailed] { Pipeline.runJson(spark, config) }
   }
 
+  test("env block: parallelism and job.mode are honored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val job = Pipeline.parse(
+        """{"env": {"job.mode": "BATCH", "parallelism": 7},
+          |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 2,
+          |              "schema": {"fields": {"a": "int"}}}]
+          |}""".stripMargin)
+      assert(!job.isStreaming)
+      Pipeline.run(spark, job)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("transform chain without explicit inputs threads the last output") {
     val config =
       """{
