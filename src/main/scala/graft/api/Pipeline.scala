@@ -233,4 +233,60 @@ object Pipeline {
 
   def runJson(spark: SparkSession, json: String): Map[String, DataFrame] =
     run(spark, parse(json))
+
+  // ---------- streaming mode (env.job.mode = STREAMING) ----------
+
+  private def resolveStreamingSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
+    case "LocalFile" | "File" =>
+      val fmt = p.strOpt("file_format_type").getOrElse("json")
+      val schema = DataType.fromDDL(p.str("schema")).asInstanceOf[StructType]
+      spark.readStream.schema(schema).options(p.map("options")).format(fmt).load(p.str("path"))
+    case "Rate" =>
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", p.int("rows_per_second", 10)).load()
+    case other => throw new IllegalArgumentException(s"unknown streaming source plugin: $other")
+  }
+
+  /** Execute a STREAMING job: same transform chain (all Graft operators
+    * are plan-builders, so they bind to streaming DataFrames unchanged),
+    * streaming sources/sinks. Returns the started queries; caller owns
+    * their lifecycle (awaitTermination/stop).
+    */
+  def runStreaming(spark: SparkSession, job: Job): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    require(job.isStreaming, "runStreaming requires env.job.mode = STREAMING")
+    job.env.get("parallelism").foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    var catalog = Map.empty[String, DataFrame]
+    var last: Option[String] = None
+    job.sources.foreach { s =>
+      val name = s.output.getOrElse(s.plugin)
+      catalog += name -> resolveStreamingSource(spark, s)
+      last = Some(name)
+    }
+    job.transforms.foreach { t =>
+      val in = t.input.orElse(last).getOrElse(
+        throw new IllegalArgumentException(s"${t.plugin}: no input table"))
+      val name = t.output.getOrElse(in + "_out")
+      catalog += name -> applyTransform(spark, t, catalog(in))
+      last = Some(name)
+    }
+    job.sinks.map { s =>
+      val in = s.input.orElse(last).getOrElse(
+        throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+      val df = catalog(in)
+      s.plugin match {
+        case "Console" =>
+          df.writeStream.format("console").outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+        case "Memory" =>
+          df.writeStream.format("memory").queryName(s.strOpt("query_name").getOrElse(in))
+            .outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+        case "LocalFile" | "File" =>
+          df.writeStream.format(s.strOpt("file_format_type").getOrElse("parquet"))
+            .option("path", s.str("path"))
+            .option("checkpointLocation", s.strOpt("checkpoint")
+              .getOrElse(s.str("path") + "/_checkpoint"))
+            .outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+        case other => throw new IllegalArgumentException(s"unknown streaming sink plugin: $other")
+      }
+    }
+  }
 }

@@ -57,6 +57,28 @@ class PipelineSpec extends SparkSpec {
     intercept[graft.sinks.Sinks.AssertionFailed] { Pipeline.runJson(spark, config) }
   }
 
+  test("STREAMING job: file stream source -> Sql transform -> memory sink") {
+    val dir = Files.createTempDirectory("graft-streampipe").toString
+    spark.range(0, 6).selectExpr("id", "concat('u', id) AS name")
+      .coalesce(1).write.mode("overwrite").json(dir)
+    val job = Pipeline.parse(
+      s"""{
+         |  "env": {"job.mode": "STREAMING"},
+         |  "source": [{"plugin": "LocalFile", "plugin_output": "ev",
+         |              "path": "$dir", "file_format_type": "json",
+         |              "schema": "id BIGINT, name STRING"}],
+         |  "transform": [{"plugin": "Sql", "plugin_input": "ev", "plugin_output": "big",
+         |                 "query": "SELECT id, UPPER(name) AS name FROM ev WHERE id >= 3"}],
+         |  "sink": [{"plugin": "Memory", "plugin_input": "big", "query_name": "pipe_out"}]
+         |}""".stripMargin)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      queries.foreach(_.processAllAvailable())
+      val rows = spark.table("pipe_out").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((3L, "U3"), (4L, "U4"), (5L, "U5")))
+    } finally queries.foreach(_.stop())
+  }
+
   test("env block: parallelism and job.mode are honored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
