@@ -24,6 +24,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.count(_.isNullAt(2)) == 1)
   }
 
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = Seq(("F", 1L), ("O", 2L), ("P", 3L), ("F", 4L)).toDF("status", "k")
+    df.write.mode("overwrite").partitionBy("status").parquet(dir)
+    val read = spark.read.parquet(dir).where($"status" === "F")
+    assert(read.collect().map(_.getAs[Long]("k")).sorted.toSeq == Seq(1L, 4L))
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the status predicate became a partition filter (directory pruning),
+    // and only the status=F partition is actually read
+    assert(scan.partitionFilters.exists(_.toString.contains("status")))
+    assert(scan.dataFilters.isEmpty)
+    val scanned = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("status=F")))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
