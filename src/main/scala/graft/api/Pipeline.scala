@@ -136,6 +136,20 @@ object Pipeline {
     case "Metadata" =>
       MetadataOp.inject(df, p.map("metadata_fields"), MetadataOp.MetaConfig(
         p.strOpt("database"), p.strOpt("table"), p.strOpt("event_time_field")))
+    case "Embedding" =>
+      // reference embedding transform (remote models unreachable here —
+      // deterministic local model, same column contract)
+      p.map("vectorization_fields").foldLeft(df) { case (acc, (src, dst)) =>
+        graft.operators.EmbeddingOp.embed(acc, src, dst, p.int("dimension", 64))
+      }
+    case "LLM" =>
+      graft.operators.LlmOp.transform(df, p.str("src_field"),
+        p.strOpt("output_field").getOrElse("llm_output"),
+        graft.operators.LlmOp.RuleProvider(p.list("labels")),
+        p.strOpt("prompt").getOrElse(""), p.int("inference_batch_size", 32))
+    case "DynamicCompile" =>
+      graft.operators.DynamicOp.applyCompiled(df,
+        DataType.fromDDL(p.str("row_schema")).asInstanceOf[StructType], p.str("source_code"))
     case other => throw new IllegalArgumentException(s"unknown transform plugin: $other")
   }
 
@@ -207,12 +221,24 @@ object Pipeline {
       last = Some(name)
     }
     job.transforms.foreach { t =>
-      val in = t.input.orElse(last).getOrElse(
-        throw new IllegalArgumentException(s"${t.plugin}: no input table"))
-      val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
-      val name = t.output.getOrElse(in + "_out")
-      catalog += name -> applyTransform(spark, t, df)
-      last = Some(name)
+      t.strOpt("table_match_regex") match {
+        // multi-table mode (reference: transform-multi-table.md /
+        // AbstractMultiCatalog*Transform): apply to every matching table
+        // in place — one wrapper, N per-table plans.
+        case Some(pattern) =>
+          val re = pattern.r
+          catalog = catalog.map { case (name, df) =>
+            if (re.pattern.matcher(name).matches()) name -> applyTransform(spark, t, df)
+            else name -> df
+          }
+        case None =>
+          val in = t.input.orElse(last).getOrElse(
+            throw new IllegalArgumentException(s"${t.plugin}: no input table"))
+          val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
+          val name = t.output.getOrElse(in + "_out")
+          catalog += name -> applyTransform(spark, t, df)
+          last = Some(name)
+      }
     }
     (catalog, last)
   }

@@ -79,6 +79,49 @@ class PipelineSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("Embedding, LLM, and DynamicCompile plugins work from config") {
+    val job = Pipeline.parse(
+      """{
+        |  "source": [{"plugin": "FakeSource", "plugin_output": "docs", "row.num": 4,
+        |              "schema": {"fields": {"body": "string"}}}],
+        |  "transform": [
+        |    {"plugin": "Embedding", "plugin_input": "docs", "plugin_output": "emb",
+        |     "dimension": 8, "vectorization_fields": {"body": "vec"}},
+        |    {"plugin": "LLM", "plugin_input": "emb", "plugin_output": "labeled",
+        |     "src_field": "body", "output_field": "label", "labels": ["body", "zz"]},
+        |    {"plugin": "DynamicCompile", "plugin_input": "labeled", "plugin_output": "dyn",
+        |     "row_schema": "body STRING, vec ARRAY<FLOAT>, label STRING, flag STRING",
+        |     "source_code": "(r: org.apache.spark.sql.Row) => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), \"ok\")"}
+        |  ]
+        |}""".stripMargin)
+    val catalog = Pipeline.run(spark, job)
+    val rows = catalog("dyn").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[String]("label") == "body")) // body_<i> contains 'body'
+    assert(rows.forall(_.getAs[String]("flag") == "ok"))
+    assert(rows.forall(_.getAs[Seq[Float]]("vec").length == 8))
+  }
+
+  test("multi-table transform applies to every table matching table_match_regex") {
+    val job = Pipeline.parse(
+      """{
+        |  "source": [
+        |    {"plugin": "FakeSource", "plugin_output": "shard_1", "row.num": 2,
+        |     "schema": {"fields": {"a": "int"}}},
+        |    {"plugin": "FakeSource", "plugin_output": "shard_2", "row.num": 2,
+        |     "schema": {"fields": {"a": "int"}}},
+        |    {"plugin": "FakeSource", "plugin_output": "other", "row.num": 2,
+        |     "schema": {"fields": {"a": "int"}}}
+        |  ],
+        |  "transform": [{"plugin": "FieldRename", "table_match_regex": "shard_.*",
+        |                 "fields": {"a": "renamed"}}]
+        |}""".stripMargin)
+    val catalog = Pipeline.run(spark, job)
+    assert(catalog("shard_1").columns.toSeq == Seq("renamed"))
+    assert(catalog("shard_2").columns.toSeq == Seq("renamed"))
+    assert(catalog("other").columns.toSeq == Seq("a"))
+  }
+
   test("env block: parallelism and job.mode are honored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
