@@ -23,7 +23,12 @@ object Sinks {
       options: Map[String, String] = Map.empty)
 
   def writeFile(df: DataFrame, cfg: FileSinkConfig): Unit = {
-    var w: DataFrameWriter[Row] = df.write.mode(cfg.mode).options(cfg.options)
+    // reference option compress_codec (lzo/snappy/gzip/zstd/none) maps to
+    // Spark's per-format "compression" writer option.
+    val opts = cfg.options.get("compress_codec")
+      .map(c => cfg.options - "compress_codec" + ("compression" -> c))
+      .getOrElse(cfg.options)
+    var w: DataFrameWriter[Row] = df.write.mode(cfg.mode).options(opts)
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
     cfg.format.toLowerCase match {
       case "parquet" => w.parquet(cfg.path)

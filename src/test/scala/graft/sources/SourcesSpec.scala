@@ -45,6 +45,16 @@ class SourcesSpec extends SparkSpec {
     assert(xml.orderBy("k").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L))
   }
 
+  test("compress_codec option maps to the writer compression") {
+    val dir = Files.createTempDirectory("graft-codec").toString
+    val df = Seq((1L, "a")).toDF("k", "s")
+    Sinks.writeFile(df, Sinks.FileSinkConfig(s"$dir/gz", "parquet",
+      options = Map("compress_codec" -> "gzip")))
+    val files = new java.io.File(s"$dir/gz").listFiles().map(_.getName)
+    assert(files.exists(_.contains(".gz.parquet")), files.mkString(","))
+    assert(spark.read.parquet(s"$dir/gz").count() == 1)
+  }
+
   test("file stream source: readStream json -> transform -> memory sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
