@@ -400,6 +400,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 quality-threshold corpus filter (the downstream use of the
+    // quality features: keep docs passing all gates)
+    "q_quality_filter" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "text")
+        .where(col("n_words") >= 20 and col("distinct_ratio") >= 0.4 and
+          col("punct_ratio") <= 0.1)
+        .select("doc_id", "n_words", "distinct_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 per-source top-k sampling by a quality signal (window top-k —
+    // the standard curriculum/sampling op over a sharded corpus)
+    "q_topk_per_source" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "text")
+      scored.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("n_words").desc, col("doc_id"))))
+        .where(col("rnk") <= 5)
+        .select("source", "rnk", "doc_id", "n_words")
+        .orderBy("source", "rnk")
+    }),
+
     // §2.6 document fingerprint (normalized md5-16)
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -782,6 +804,29 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w,
+        |  CAST(length(text) AS INTEGER) AS nc
+        |FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+        |FROM t
+        |WHERE len(w) >= 20
+        |  AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.4
+        |  AND CAST(nc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / nc <= 0.1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_source" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_words
+        |FROM documents),
+        |r AS (SELECT source, doc_id, n_words,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_words DESC, doc_id) AS INTEGER) AS rnk
+        |FROM t)
+        |SELECT source, rnk, doc_id, n_words FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,
