@@ -179,10 +179,23 @@ object SparkEntry {
         .toDF().orderBy("nation_id")
     }),
 
-    // §2.1.16 Embedding (deterministic hashing-trick embedder; rows-only check)
+    // §2.1.16 Embedding (deterministic hashing-trick embedder; rows-only
+    // check). The vector itself stays out of the driver output (pandas
+    // can't sort array cells) — emit scalar digests instead: dimension,
+    // rounded L2 norm, and an md5 over the rounded elements. Vector
+    // semantics are covered by EmbeddingOpSpec.
     "q_embedding" -> ((s, dir) => {
-      EmbeddingOp.embed(Tables.load(s, dir, "documents"), "text", "embedding", dim = 16)
-        .select("doc_id", "embedding")
+      val emb = EmbeddingOp.embed(
+        Tables.load(s, dir, "documents"), "text", "embedding", dim = 16)
+      emb.select(
+          col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2"),
+          md5(concat_ws(",",
+            transform(col("embedding"),
+              x => format_number(x.cast("double"), 6)))).as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -711,11 +724,12 @@ object SparkEntry {
     "q_fn_numeric" ->
       """SELECT l_orderkey, l_linenumber,
         |  ABS(l_discount - 0.05) AS ab,
-        |  CEIL(l_quantity) AS ce, FLOOR(l_quantity) AS fl,
+        |  CAST(CEIL(l_quantity) AS BIGINT) AS ce,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
         |  ROUND(l_quantity, 1) AS rd,
         |  SQRT(l_quantity) AS sq,
         |  CAST(MOD(l_orderkey, 7) AS BIGINT) AS md,
-        |  SIGN(l_discount - 0.05) AS sg,
+        |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sg,
         |  POWER(l_linenumber, 2) AS pw,
         |  FLOOR(l_extendedprice * 10) / 10 AS tr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

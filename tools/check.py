@@ -37,6 +37,15 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"[ROWS] {name}: spark={len(got)} duck={len(want)}"); n_bad += 1; continue
         bad_cols = []
+        # Driver hashes raw column bytes: a dtype mismatch (int64 vs float64,
+        # float64 vs int8) fails its hash even when every value compares ==.
+        # (datetime resolution ns-vs-us is normalized by the driver — r1's
+        # q_fn_datetime passed with datetime64[ns] vs [us] — so skip those.)
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                  if got[c].dtype != want[c].dtype
+                  and not (got[c].dtype.kind == 'M' and want[c].dtype.kind == 'M')]
+        if dt_bad:
+            print(f"[DTYP] {name}: {dt_bad}"); n_bad += 1; continue
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
             try:
