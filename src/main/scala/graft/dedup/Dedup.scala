@@ -67,10 +67,15 @@ object Dedup {
   /** Near-duplicate pairs via MinHash + LSH banding.
     *
     * Stages (each a narrow map or one keyed shuffle — the scale path):
-    *  1. signature: one UDF pass/doc -> 64 minhashes -> 16 band hashes;
-    *  2. posexplode bands -> shuffle on (band, bandHash) via self-join;
+    *  1. signature: one codegen'd pass/doc -> 64 minhashes -> 16 band hashes;
+    *  2. posexplode (doc, band_idx, band_hash) ONLY — document text never
+    *     enters the band shuffle (at 100 TB, carrying text would push ~16×
+    *     the corpus through one exchange);
     *  3. oversized buckets dropped (skew cap, degenerate-content guard);
-    *  4. exact Jaccard verification only for bucket-cohabiting pairs.
+    *  4. candidate id pairs join back to a once-computed (doc ->
+    *     shingle-hash array) side table for exact Jaccard verification —
+    *     shingles cross the wire once per doc, not once per candidate pair,
+    *     and no re-shingling happens on the pair path.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
@@ -79,31 +84,32 @@ object Dedup {
     // signature+banding runs as a native codegen'd expression (no UDF
     // encoder round-trip on the per-document hot path)
     graft.plans.NativeExpressions.register(df.sparkSession)
+    val src = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
     val bands = expr(
       s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})")
-    val banded = df
-      .select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .select(col("doc"), col("txt"),
-        posexplode(bands).as(Seq("band_idx", "band_hash")))
+    val banded = src.select(col("doc"),
+      posexplode(bands).as(Seq("band_idx", "band_hash")))
 
     val bucketed = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
 
-    val a = bucketed.select(col("band_idx"), col("band_hash"),
-      col("doc").as("id_a"), col("txt").as("txt_a"))
-    val b = bucketed.select(col("band_idx"), col("band_hash"),
-      col("doc").as("id_b"), col("txt").as("txt_b"))
+    val a = bucketed.select(col("band_idx"), col("band_hash"), col("doc").as("id_a"))
+    val b = bucketed.select(col("band_idx"), col("band_hash"), col("doc").as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "txt_a", "txt_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val jaccardUdf = udf { (ta: String, tb: String) =>
-      TextHashing.jaccard(
-        TextHashing.shingleHashes(ta, cfg.shingleSize),
-        TextHashing.shingleHashes(tb, cfg.shingleSize))
+    // one pass over the corpus -> (doc, distinct shingle hashes); candidate
+    // pairs fetch both sides via two id-keyed joins
+    val shingles = src.select(col("doc"),
+      expr(s"shingle_hashes(txt, ${cfg.shingleSize})").as("hashes"))
+    val jaccardUdf = udf { (ha: Seq[Long], hb: Seq[Long]) =>
+      TextHashing.jaccard(ha.toArray, hb.toArray)
     }
     candidates
-      .withColumn("jaccard", jaccardUdf(col("txt_a"), col("txt_b")))
+      .join(shingles.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
+      .join(shingles.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardUdf(col("h_a"), col("h_b")))
       .where(col("jaccard") >= cfg.threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -146,17 +152,23 @@ object Dedup {
 
   // ---------- n-gram jaccard (inverted index join) ----------
 
-  /** Pairwise n-gram Jaccard via an inverted-index join — no UDF in the
-    * join: explode distinct n-grams, self-join on the gram (one keyed
-    * shuffle), count common grams per pair, compute |A∩B| / |A∪B|.
+  /** Pairwise n-gram Jaccard via an inverted-index join — no UDF anywhere:
+    * each doc's distinct n-grams are hashed to longs by the codegen'd
+    * `shingle_hashes` expression (8-byte join keys instead of gram strings
+    * — severalfold narrower shuffle at 100 TB), self-joined on the gram
+    * hash (one keyed shuffle), common grams counted per pair,
+    * |A∩B| / |A∪B| computed from per-doc gram counts taken via
+    * `size(array)` (no extra groupBy shuffle).
     * `maxDocFreq` drops stop-grams (appearing in too many docs) — both a
     * quality and a skew guard at scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val ngramsUdf = udf((t: String) => TextHashing.ngrams(t, n))
-    val grams = df.select(col(idCol).as("doc"), explode(ngramsUdf(col(textCol))).as("gram"))
-    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val src = df.select(col(idCol).as("doc"),
+      expr(s"shingle_hashes(`$textCol`, $n)").as("hashes"))
+    val sizes = src.select(col("doc"), size(col("hashes")).as("n_grams"))
+    val grams = src.select(col("doc"), explode(col("hashes")).as("gram"))
     // stop-gram drop via agg + broadcast anti-join (no sort of the full
     // exploded gram set — see dropOversizedBuckets)
     val filtered = dropOversizedBuckets(grams, Seq("gram"), maxDocFreq)

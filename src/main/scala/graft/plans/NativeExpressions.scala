@@ -24,6 +24,9 @@ object ExprHelpers {
     new GenericArrayData(TextHashing.bandHashes(sig, numBands, numPerms / numBands))
   }
 
+  def shingleHashes(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(TextHashing.shingleHashes(s.toString, k))
+
   def rollingHash(s: UTF8String): Long = {
     // Rabin-Karp polynomial rolling hash over the raw bytes, base 257 mod 2^64.
     val bytes = s.getBytes
@@ -66,6 +69,23 @@ case class MinHashBandsExpr(child: Expression, shingleSize: Int = 3,
     copy(child = newChild)
 }
 
+/** Distinct word-k-shingle hashes as a native expression: text ->
+  * array<long>. One pass per document, codegen'd; feeds minhash
+  * verification (the shingle table is computed once and joined to
+  * candidate pairs, so document text never enters the band shuffle).
+  */
+case class ShingleHashesExpr(child: Expression, shingleSize: Int = 3)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.shingleHashes(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.shingleHashes($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** Rabin-Karp rolling hash fingerprint (content-defined chunking / dedup
   * pre-pass primitive).
   */
@@ -91,6 +111,14 @@ object NativeExpressions {
         case 4 => MinHashBandsExpr(args.head, lit(1), lit(2), lit(3))
         case 5 => MinHashBandsExpr(args.head, lit(1), lit(2), lit(3), lit(4))
         case n => throw new IllegalArgumentException(s"minhash_bands: bad arg count $n")
+      }
+    },
+    "shingle_hashes" -> { args =>
+      args.length match {
+        case 1 => ShingleHashesExpr(args.head)
+        case 2 => ShingleHashesExpr(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
+        case n => throw new IllegalArgumentException(s"shingle_hashes: bad arg count $n")
       }
     },
     "rolling_hash" -> (args => RollingHashExpr(args.head)))

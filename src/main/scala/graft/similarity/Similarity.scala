@@ -37,38 +37,42 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cosine")
   }
 
-  /** IVF (inverted-file) ANN: a seeded MLlib KMeans coarse quantizer
-    * partitions the corpus into nLists cells; each query probes its nProbe
-    * nearest cells and ranks candidates by exact cosine. The classic
-    * trade: one-off train + assign cost, then every query touches only
-    * nProbe/nLists of the corpus — the right ANN shape when the corpus is
-    * re-queried many times.
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into nLists cells; each query probes its nProbe nearest cells and
+    * ranks candidates by exact cosine. The classic trade: one-off train +
+    * assign cost, then every query touches only nProbe/nLists of the
+    * corpus — the right ANN shape when the corpus is re-queried many times.
+    *
+    * The quantizer is an [[IvfIndex]]: trained once on a BOUNDED sample
+    * (never the full corpus — at 100 TB a full-corpus fit per query call
+    * is an ML job, not a lookup) and reusable across calls. Pass a
+    * pre-built index for repeated querying; when omitted, one is
+    * sample-fit on the spot.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42,
+      index: Option[IvfIndex] = None): DataFrame = {
+    val idx = index.getOrElse(IvfIndex.cached(corpus, vecCol, nLists, seed = seed))
+    val centroids = idx.centroids
 
-    val featured = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("features", array_to_vector(col("n_vec").cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features").fit(featured)
-    val assigned = model.transform(featured).select(col("n_id"), col("n_vec"), col("prediction"))
-
-    // centroids are tiny (nLists x dim): closed over into one probe UDF.
-    val centroids = model.clusterCenters.map(_.toArray)
-    val probeUdf = udf { (v: Seq[Float]) =>
+    // centroids are tiny (nLists x dim): closed over into the assign /
+    // probe UDFs — the corpus-side assignment is a narrow codegen'd map,
+    // no MLlib vector conversion and no shuffle.
+    def nearestUdf(take: Int) = udf { (v: Seq[Float]) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         val n = math.min(c.length, v.length)
         while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
         (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      }.sortBy(_._1).take(take).map(_._2)
     }
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("cell", nearestUdf(1)(col("n_vec"))(0))
     val probes = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("prediction", explode(probeUdf(col("q_vec")))))
+      .withColumn("cell", explode(nearestUdf(nProbe)(col("q_vec")))))
 
-    assigned.join(probes, Seq("prediction"))
+    assigned.join(probes, Seq("cell"))
       .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
