@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.operators._
 import graft.dedup.Dedup
+import graft.formats.ProtobufFormat
 import graft.similarity.Similarity
 import graft.sources.{CdcFormats, FakeSource, FileSources}
 import graft.sinks.Sinks
@@ -489,6 +490,36 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // §2.4 avro file round-trip (graft.formats.AvroFormat — Avro Java API
+    // over Hadoop input/output formats; splittable container files)
+    "q_src_avro" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/avro_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        Sinks.FileSinkConfig(tmp, "avro"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "avro"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 protobuf format round-trip (graft.formats.ProtobufFormat —
+    // .proto-text descriptor + wire codec; golden-vector spec-tested)
+    "q_fmt_protobuf" -> ((s, dir) => {
+      val proto =
+        """syntax = "proto3";
+          |message Order {
+          |  int64 o_orderkey = 1;
+          |  string o_orderstatus = 2;
+          |  double o_totalprice = 3;
+          |}""".stripMargin
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val encoded = ProtobufFormat.encode(orders, None, proto, "Order")
+      ProtobufFormat.decode(encoded, "proto", proto, "Order", "rec")
+        .select("rec.o_orderkey", "rec.o_orderstatus", "rec.o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // §2.4 FakeSource generator (deterministic; rows-only check)
     "q_fake_source" -> ((s, dir) => {
       FakeSource.generate(s,
@@ -872,6 +903,14 @@ object SparkEntry {
 
     "q_src_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_src_avro" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fmt_protobuf" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_cdc_debezium" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

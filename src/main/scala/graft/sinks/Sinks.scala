@@ -37,6 +37,17 @@ object Sinks {
       case "csv" => w.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
       case "text" => w.text(cfg.path)
       case "xml" => w.option("rowTag", cfg.options.getOrElse("rowTag", "RECORD")).xml(cfg.path)
+      case "avro" =>
+        // mode semantics for the Hadoop-format writer: only overwrite/
+        // errorifexists are meaningful (append would mix container files)
+        val fs = new org.apache.hadoop.fs.Path(cfg.path)
+          .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(cfg.path))) {
+          if (cfg.mode == "overwrite") fs.delete(new org.apache.hadoop.fs.Path(cfg.path), true)
+          else throw new IllegalArgumentException(s"avro sink: path exists and mode=${cfg.mode}")
+        }
+        graft.formats.AvroFormat.write(df, cfg.path,
+          opts.getOrElse("compression", "snappy"))
       case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
   }
