@@ -595,6 +595,24 @@ object SparkEntry {
       graft.api.Pipeline.runJson(s, cfg)("rep").orderBy("c_custkey")
     }),
 
+    // §2.1.14 TableRename as a catalog-level Pipeline plugin (prefix +
+    // regex replacement + case conversion, per the reference options)
+    "q_table_rename" -> ((s, dir) => {
+      val cfg =
+        s"""{
+           |  "source": [{"plugin": "LocalFile", "plugin_output": "nation_raw",
+           |              "path": "$dir/nation.parquet",
+           |              "file_format_type": "parquet"}],
+           |  "transform": [
+           |    {"plugin": "TableRename", "prefix": "ods_", "convert_case": "LOWER",
+           |     "replacements_with_regex": [{"replace_from": "_raw", "replace_to": ""}]},
+           |    {"plugin": "Sql", "plugin_input": "ods_nation", "plugin_output": "out",
+           |     "query": "SELECT n_nationkey, n_name FROM ods_nation"}
+           |  ]
+           |}""".stripMargin
+      graft.api.Pipeline.runJson(s, cfg)("out").orderBy("n_nationkey")
+    }),
+
     // §2.4 canal-json CDC envelope (old[] patch pre-image reconstruction)
     "q_cdc_canal" -> ((s, dir) => {
       val env = Tables.load(s, dir, "orders").select(to_json(struct(
@@ -937,6 +955,9 @@ object SparkEntry {
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
         |FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_table_rename" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
 
     "q_cdc_canal" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

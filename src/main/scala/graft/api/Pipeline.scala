@@ -183,6 +183,12 @@ object Pipeline {
           case "min_value" => Sinks.MinValue(m("field").toString, m("min").toString.toDouble)
           case "max_value" => Sinks.MaxValue(m("field").toString, m("max").toString.toDouble)
           case "matches_regex" => Sinks.MatchesRegex(m("field").toString, m("regex").toString)
+          case "min_length" => Sinks.MinLength(m("field").toString, m("min").toString.toInt)
+          case "max_length" => Sinks.MaxLength(m("field").toString, m("max").toString.toInt)
+          case "equals" => Sinks.EqualsValue(m("field").toString, m("value"))
+          case "field_type" => Sinks.FieldType(m("field").toString, m("field_type").toString)
+          case "min_row" => Sinks.RowCountBetween(m("min").toString.toLong, Long.MaxValue)
+          case "max_row" => Sinks.RowCountBetween(0L, m("max").toString.toLong)
           case other => throw new IllegalArgumentException(s"unknown assert rule: $other")
         }
       }
@@ -221,23 +227,50 @@ object Pipeline {
       last = Some(name)
     }
     job.transforms.foreach { t =>
-      t.strOpt("table_match_regex") match {
-        // multi-table mode (reference: transform-multi-table.md /
-        // AbstractMultiCatalog*Transform): apply to every matching table
-        // in place — one wrapper, N per-table plans.
-        case Some(pattern) =>
-          val re = pattern.r
-          catalog = catalog.map { case (name, df) =>
-            if (re.pattern.matcher(name).matches()) name -> applyTransform(spark, t, df)
-            else name -> df
+      t.plugin match {
+        // catalog-level transforms operate on the whole table map, not one
+        // DataFrame (reference: transform/table package)
+        case "TableRename" =>
+          val replacements = t.options.get("replacements_with_regex") match {
+            case Some(l: Seq[_]) => l.map { r =>
+              val m = r.asInstanceOf[Map[String, Any]]
+              m("replace_from").toString -> m("replace_to").toString
+            }
+            case _ => Nil
           }
-        case None =>
-          val in = t.input.orElse(last).getOrElse(
-            throw new IllegalArgumentException(s"${t.plugin}: no input table"))
-          val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
-          val name = t.output.getOrElse(in + "_out")
-          catalog += name -> applyTransform(spark, t, df)
-          last = Some(name)
+          def newName(n: String) = graft.operators.TableOps.renameOne(n,
+            t.map("renames"), t.strOpt("prefix").getOrElse(""),
+            t.strOpt("suffix").getOrElse(""),
+            t.strOpt("convert_case").getOrElse(""), replacements)
+          catalog = catalog.map { case (n, df) => newName(n) -> df }
+          last = last.map(newName) // keep `last` tracking its renamed table
+        case "TableMerge" =>
+          val out = t.strOpt("output_table").getOrElse("merged")
+          catalog = graft.operators.TableOps.mergeTables(catalog,
+            t.str("table_match_regex"), out,
+            t.bool("tag_source_table", default = false))
+          last = Some(out)
+        case "TableFilter" =>
+          catalog = graft.operators.TableOps.filterTables(catalog, t.list("patterns"))
+          last = last.filter(catalog.contains)
+        case _ => t.strOpt("table_match_regex") match {
+          // multi-table mode (reference: transform-multi-table.md /
+          // AbstractMultiCatalog*Transform): apply to every matching table
+          // in place — one wrapper, N per-table plans.
+          case Some(pattern) =>
+            val re = pattern.r
+            catalog = catalog.map { case (name, df) =>
+              if (re.pattern.matcher(name).matches()) name -> applyTransform(spark, t, df)
+              else name -> df
+            }
+          case None =>
+            val in = t.input.orElse(last).getOrElse(
+              throw new IllegalArgumentException(s"${t.plugin}: no input table"))
+            val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
+            val name = t.output.getOrElse(in + "_out")
+            catalog += name -> applyTransform(spark, t, df)
+            last = Some(name)
+        }
       }
     }
     (catalog, last)

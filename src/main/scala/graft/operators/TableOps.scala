@@ -36,15 +36,34 @@ object TableOps {
     }
   }
 
-  /** Rename tables via explicit map and/or affixes (TableRenameTransform). */
+  /** Rename tables (TableRenameTransform). Matches the reference options
+    * (rename/TableRenameConfig.java: convert_case, prefix, suffix,
+    * replacements_with_regex): explicit map first, then regex
+    * replacements, then affixes, then case conversion.
+    */
   def renameTables(
       catalog: Map[String, DataFrame],
       renames: Map[String, String] = Map.empty,
       prefix: String = "",
-      suffix: String = ""): Map[String, DataFrame] =
+      suffix: String = "",
+      convertCase: String = "",
+      replacements: Seq[(String, String)] = Nil): Map[String, DataFrame] =
     catalog.map { case (name, df) =>
-      s"$prefix${renames.getOrElse(name, name)}$suffix" -> df
+      renameOne(name, renames, prefix, suffix, convertCase, replacements) -> df
     }
+
+  private[graft] def renameOne(name: String, renames: Map[String, String],
+      prefix: String, suffix: String, convertCase: String,
+      replacements: Seq[(String, String)]): String = {
+    var n = renames.getOrElse(name, name)
+    replacements.foreach { case (from, to) => n = n.replaceAll(from, to) }
+    n = s"$prefix$n$suffix"
+    convertCase.toUpperCase match {
+      case "UPPER" => n.toUpperCase
+      case "LOWER" => n.toLowerCase
+      case _ => n
+    }
+  }
 
   /** Keep only tables matching one of the patterns (TableFilter include). */
   def filterTables(catalog: Map[String, DataFrame], patterns: Seq[String]): Map[String, DataFrame] = {

@@ -62,12 +62,24 @@ object Sinks {
 
   // ---------- assert ----------
 
+  // Rule kinds mirror the reference AssertFieldRule.AssertRuleType
+  // (connector-assert/.../rule/AssertFieldRule.java:25: NOT_NULL, MIN, MAX,
+  // MIN_LENGTH, MAX_LENGTH, MIN_ROW, MAX_ROW, field type, equalTo) plus
+  // regex matching.
   sealed trait AssertRule
   final case class RowCountBetween(min: Long, max: Long) extends AssertRule
   final case class NotNull(field: String) extends AssertRule
   final case class MinValue(field: String, min: Double) extends AssertRule
   final case class MaxValue(field: String, max: Double) extends AssertRule
   final case class MatchesRegex(field: String, regex: String) extends AssertRule
+  final case class MinLength(field: String, min: Int) extends AssertRule
+  final case class MaxLength(field: String, max: Int) extends AssertRule
+  /** Every row's value must equal `value` (reference AssertRule.equalTo). */
+  final case class EqualsValue(field: String, value: Any) extends AssertRule
+  /** Schema-level check: field exists with the given DDL type (reference
+    * AssertFieldRule.fieldType). Evaluated without scanning data.
+    */
+  final case class FieldType(field: String, ddlType: String) extends AssertRule
 
   final class AssertionFailed(msg: String) extends RuntimeException(msg)
 
@@ -75,13 +87,31 @@ object Sinks {
     * per-rule pass would rescan a 100 TB input once per rule).
     */
   def assertRules(df: DataFrame, rules: Seq[AssertRule]): Unit = {
+    // schema rules first: free, and failing fast beats scanning
+    val schemaFailures = rules.collect {
+      case FieldType(f, ddl) =>
+        df.schema.find(_.name == f) match {
+          case None => Some(s"field $f missing")
+          case Some(sf) =>
+            val want = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+            if (sf.dataType != want)
+              Some(s"$f has type ${sf.dataType.simpleString}, expected ${want.simpleString}")
+            else None
+        }
+    }.flatten
+    if (schemaFailures.nonEmpty) throw new AssertionFailed(schemaFailures.mkString("; "))
+
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
       case (NotNull(f), i) => Seq(sum(when(col(f).isNull, 1).otherwise(0)).as(s"__r$i"))
       case (MinValue(f, _), i) => Seq(min(col(f).cast("double")).as(s"__r$i"))
       case (MaxValue(f, _), i) => Seq(max(col(f).cast("double")).as(s"__r$i"))
       case (MatchesRegex(f, re), i) =>
         Seq(sum(when(!regexp_like(col(f), lit(re)), 1).otherwise(0)).as(s"__r$i"))
-      case (RowCountBetween(_, _), _) => Nil
+      case (MinLength(f, _), i) => Seq(min(length(col(f))).as(s"__r$i"))
+      case (MaxLength(f, _), i) => Seq(max(length(col(f))).as(s"__r$i"))
+      case (EqualsValue(f, v), i) =>
+        Seq(sum(when(col(f).isNull || col(f) =!= lit(v), 1).otherwise(0)).as(s"__r$i"))
+      case (RowCountBetween(_, _), _) | (FieldType(_, _), _) => Nil
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n")
@@ -100,6 +130,16 @@ object Sinks {
       case (MatchesRegex(f, re), i) =>
         val bad = row.getAs[Long](s"__r$i")
         if (bad > 0) Some(s"$f has $bad rows not matching /$re/") else None
+      case (MinLength(f, lo), i) =>
+        val v = row.getAs[Int](s"__r$i")
+        if (v < lo) Some(s"min(length($f))=$v < $lo") else None
+      case (MaxLength(f, hi), i) =>
+        val v = row.getAs[Int](s"__r$i")
+        if (v > hi) Some(s"max(length($f))=$v > $hi") else None
+      case (EqualsValue(f, value), i) =>
+        val bad = row.getAs[Long](s"__r$i")
+        if (bad > 0) Some(s"$f has $bad rows != $value") else None
+      case (FieldType(_, _), _) => None
     }
     if (failures.nonEmpty) throw new AssertionFailed(failures.mkString("; "))
   }

@@ -122,6 +122,48 @@ class PipelineSpec extends SparkSpec {
     assert(catalog("other").columns.toSeq == Seq("a"))
   }
 
+  test("TableRename / TableMerge / TableFilter are catalog-level plugins") {
+    val job = Pipeline.parse(
+      """{
+        |  "source": [
+        |    {"plugin": "FakeSource", "plugin_output": "shard_1", "row.num": 2,
+        |     "schema": {"fields": {"a": "int"}}},
+        |    {"plugin": "FakeSource", "plugin_output": "shard_2", "row.num": 3,
+        |     "schema": {"fields": {"a": "int"}}},
+        |    {"plugin": "FakeSource", "plugin_output": "tmp_scratch", "row.num": 1,
+        |     "schema": {"fields": {"a": "int"}}}
+        |  ],
+        |  "transform": [
+        |    {"plugin": "TableFilter", "patterns": ["shard_.*"]},
+        |    {"plugin": "TableRename", "prefix": "ods_", "convert_case": "UPPER",
+        |     "replacements_with_regex": [{"replace_from": "shard", "replace_to": "tbl"}]},
+        |    {"plugin": "TableMerge", "table_match_regex": "ODS_TBL_.*",
+        |     "output_table": "merged", "tag_source_table": true}
+        |  ]
+        |}""".stripMargin)
+    val catalog = Pipeline.run(spark, job)
+    assert(catalog.keySet == Set("merged"))
+    val merged = catalog("merged")
+    assert(merged.count() == 5)
+    assert(merged.select("__meta_table").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ODS_TBL_1", "ODS_TBL_2"))
+  }
+
+  test("TableRename keeps the implicit transform chain threaded") {
+    val config =
+      """{
+        |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 3,
+        |              "schema": {"fields": {"a": "int"}}}],
+        |  "transform": [
+        |    {"plugin": "TableRename", "suffix": "_renamed"},
+        |    {"plugin": "Filter", "include_fields": ["a"]}
+        |  ]
+        |}""".stripMargin
+    val catalog = Pipeline.runJson(spark, config)
+    assert(catalog.contains("f_renamed"))
+    assert(catalog("f_renamed_out").columns.toSeq == Seq("a"))
+  }
+
   test("env block: parallelism and job.mode are honored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {

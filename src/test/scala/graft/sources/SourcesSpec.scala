@@ -116,4 +116,30 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("nulls") && err.getMessage.contains("row count"))
   }
+
+  test("assert sink: length, equality, and field-type rules") {
+    val df = Seq(("abc", 1), ("defg", 1)).toDF("s", "one")
+    Sinks.assertRules(df, Seq(
+      Sinks.MinLength("s", 3), Sinks.MaxLength("s", 4),
+      Sinks.EqualsValue("one", 1), Sinks.FieldType("s", "string"),
+      Sinks.FieldType("one", "int")))
+    val lenErr = intercept[Sinks.AssertionFailed] {
+      Sinks.assertRules(df, Seq(Sinks.MinLength("s", 4), Sinks.MaxLength("s", 3)))
+    }
+    assert(lenErr.getMessage.contains("min(length(s))") &&
+      lenErr.getMessage.contains("max(length(s))"))
+    val eqErr = intercept[Sinks.AssertionFailed] {
+      Sinks.assertRules(df, Seq(Sinks.EqualsValue("s", "abc")))
+    }
+    assert(eqErr.getMessage.contains("!= abc"))
+    // schema rules fail fast without a scan
+    val tyErr = intercept[Sinks.AssertionFailed] {
+      Sinks.assertRules(df, Seq(Sinks.FieldType("one", "bigint")))
+    }
+    assert(tyErr.getMessage.contains("expected bigint"))
+    val missErr = intercept[Sinks.AssertionFailed] {
+      Sinks.assertRules(df, Seq(Sinks.FieldType("nope", "string")))
+    }
+    assert(missErr.getMessage.contains("missing"))
+  }
 }
