@@ -164,8 +164,125 @@ object ZetaFunctions {
   def toCharNum(x: Double): String =
     if (x == math.rint(x) && !x.isInfinite) x.toLong.toString else x.toString
 
+  // ---- arity/flag dispatch (doc-fidelity layer) ----
+  //
+  // Several documented zeta call forms can't be a single Scala UDF because
+  // the same name needs multiple arities or literal-flag handling
+  // (sql-functions.md: REGEXP_*(.., flagsString), TRUNC(numeric, digits),
+  // DATEDIFF(a, b, unit), FROM_UNIXTIME(sec, fmt, tz)). These register as
+  // function-registry BUILDERS that dispatch on argument shape and compose
+  // Catalyst builtins, so 2-arg Spark forms keep their native codegen.
+
+  /** H2 flag string -> inline regex modifiers; later flags override
+    * earlier ones (sql-functions.md REGEXP_REPLACE notes).
+    */
+  private[functions] def flagsToInline(flags: String): String = {
+    var ci = false; var dotall = false; var multi = false
+    flags.foreach {
+      case 'i' => ci = true
+      case 'c' => ci = false
+      case 'n' => dotall = true
+      case 'm' => multi = true
+      case ch => throw new IllegalArgumentException(s"invalid regexp flag '$ch'")
+    }
+    (if (ci) "(?i)" else "") + (if (dotall) "(?s)" else "") + (if (multi) "(?m)" else "")
+  }
+
+  private def registerBuilders(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def call(name: String, args: Seq[Expression]): Expression =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(null, _) => None
+      case Literal(s: UTF8String, _) => Some(s.toString)
+      case _ => None
+    }
+    def prefixed(pattern: Expression, flags: Expression): Expression = litStr(flags) match {
+      case Some(f) if f.nonEmpty => Concat(Seq(Literal(flagsToInline(f)), pattern))
+      case _ => pattern // NULL / empty flags = no modifiers
+    }
+    val reg = spark.sessionState.functionRegistry
+
+    // REGEXP_REPLACE(s, re, rep[, flags]) — 4th arg is H2 flags, not
+    // Spark's position
+    reg.createOrReplaceTempFunction("regexp_replace", {
+      case Seq(s, p, r) => RegExpReplace(s, p, r)
+      case Seq(s, p, r, f) => RegExpReplace(s, prefixed(p, f), r)
+      case args => throw new IllegalArgumentException(s"REGEXP_REPLACE: bad arg count ${args.length}")
+    }, "built-in")
+
+    // REGEXP_LIKE(s, re[, flags])
+    reg.createOrReplaceTempFunction("regexp_like", {
+      case Seq(s, p) => RLike(s, p)
+      case Seq(s, p, f) => RLike(s, prefixed(p, f))
+      case args => throw new IllegalArgumentException(s"REGEXP_LIKE: bad arg count ${args.length}")
+    }, "built-in")
+
+    // REGEXP_SUBSTR(s, re[, position, occurrence, flags, group]) — composed
+    // from substring + regexp_extract_all + try_element_at (null on no match)
+    reg.createOrReplaceTempFunction("regexp_substr", { args =>
+      require(args.length >= 2, "REGEXP_SUBSTR needs at least 2 args")
+      def isNullLit(e: Expression) = e match { case Literal(null, _) => true; case _ => false }
+      val pat = prefixed(args(1), if (args.length >= 5) args(4) else Literal(null))
+      val input = if (args.length >= 3 && !isNullLit(args(2)))
+        call("substring", Seq(args.head, args(2), Literal(Int.MaxValue))) else args.head
+      val occ = if (args.length >= 4 && !isNullLit(args(3))) args(3) else Literal(1)
+      val grp = if (args.length >= 6 && !isNullLit(args(5))) args(5) else Literal(0)
+      call("try_element_at", Seq(call("regexp_extract_all", Seq(input, pat, grp)), occ))
+    }, "built-in")
+
+    // TRUNC: numeric truncation (doc: TRUNC|TRUNCATE(numeric[, digits]));
+    // string second arg keeps Spark's native date truncation
+    reg.createOrReplaceTempFunction("trunc", {
+      case Seq(d, fmt @ Literal(_: UTF8String, _)) => TruncDate(d, fmt)
+      case Seq(x) => call("trunc_num", Seq(Cast(x, org.apache.spark.sql.types.DoubleType), Literal(0)))
+      case Seq(x, digits) => call("trunc_num", Seq(Cast(x, org.apache.spark.sql.types.DoubleType), digits))
+      case args => throw new IllegalArgumentException(s"TRUNC: bad arg count ${args.length}")
+    }, "built-in")
+
+    // H2/zeta CONCAT ignores NULL parameters (sql-functions.md: "NULL
+    // parameters are ignored"; Spark's concat is null-propagating).
+    // concat_ws('') has exactly those semantics for strings. The `||`
+    // operator and DataFrame functions.concat are parsed structurally and
+    // keep Spark behavior.
+    reg.createOrReplaceTempFunction("concat", {
+      args => call("concat_ws", Literal("") +: args)
+    }, "built-in")
+
+    // TIMESTAMPADD(ts, n, 'UNIT') — zeta order (the parser still handles
+    // Spark's native TIMESTAMPADD(MONTH, n, ts) form before the registry)
+    reg.createOrReplaceTempFunction("timestampadd", {
+      case Seq(ts, n, unit @ Literal(_: UTF8String, _)) => call("dateadd", Seq(ts, n, unit))
+      case args => throw new IllegalArgumentException(
+        s"TIMESTAMPADD: expected (dateAndTime, addInt, 'unit'), got ${args.length} args")
+    }, "built-in")
+
+    // DATEDIFF(a, b, unit) = b - a per the reference (DateTimeFunction
+    // .java:143); 2-arg form stays Spark's datediff(end, start)
+    reg.createOrReplaceTempFunction("datediff", {
+      case Seq(end, start) => DateDiff(end, start)
+      case Seq(a, b, unit) => call("zeta_datediff", Seq(a, b, unit))
+      case args => throw new IllegalArgumentException(s"DATEDIFF: bad arg count ${args.length}")
+    }, "built-in")
+
+    // FROM_UNIXTIME(sec[, fmt[, timeZone]]) — 3-arg zone form per the doc
+    reg.createOrReplaceTempFunction("from_unixtime", {
+      case Seq(sec) => FromUnixTime(sec, Literal("yyyy-MM-dd HH:mm:ss"))
+      case Seq(sec, fmt) => FromUnixTime(sec, fmt)
+      case Seq(sec, fmt, tz) =>
+        val zone = litStr(tz).getOrElse(
+          throw new IllegalArgumentException("FROM_UNIXTIME: timeZone must be a literal string"))
+        FromUnixTime(sec, fmt).withTimeZone(zone).asInstanceOf[Expression]
+      case args => throw new IllegalArgumentException(s"FROM_UNIXTIME: bad arg count ${args.length}")
+    }, "built-in")
+  }
+
   /** Register every zeta name Spark lacks on `spark`. Idempotent. */
   def register(spark: SparkSession): Unit = {
+    registerBuilders(spark)
     val u = spark.udf
     u.register("hextoraw", hextoraw _)
     u.register("rawtohex", rawtohex _)
