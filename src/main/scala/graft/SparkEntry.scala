@@ -502,6 +502,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // §2.4 excel (.xlsx) round-trip (graft.formats.ExcelFormat — OOXML
+    // over JDK zip + StAX; per-file parallel read)
+    "q_src_excel" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/excel_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(Tables.load(s, dir, "region"), Sinks.FileSinkConfig(tmp, "excel"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "excel",
+          Some(StructType(Seq(StructField("r_regionkey", IntegerType),
+            StructField("r_name", StringType))))))
+        .orderBy("r_regionkey")
+    }),
+
     // §2.4 protobuf format round-trip (graft.formats.ProtobufFormat —
     // .proto-text descriptor + wire codec; golden-vector spec-tested)
     "q_fmt_protobuf" -> ((s, dir) => {
@@ -929,6 +940,9 @@ object SparkEntry {
     "q_fmt_protobuf" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_src_excel" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "q_cdc_debezium" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

@@ -48,6 +48,9 @@ object Sinks {
         }
         graft.formats.AvroFormat.write(df, cfg.path,
           opts.getOrElse("compression", "snappy"))
+      case "excel" =>
+        graft.formats.ExcelFormat.write(df, cfg.path,
+          opts.getOrElse("header", "true").toBoolean)
       case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
   }

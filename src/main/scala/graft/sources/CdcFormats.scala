@@ -89,6 +89,59 @@ object CdcFormats {
     images.select(col("img.row.*"), col("img.kind").as(RowKindOps.RowKindCol))
   }
 
+  // ---------- serialization (write side) ----------
+  //
+  // The reference formats are bidirectional; kind mapping follows the
+  // serializers (seatunnel-format-json/.../canal/CanalJsonSerializationSchema
+  // .java:63, debezium/DebeziumJsonSerializationSchema.java:47,
+  // maxwell/MaxWellJsonSerializationSchema.java:52): INSERT/UPDATE_AFTER
+  // emit the insert op with the row image, UPDATE_BEFORE/DELETE emit the
+  // delete op. All are single to_json projections — codegen'd, narrow.
+
+  private def dataStruct(df: DataFrame, dataCols: Seq[String]): Column = {
+    val cols = if (dataCols.nonEmpty) dataCols
+               else df.columns.filterNot(_ == RowKindOps.RowKindCol).toSeq
+    struct(cols.map(col): _*)
+  }
+
+  /** Debezium envelope: +I/+U -> {"after": row, "op": "c"};
+    * -U/-D -> {"before": row, "op": "d"}.
+    */
+  def toDebeziumJson(df: DataFrame, dataCols: Seq[String] = Nil,
+      outputCol: String = "json"): DataFrame = {
+    val data = dataStruct(df, dataCols)
+    val ins = col(RowKindOps.RowKindCol).isin("+I", "+U")
+    df.select(to_json(struct(
+      when(!ins, data).as("before"),
+      when(ins, data).as("after"),
+      when(ins, "c").otherwise("d").as("op"))).as(outputCol))
+  }
+
+  /** Canal envelope: +I/+U -> {"data":[row],"type":"INSERT"};
+    * -U/-D -> {"data":[row],"type":"DELETE"}.
+    */
+  def toCanalJson(df: DataFrame, dataCols: Seq[String] = Nil,
+      outputCol: String = "json"): DataFrame = {
+    val data = dataStruct(df, dataCols)
+    val ins = col(RowKindOps.RowKindCol).isin("+I", "+U")
+    df.select(to_json(struct(
+      array(data).as("data"),
+      when(ins, "INSERT").otherwise("DELETE").as("type"))).as(outputCol))
+  }
+
+  /** Maxwell envelope: +I/+U -> {"data": row, "type": "insert"};
+    * -U/-D -> {"data": row, "type": "delete"} (lowercase op strings, the
+    * format Maxwell itself emits and `parseMaxwell` accepts).
+    */
+  def toMaxwellJson(df: DataFrame, dataCols: Seq[String] = Nil,
+      outputCol: String = "json"): DataFrame = {
+    val data = dataStruct(df, dataCols)
+    val ins = col(RowKindOps.RowKindCol).isin("+I", "+U")
+    df.select(to_json(struct(
+      data.as("data"),
+      when(ins, "insert").otherwise("delete").as("type"))).as(outputCol))
+  }
+
   /** Maxwell: {data, old, type: insert|update|delete, ...}. Single-row
     * envelopes; update pre-image = data patched with old's changed fields.
     */

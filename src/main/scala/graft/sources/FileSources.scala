@@ -39,6 +39,9 @@ object FileSources {
       // Avro container files via the Avro Java API + Hadoop input format
       // (splittable; see graft.formats.AvroFormat)
       case "avro" => graft.formats.AvroFormat.read(spark, cfg.path, cfg.schema)
+      // OOXML SpreadsheetML via JDK zip + StAX (graft.formats.ExcelFormat)
+      case "excel" => graft.formats.ExcelFormat.read(spark, cfg.path, cfg.schema,
+        cfg.options.getOrElse("header", "true").toBoolean)
       case other => throw new IllegalArgumentException(s"unsupported file format: $other")
     }
   }

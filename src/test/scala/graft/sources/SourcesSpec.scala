@@ -108,6 +108,32 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSet == Set((5L, "n", "+I"), (5L, "n", "-U"), (5L, "m", "+U")))
   }
 
+  test("CDC serialization round-trips through the matching parser") {
+    val changes = Seq(
+      (1L, "a", "+I"), (2L, "b", "+U"), (3L, "c", "-U"), (4L, "d", "-D"))
+      .toDF("id", "name", "__row_kind")
+    // reference serializers collapse +U to the insert op and -U to the
+    // delete op, so kinds come back as +I / -D
+    val expect = Set((1L, "a", "+I"), (2L, "b", "+I"), (3L, "c", "-D"), (4L, "d", "-D"))
+    def got(parsed: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      parsed.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[String]("__row_kind"))).toSet
+
+    assert(got(CdcFormats.parseDebezium(
+      CdcFormats.toDebeziumJson(changes), "json", userSchema)) == expect)
+    assert(got(CdcFormats.parseCanal(
+      CdcFormats.toCanalJson(changes), "json", userSchema)) == expect)
+    assert(got(CdcFormats.parseMaxwell(
+      CdcFormats.toMaxwellJson(changes), "json", userSchema)) ==
+      expect.map { case (i, n, k) => (i, n, if (k == "+I") "+I" else "-D") })
+    // explicit data column selection keeps extra columns out of the envelope
+    val withExtra = changes.withColumn("extra",
+      org.apache.spark.sql.functions.lit("x"))
+    val json = CdcFormats.toDebeziumJson(withExtra, Seq("id", "name"))
+      .collect().map(_.getString(0))
+    assert(json.forall(!_.contains("extra")))
+  }
+
   test("assert sink: one-pass rules, failures reported") {
     val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "s")
     Sinks.assertRules(df, Seq(Sinks.RowCountBetween(1, 5), Sinks.MinValue("k", 0)))
