@@ -624,6 +624,27 @@ object SparkEntry {
       graft.api.Pipeline.runJson(s, cfg)("out").orderBy("n_nationkey")
     }),
 
+    // §2.6 benchmark decontamination: drop corpus docs sharing a 13-gram
+    // with a benchmark set (here: every 50th doc poses as a benchmark
+    // question). Murmur shingles aren't SQL-expressible -> rows-only.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
+      graft.text.Decontamination.decontaminate(docs, bench, "doc_id", "text", "question")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // §2.6 PII redaction over a deterministic synthetic suffix (the raw
+    // corpus has no planted PII, so append one derived from doc_id)
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-4567 ip 10.0.0.1")))
+      graft.text.Decontamination.redactPii(docs, "text2", "red")
+        .select(col("doc_id"), substring(col("red"), -60, 60).as("tail"))
+        .orderBy("doc_id")
+    }),
+
     // §2.4 canal-json CDC envelope (old[] patch pre-image reconstruction)
     "q_cdc_canal" -> ((s, dir) => {
       val env = Tables.load(s, dir, "orders").select(to_json(struct(
@@ -972,6 +993,19 @@ object SparkEntry {
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_pii_redact" ->
+      """SELECT doc_id, right(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 ip 10.0.0.1',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d[ -]?){13,18}\d\b', '<CARD>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}(?:[-. ]\d{2,4})?\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '<IBAN>', 'g'),
+        |  60) AS tail
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cdc_canal" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination and PII redaction for training corpora
+  * (SURVEY §2.6 — training-data pipeline operators beyond the reference).
+  *
+  * Decontamination follows the standard n-gram overlap recipe used for
+  * LLM training sets: a document is contaminated if it shares at least
+  * one (by default) 13-token shingle with any benchmark document.
+  *
+  * Scale design: benchmark suites are small (thousands of docs) next to a
+  * 100 TB corpus, so the benchmark shingle set is aggregated and
+  * BROADCAST; the corpus side is one narrow shingle projection + a
+  * broadcast semi/anti join — the corpus never shuffles. Shingles are
+  * 8-byte hashes from the codegen'd `shingle_hashes` expression, never
+  * strings.
+  */
+object Decontamination {
+
+  /** Ids of corpus docs sharing >= `minMatches` k-gram(s) with the
+    * benchmark (k = `ngram`, default 13 tokens per the common recipe).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13, minMatches: Int = 1): DataFrame = {
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val benchGrams = benchmark
+      .select(explode(expr(s"shingle_hashes(`$benchTextCol`, $ngram)")).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(expr(s"shingle_hashes(`$textCol`, $ngram)")).as("gram"))
+    val matched = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+    if (minMatches <= 1) matched.select(idCol).distinct()
+    else matched.groupBy(idCol).agg(count(lit(1)).as("__m"))
+      .where(col("__m") >= minMatches).select(idCol)
+  }
+
+  /** Drop contaminated docs from the corpus (broadcast anti-join). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13, minMatches: Int = 1): DataFrame =
+    corpus.join(
+      broadcast(contaminatedIds(corpus, benchmark, idCol, textCol, benchTextCol,
+        ngram, minMatches)),
+      Seq(idCol), "left_anti")
+
+  // ---------- PII redaction ----------
+
+  /** Built-in PII patterns (regex, applied in order — longest digit runs
+    * first so a card number is not partially consumed as a phone).
+    * Deliberately conservative/high-precision forms of the usual classes:
+    * emails, credit-card-ish digit runs, SSN-style ids, phone numbers,
+    * IPv4, IBAN-style account strings.
+    */
+  val defaultPatterns: Seq[(String, String)] = Seq(
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b(?:\d[ -]?){13,18}\d\b""", "<CARD>"),
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    ("""\b(?:\+?\d{1,3}[-. ])?(?:\(\d{2,4}\)[-. ]?)?\d{3,4}[-. ]\d{3,4}(?:[-. ]\d{2,4})?\b""", "<PHONE>"),
+    ("""\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("""\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b""", "<IBAN>"))
+
+  /** Replace PII occurrences in `textCol` with class tags. Pure
+    * `regexp_replace` chain — codegen'd, narrow, no UDF.
+    */
+  def redactPii(df: DataFrame, textCol: String, outputCol: String = "",
+      patterns: Seq[(String, String)] = defaultPatterns): DataFrame = {
+    val out = if (outputCol.isEmpty) textCol else outputCol
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+    df.withColumn(out, redacted)
+  }
+
+  /** Per-class PII hit counts (for corpus auditing before redaction). */
+  def piiStats(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)] = defaultPatterns): DataFrame = {
+    val aggs = patterns.map { case (re, tag) =>
+      sum(size(regexp_extract_all(col(textCol), lit(re), lit(0)))).as(tag)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = (1 to 30).map(i => s"w$i").mkString(" ") // 30 shared tokens
+
+  test("contaminatedIds finds docs sharing a 13-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, s"unique alpha beta $w gamma"),           // contains benchmark run
+      (2L, "totally different text with no overlap at all whatsoever in any way"),
+      (3L, w)).toDF("doc_id", "text")                 // is exactly the run
+    val bench = Seq(s"prefix tokens $w suffix tokens").toDF("question")
+    val ids = Decontamination.contaminatedIds(corpus, bench,
+      "doc_id", "text", "question").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L))
+    val clean = Decontamination.decontaminate(corpus, bench, "doc_id", "text", "question")
+      .select("doc_id").as[Long].collect()
+    assert(clean.toSeq == Seq(2L))
+  }
+
+  test("minMatches raises the overlap bar") {
+    val corpus = Seq((1L, w)).toDF("doc_id", "text")
+    val bench = Seq(w).toDF("q")
+    // 30 tokens -> 18 distinct 13-grams shared
+    assert(Decontamination.contaminatedIds(corpus, bench, "doc_id", "text", "q",
+      minMatches = 18).count() == 1)
+    assert(Decontamination.contaminatedIds(corpus, bench, "doc_id", "text", "q",
+      minMatches = 19).count() == 0)
+  }
+
+  test("decontamination is a broadcast join over hashed grams") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = corpus.limit(5).select($"text".as("question"))
+    val plan = Decontamination.decontaminate(corpus, bench, "doc_id", "text", "question")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    // the 5 seed docs must be dropped
+    val n = corpus.count()
+    val clean = Decontamination.decontaminate(corpus, bench, "doc_id", "text", "question").count()
+    assert(clean <= n - 5)
+  }
+
+  test("redactPii replaces the documented classes and keeps other text") {
+    val df = Seq(
+      ("contact john.doe+x@example.org or call 555-123-4567 now",
+        1),
+      ("ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.0.1 iban DE89370400440532013000", 2),
+      ("nothing sensitive here", 3)).toDF("text", "id")
+    val out = Decontamination.redactPii(df, "text", "red")
+      .orderBy("id").select("red").as[String].collect()
+    assert(out(0).contains("<EMAIL>") && out(0).contains("<PHONE>") && out(0).contains("contact"))
+    assert(out(1).contains("<SSN>") && out(1).contains("<CARD>") &&
+      out(1).contains("<IP>") && out(1).contains("<IBAN>"))
+    assert(out(2) == "nothing sensitive here")
+    val stats = Decontamination.piiStats(df, "text").collect()(0)
+    assert(stats.getAs[Long]("<EMAIL>") == 1L && stats.getAs[Long]("<SSN>") == 1L)
+  }
+}
