@@ -143,17 +143,60 @@ object StreamingOps {
   }
 
   /** Wire a change stream into a continuously-merged snapshot via
-    * foreachBatch (at-least-once merge; pair with idempotent keys).
-    * `apply` receives the merged snapshot after each batch.
+    * foreachBatch. The snapshot is DURABLE, not driver memory: each
+    * micro-batch merges the current version with the batch, writes
+    * `stateDir/v{batchId}`, then atomically swaps a `_CURRENT` pointer
+    * file (FileSystem.rename). Replayed batches rewrite the same version
+    * directory, so the merge is idempotent under Structured Streaming's
+    * at-least-once foreachBatch contract, and a restarted driver resumes
+    * from the pointer — no state is lost with the process.
+    * `onBatch` receives the freshly-persisted snapshot after each batch.
     */
   def applyCdcStream(changes: DataFrame, initial: DataFrame, keys: Seq[String],
-      ordCol: String, checkpointDir: String)(onBatch: DataFrame => Unit) = {
-    var snapshot = initial
+      ordCol: String, checkpointDir: String, stateDir: String)(onBatch: DataFrame => Unit) = {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        snapshot = applyCdcBatch(snapshot, batch, keys, ordCol).localCheckpoint()
-        onBatch(snapshot)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val current = currentSnapshot(spark, stateDir).getOrElse(initial)
+        val merged = applyCdcBatch(current, batch, keys, ordCol)
+        val versionDir = s"$stateDir/v$batchId"
+        merged.write.mode("overwrite").parquet(versionDir)
+        commitSnapshotVersion(spark, stateDir, batchId)
+        onBatch(spark.read.parquet(versionDir))
       }
+  }
+
+  /** Read the committed snapshot version, if any. */
+  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(stateDir, "_CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(spark.read.parquet(s"$stateDir/v$v"))
+    }
+  }
+
+  private def commitSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"_CURRENT.tmp$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(stateDir, "_CURRENT")
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    // retain only the two newest versions (current + previous for readers
+    // that resolved the pointer just before the swap)
+    val keep = Set(s"v$batchId", s"v${batchId - 1}")
+    fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v")
+        && !keep(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 }

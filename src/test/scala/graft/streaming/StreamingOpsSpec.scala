@@ -82,6 +82,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(merged == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
   }
 
+  test("applyCdcStream persists a durable versioned snapshot across batches") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val stateDir = s"$base/state"
+    val input = MemoryStream[(Long, String, String, Long)]
+    val changes = input.toDF().toDF("id", "v", "__row_kind", "ord")
+    val initial = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("__row_kind", lit("+I")).withColumn("ord", lit(0L))
+    val q = StreamingOps.applyCdcStream(changes, initial, Seq("id"), "ord",
+      s"$base/ckpt", stateDir)(_ => ()).start()
+    try {
+      input.addData((1L, "a2", "+U", 1L), (3L, "c", "+I", 2L))
+      q.processAllAvailable()
+      input.addData((2L, "b", "-D", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // state readable from disk after the query is gone — no driver memory
+    val snap = StreamingOps.currentSnapshot(spark, stateDir).get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(1L -> "a2", 3L -> "c"))
+    // version retention: at most current + previous kept
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(versions.length <= 2)
+  }
+
   test("sessionizeBatch assigns gap-based session ids (batch/SQL form)") {
     val df = Seq(
       (7L, 1000L), (7L, 2000L), (7L, 10000L), (8L, 500L)
