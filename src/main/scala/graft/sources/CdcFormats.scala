@@ -89,6 +89,29 @@ object CdcFormats {
     images.select(col("img.row.*"), col("img.kind").as(RowKindOps.RowKindCol))
   }
 
+  /** Kafka Connect JSON envelope ({"schema": ..., "payload": row-or-rows})
+    * — reference seatunnel-format-compatible-connect-json/.../
+    * CompatibleKafkaConnectDeserializationSchema.java:117. The payload may
+    * be a single object or an array; both become +I rows. A Debezium
+    * payload nested in a Connect envelope should be unwrapped with this
+    * and then fed to [[parseDebezium]].
+    */
+  def parseConnectJson(df: DataFrame, jsonCol: String, dataSchema: StructType): DataFrame = {
+    val envSchema = new StructType()
+      .add("payload", org.apache.spark.sql.types.ArrayType(dataSchema))
+    val envSchemaSingle = new StructType().add("payload", dataSchema)
+    // try array form first; fall back to single-object payload per row
+    val parsed = df.select(
+      from_json(col(jsonCol), envSchema).getField("payload").as("__rows"),
+      from_json(col(jsonCol), envSchemaSingle).getField("payload").as("__row"))
+    parsed
+      .select(explode(when(col("__rows").isNotNull, col("__rows"))
+        .otherwise(array(col("__row")))).as("__r"))
+      .where(col("__r").isNotNull)
+      .select(col("__r.*"))
+      .withColumn(RowKindOps.RowKindCol, lit("+I"))
+  }
+
   // ---------- serialization (write side) ----------
   //
   // The reference formats are bidirectional; kind mapping follows the

@@ -108,6 +108,16 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSet == Set((5L, "n", "+I"), (5L, "n", "-U"), (5L, "m", "+U")))
   }
 
+  test("parseConnectJson unwraps schema+payload envelopes, object or array") {
+    val rows = Seq(
+      """{"schema":{"type":"struct"},"payload":{"id":1,"name":"a"}}""",
+      """{"schema":{"type":"struct"},"payload":[{"id":2,"name":"b"},{"id":3,"name":"c"}]}""")
+      .toDF("json")
+    val out = CdcFormats.parseConnectJson(rows, "json", userSchema)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("__row_kind")))
+    assert(out.toSet == Set((1L, "a", "+I"), (2L, "b", "+I"), (3L, "c", "+I")))
+  }
+
   test("CDC serialization round-trips through the matching parser") {
     val changes = Seq(
       (1L, "a", "+I"), (2L, "b", "+U"), (3L, "c", "-U"), (4L, "d", "-D"))
