@@ -624,6 +624,21 @@ object SparkEntry {
       graft.api.Pipeline.runJson(s, cfg)("out").orderBy("n_nationkey")
     }),
 
+    // §2.6 multimodal plumbing end-to-end: synthesize deterministic media
+    // per doc, decode header metadata batch-wise, stride-sample frames.
+    // Metadata is arithmetic on doc_id, so DuckDB can oracle the result.
+    "q_multimodal" -> ((s, dir) => {
+      import graft.multimodal.BinaryOps
+      val mk = udf((id: Long) => BinaryOps.fakeImage(
+        (id % 16 + 1).toInt, (id % 8 + 1).toInt, (id % 4 + 1).toInt))
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), mk(col("doc_id")).as("content"))
+      BinaryOps.sampleFrames(BinaryOps.decodeMeta(media, "content", "meta"), "meta", stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // §2.6 benchmark decontamination: drop corpus docs sharing a 13-gram
     // with a benchmark set (here: every 50th doc poses as a benchmark
     // question). Murmur shingles aren't SQL-expressible -> rows-only.
@@ -993,6 +1008,13 @@ object SparkEntry {
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, doc_id % 4 + 1, 2)) AS INTEGER) AS frame_idx,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_pii_redact" ->
       """SELECT doc_id, right(

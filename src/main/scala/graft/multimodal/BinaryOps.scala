@@ -47,6 +47,71 @@ object BinaryOps {
       else Row("image/x-graft", bb.getInt(), bb.getInt(), bb.getInt())
     }
 
+  // ---------- real container-header metadata (no codec libraries) ----------
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def u32le(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  /** REAL header-level metadata extraction for common containers — PNG
+    * (IHDR), JPEG (SOF marker scan), GIF, BMP (BITMAPINFOHEADER), and WAV
+    * (RIFF fmt/data chunks) — parsed straight from the public byte
+    * layouts, no image/audio libraries required. Pixel/sample DECODING
+    * remains the stub above; header metadata is what partition sizing,
+    * filtering, and routing need at 100 TB anyway. For audio, `width` is
+    * the sample rate, `height` the channel count, and `n_frames` the
+    * sample-frame count. Falls back to the Graft fake header, else null.
+    */
+  private[multimodal] def sniffMeta(b: Array[Byte]): Row = {
+    if (b == null || b.length < 16) return null
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR" w(4) h(4)
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      return Row("image/png", u32be(b, 16), u32be(b, 20), 1)
+    // JPEG: SOI then marker scan for SOF0..SOF15 (not DHT/DAC/RST):
+    // FF Cx len(2) precision(1) height(2) width(2)
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Row("image/jpeg", u16be(b, i + 7), u16be(b, i + 5), 1)
+        i += 2 + u16be(b, i + 2)
+      }
+      return null
+    }
+    // GIF: "GIF87a"/"GIF89a" then w(2 LE) h(2 LE)
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      return Row("image/gif", u16le(b, 6), u16le(b, 8), 1)
+    // BMP: "BM", BITMAPINFOHEADER width@18 (4 LE), height@22 (4 LE)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return Row("image/bmp", u32le(b, 18), math.abs(u32le(b, 22)), 1)
+    // WAV: "RIFF"...."WAVE", then chunk scan for "fmt " and "data"
+    if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var channels = 0; var sampleRate = 0; var blockAlign = 0; var dataLen = -1
+      while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = u32le(b, i + 4)
+        if (id == "fmt " && i + 22 <= b.length) {
+          channels = u16le(b, i + 10)
+          sampleRate = u32le(b, i + 12)
+          blockAlign = u16le(b, i + 20)
+        } else if (id == "data") dataLen = len
+        i += 8 + len + (len & 1)
+      }
+      if (channels > 0)
+        return Row("audio/wav", sampleRate, channels,
+          if (blockAlign > 0 && dataLen > 0) dataLen / blockAlign else 0)
+    }
+    decodeStub(b)
+  }
+
   /** Decode a binary media column into a metadata struct, batch-wise per
     * partition (the decoder is constructed once per partition — the shape a
     * JNI/codec handle needs).
@@ -57,7 +122,7 @@ object BinaryOps {
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       // per-partition decoder setup would go here (JNI handle, etc.)
-      rows.map(r => Row.fromSeq(r.toSeq :+ decodeStub(r.getAs[Array[Byte]](idx))))
+      rows.map(r => Row.fromSeq(r.toSeq :+ sniffMeta(r.getAs[Array[Byte]](idx))))
     }
   }
 

@@ -18,6 +18,44 @@ class BinaryOpsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("meta")))
   }
 
+  test("sniffMeta reads real container headers: PNG, JPEG, GIF, BMP, WAV") {
+    // minimal PNG: signature + IHDR length/tag + 640x480 dims
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80.toByte, /* 640 */ 0, 0, 1, 0xe0.toByte /* 480 */) ++ Array.fill[Byte](8)(0)
+    assert(BinaryOps.sniffMeta(png) == org.apache.spark.sql.Row("image/png", 640, 480, 1))
+
+    // minimal JPEG: SOI, APP0 (len 4), SOF0 with height=100 width=200
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 0, 0, // APP0, skipped
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0, 100, 0, 200.toByte, 3, 0, 0, 0)
+    assert(BinaryOps.sniffMeta(jpeg) == org.apache.spark.sql.Row("image/jpeg", 200, 100, 1))
+
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01 /* 320 LE */, 0xc8.toByte, 0x00 /* 200 LE */) ++ Array.fill[Byte](6)(0)
+    assert(BinaryOps.sniffMeta(gif) == org.apache.spark.sql.Row("image/gif", 320, 200, 1))
+
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x20; bmp(19) = 0x03 // 800 LE
+    bmp(22) = 0x58; bmp(23) = 0x02 // 600 LE
+    assert(BinaryOps.sniffMeta(bmp) == org.apache.spark.sql.Row("image/bmp", 800, 600, 1))
+
+    // minimal WAV: RIFF/WAVE + fmt (stereo, 44100 Hz, blockAlign 4) + data 8 bytes
+    val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2).putInt(44100)
+      .putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(8)
+    assert(BinaryOps.sniffMeta(bb.array()) ==
+      org.apache.spark.sql.Row("audio/wav", 44100, 2, 2)) // 8 bytes / blockAlign 4
+
+    // graft fake header still decodes; garbage stays null
+    assert(BinaryOps.sniffMeta(BinaryOps.fakeImage(4, 3, 2)) ==
+      org.apache.spark.sql.Row("image/x-graft", 4, 3, 2))
+    assert(BinaryOps.sniffMeta(Array.fill[Byte](20)(0x55)) == null)
+  }
+
   test("resize rewrites header and payload deterministically") {
     val out = BinaryOps.resize(media, "content", 2, 2)
     val decoded = BinaryOps.decodeMeta(out, "content", "meta").orderBy("media_id").collect()
