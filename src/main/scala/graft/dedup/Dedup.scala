@@ -177,8 +177,14 @@ object Dedup {
       indexDocFreq: Int = 100): DataFrame = {
     graft.plans.NativeExpressions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // the shingle table feeds candidate generation AND both verification
+    // joins; without persisting it, Spark re-scans and re-shingles the
+    // corpus per branch (measured: 14 parquet scans of the same input,
+    // no exchange reuse). MEMORY_AND_DISK spills rather than OOMs at
+    // scale; Spark's LRU owns eviction.
     val src = df.select(col(idCol).as("doc"),
       expr(s"shingle_hashes(`$textCol`, $n)").as("hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = src.select(col("doc"), explode(col("hashes")).as("gram"))
 
     // per-gram doc frequency (partial-agg shuffle on the 8-byte hash);
@@ -200,6 +206,8 @@ object Dedup {
       .withColumn("__n_grams", count(lit(1)).over(Window.partitionBy("doc")))
       .where(col("__rn") <= ceil((lit(1.0) - lit(threshold)) * col("__n_grams")) + lit(1))
       .select(col("doc"), col("gram"))
+      // both sides of the self-join read this; persist to window once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col("gram"), col("doc").as("id_a"))
     val b = prefix.select(col("gram"), col("doc").as("id_b"))
