@@ -8,7 +8,7 @@ import graft.operators._
 import graft.dedup.Dedup
 import graft.formats.ProtobufFormat
 import graft.similarity.Similarity
-import graft.sources.{CdcFormats, FakeSource, FileSources}
+import graft.sources.{CdcFormats, FakeSource, FileSources, Jdbc}
 import graft.sinks.Sinks
 import graft.text.TextAnalysis
 
@@ -531,6 +531,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // §2.4 JDBC round-trip through embedded Derby (parquet -> jdbc sink
+    // -> jdbc source; predicate pushdown + partitioned reads spec-tested)
+    "q_src_jdbc" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:graft_${dir.replaceAll("\\W", "_")};create=true"
+      Jdbc.write(
+        Tables.load(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        Jdbc.JdbcSinkConfig(url, table = "nation_rt", mode = "overwrite"))
+      Jdbc.read(s, Jdbc.JdbcSourceConfig(url, table = Some("nation_rt")))
+        .orderBy("n_nationkey")
+    }),
+
     // §2.4 FakeSource generator (deterministic; rows-only check)
     "q_fake_source" -> ((s, dir) => {
       FakeSource.generate(s,
@@ -979,6 +990,9 @@ object SparkEntry {
 
     "q_src_excel" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_src_jdbc" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_cdc_debezium" ->
       """SELECT o_orderkey, o_totalprice, '+I' AS __row_kind FROM orders WHERE o_orderstatus = 'F'

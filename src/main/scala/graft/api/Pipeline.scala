@@ -103,6 +103,19 @@ object Pipeline {
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
         p.strOpt("schema").map(s => DataType.fromDDL(s).asInstanceOf[StructType]),
         p.map("options")))
+    case "Jdbc" | "JDBC" =>
+      graft.sources.Jdbc.read(spark, graft.sources.Jdbc.JdbcSourceConfig(
+        p.str("url"),
+        table = p.strOpt("table").orElse(p.strOpt("table_path")),
+        query = p.strOpt("query"),
+        user = p.strOpt("user"), password = p.strOpt("password"),
+        driver = p.strOpt("driver"),
+        partitionColumn = p.strOpt("partition_column"),
+        numPartitions = p.strOpt("partition_num").map(_.toInt),
+        lowerBound = p.strOpt("partition_lower_bound").map(_.toLong),
+        upperBound = p.strOpt("partition_upper_bound").map(_.toLong),
+        fetchSize = p.strOpt("fetch_size").map(_.toInt),
+        options = p.map("options")))
     case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
   }
 
@@ -193,6 +206,15 @@ object Pipeline {
         }
       }
       Sinks.assertRules(df, rules)
+    case "Jdbc" | "JDBC" =>
+      graft.sources.Jdbc.write(df, graft.sources.Jdbc.JdbcSinkConfig(
+        p.str("url"), p.strOpt("table").orElse(p.strOpt("table_path")).getOrElse(
+          throw new IllegalArgumentException("Jdbc sink: table required")),
+        mode = p.strOpt("save_mode").getOrElse("append"),
+        user = p.strOpt("user"), password = p.strOpt("password"),
+        driver = p.strOpt("driver"),
+        batchSize = p.strOpt("batch_size").map(_.toInt),
+        options = p.map("options")))
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 
