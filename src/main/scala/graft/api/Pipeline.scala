@@ -122,7 +122,23 @@ object Pipeline {
   private def applyTransform(spark: SparkSession, p: Plugin, df: DataFrame): DataFrame = p.plugin match {
     case "Copy" => FieldOps.copyFields(df, p.map("fields").toSeq.sortBy(_._2).map(_.swap))
     case "FieldMapper" => FieldOps.fieldMapper(df, orderedPairs(p, "field_mapper"))
-    case "FieldRename" => FieldOps.renameFields(df, p.map("fields"))
+    case "FieldRename" =>
+      // full reference option set (rename/FieldRenameConfig.java): explicit
+      // map, regex replacements, prefix/suffix, case conversion — same
+      // pipeline as TableRename, applied to column names
+      val replacements = p.options.get("replacements_with_regex") match {
+        case Some(l: Seq[_]) => l.map { r =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          m("replace_from").toString -> m("replace_to").toString
+        }
+        case _ => Nil
+      }
+      val renames = df.columns.map { c =>
+        c -> graft.operators.TableOps.renameOne(c, p.map("fields"),
+          p.strOpt("prefix").getOrElse(""), p.strOpt("suffix").getOrElse(""),
+          p.strOpt("convert_case").getOrElse(""), replacements)
+      }.filter { case (a, b) => a != b }.toMap
+      FieldOps.renameFields(df, renames)
     case "Filter" =>
       if (p.list("include_fields").nonEmpty) FieldOps.keepFields(df, p.list("include_fields"))
       else FieldOps.dropFields(df, p.list("exclude_fields"))

@@ -149,6 +149,19 @@ class PipelineSpec extends SparkSpec {
       Seq("ODS_TBL_1", "ODS_TBL_2"))
   }
 
+  test("FieldRename supports convert_case, affixes, and regex replacements") {
+    val config =
+      """{
+        |  "source": [{"plugin": "FakeSource", "plugin_output": "f", "row.num": 2,
+        |              "schema": {"fields": {"user_name": "string", "user_age": "int"}}}],
+        |  "transform": [{"plugin": "FieldRename", "plugin_input": "f", "plugin_output": "out",
+        |    "prefix": "c_", "convert_case": "UPPER",
+        |    "replacements_with_regex": [{"replace_from": "user_", "replace_to": ""}]}]
+        |}""".stripMargin
+    val catalog = Pipeline.runJson(spark, config)
+    assert(catalog("out").columns.toSet == Set("C_NAME", "C_AGE"))
+  }
+
   test("TableRename keeps the implicit transform chain threaded") {
     val config =
       """{
