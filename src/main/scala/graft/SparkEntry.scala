@@ -650,6 +650,16 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // §2.6 Gopher-rule corpus filter (published recipe; every feature is
+    // integer-ratio arithmetic, so DuckDB reproduces the doubles exactly)
+    "q_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherFlags(Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("g_n_words"), col("g_mean_word_len"),
+          col("g_symbol_ratio"), col("g_alpha_word_ratio"),
+          col("g_dupline_ratio"), col("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 benchmark decontamination: drop corpus docs sharing a 13-gram
     // with a benchmark set (here: every 50th doc poses as a benchmark
     // question). Murmur shingles aren't SQL-expressible -> rows-only.
@@ -1022,6 +1032,30 @@ object SparkEntry {
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonspace,
+        |    len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_distinct(string_split(text, chr(10)))) AS n_dlines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_words AS INTEGER) AS g_n_words,
+        |  n_nonspace / n_words AS g_mean_word_len,
+        |  CAST(n_sym AS DOUBLE) / n_words AS g_symbol_ratio,
+        |  CAST(n_alpha AS DOUBLE) / n_words AS g_alpha_word_ratio,
+        |  1.0 - CAST(n_dlines AS DOUBLE) / n_lines AS g_dupline_ratio,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (n_nonspace / n_words BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+        |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+        |    AND (1.0 - CAST(n_dlines AS DOUBLE) / n_lines <= 0.3) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

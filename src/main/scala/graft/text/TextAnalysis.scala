@@ -58,6 +58,41 @@ object TextAnalysis {
       "stopword_ratio" -> (stopHits.cast("double") / nWords)))
   }
 
+  /** Gopher-style corpus-quality rules (the published recipe from
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Rae et al. 2021, Appendix A — the de-facto standard corpus
+    * filter), as pure Column expressions plus a combined pass flag:
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10]
+    *  - symbol-to-word ratio (#, ellipsis) <= 0.1
+    *  - fraction of words containing an alphabetic char >= 0.8
+    *  - duplicate-line fraction <= 0.3 (repetition guard)
+    * All narrow, shuffle-free; the word split happens once.
+    */
+  def gopherFlags(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = size(words)
+    val meanLen = (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+    val symbols = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val lines = split(t, "\n")
+    val dupLines = lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+    df.withColumns(Map(
+        "g_n_words" -> nWords.cast("int"),
+        "g_mean_word_len" -> meanLen,
+        "g_symbol_ratio" -> (symbols.cast("double") / nWords),
+        "g_alpha_word_ratio" -> (alphaWords.cast("double") / nWords),
+        "g_dupline_ratio" -> dupLines))
+      .withColumn("gopher_pass",
+        col("g_n_words").between(minWords, maxWords) &&
+        col("g_mean_word_len").between(3.0, 10.0) &&
+        col("g_symbol_ratio") <= 0.1 &&
+        col("g_alpha_word_ratio") >= 0.8 &&
+        col("g_dupline_ratio") <= 0.3)
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation marks).
     */

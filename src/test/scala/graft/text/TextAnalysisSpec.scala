@@ -26,6 +26,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("distinct_ratio") == 0.75)
   }
 
+  test("gopherFlags computes rule features and the combined pass flag") {
+    val good = ("w " + (1 to 60).map(i => s"word$i").mkString(" ")).trim
+    val tooShort = "only a few words here"
+    val symbolHeavy = (1 to 60).map(_ => "ok#").mkString(" ") // every word has '#'
+    val repeatedLines = ((1 to 30).map(_ => "same line of words").mkString("\n") +
+      "\n" + (1 to 40).map(i => s"w$i").mkString(" "))
+    val df = Seq((1, good), (2, tooShort), (3, symbolHeavy), (4, repeatedLines))
+      .toDF("id", "text")
+    val out = TextAnalysis.gopherFlags(df, "text").orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("gopher_pass"))
+    assert(!out(1).getAs[Boolean]("gopher_pass")) // word count below 50
+    assert(out(1).getAs[Int]("g_n_words") == 5)
+    assert(!out(2).getAs[Boolean]("gopher_pass")) // symbol ratio 1.0
+    assert(out(2).getAs[Double]("g_symbol_ratio") >= 0.9)
+    assert(!out(3).getAs[Boolean]("gopher_pass")) // 29/31 duplicate lines
+    assert(out(3).getAs[Double]("g_dupline_ratio") > 0.3)
+  }
+
   test("tokenCounts whitespace and BPE-ish") {
     val df = Seq((1, "hello world42 foo-bar")).toDF("id", "text")
     val r = TextAnalysis.tokenCounts(df, "text").collect()(0)
