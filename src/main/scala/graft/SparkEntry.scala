@@ -635,6 +635,23 @@ object SparkEntry {
       graft.api.Pipeline.runJson(s, cfg)("out").orderBy("n_nationkey")
     }),
 
+    // §2.5 event-time interval join (Flink-style): purchases within one
+    // hour after a click by the same user. Exact `div 1000` ns->us on
+    // both sides so DuckDB reproduces the boundary arithmetic bit-exactly.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_micros(expr("ts div 1000")).as("c_et"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          timestamp_micros(expr("ts div 1000")).as("b_et"), col("value"))
+      graft.streaming.StreamingOps.intervalJoin(clicks, buys, Seq("user_id"),
+          "c_et", "b_et", "0 seconds", "1 hour")
+        .select("user_id", "click_id", "buy_id", "value")
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
     // §2.6 multimodal plumbing end-to-end: synthesize deterministic media
     // per doc, decode header metadata batch-wise, stride-sample frames.
     // Metadata is arithmetic on doc_id, so DuckDB can oracle the result.
@@ -1032,6 +1049,16 @@ object SparkEntry {
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT user_id, event_id AS buy_id, epoch_ns(ts) // 1000 AS b_us, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, buy_id, value
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |  AND b_us >= c_us AND b_us <= c_us + 3600000000
+        |ORDER BY c.user_id, click_id, buy_id""".stripMargin,
 
     "q_gopher_filter" ->
       """WITH f AS (

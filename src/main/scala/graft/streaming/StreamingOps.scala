@@ -118,6 +118,30 @@ object StreamingOps {
       }
   }
 
+  /** Event-time interval join (Flink-style): left rows join right rows
+    * with equal keys whose event time falls within
+    * [leftTime + lowerBound, leftTime + upperBound]. On streams, both
+    * sides carry watermarks and the time-range predicate is exactly what
+    * Structured Streaming needs to bound join state — without it the
+    * right-side buffer grows forever. Works identically on batch inputs
+    * (watermarks ignored), which is how specs cross-check it.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      lowerBound: String, upperBound: String,
+      watermark: String = "10 seconds"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTimeCol, watermark) else left).as("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTimeCol, watermark) else right).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col(s"r.$rightTimeCol") >= col(s"l.$leftTimeCol") + expr(s"INTERVAL $lowerBound") &&
+      col(s"r.$rightTimeCol") <= col(s"l.$leftTimeCol") + expr(s"INTERVAL $upperBound")
+    l.join(r, keyCond && timeCond)
+      .select(keys.map(k => col(s"l.$k")) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"l.$c")) ++
+        right.columns.filterNot(keys.contains).map(c => col(s"r.$c")): _*)
+  }
+
   // ---------- CDC apply ----------
 
   /** Apply one micro-batch of a row-kind change stream onto a snapshot:

@@ -82,6 +82,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(merged == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
   }
 
+  test("intervalJoin bounds matches by key and event-time range, batch and stream") {
+    implicit val sq = spark.sqlContext
+    val T0 = 1704067200L * 1000000000L // 2024-01-01 in ns
+    def mk(rows: Seq[(String, Long, Double)]) =
+      StreamingOps.withEventTime(rows.toDF("k", "tsNs", "v"), "tsNs", "et")
+
+    val clicks = mk(Seq(("u1", T0, 1.0), ("u2", T0 + 30L * 1000000000L, 2.0)))
+    val buys = mk(Seq(
+      ("u1", T0 + 5L * 1000000000L, 10.0),  // 5s after u1 click -> joins
+      ("u1", T0 + 90L * 1000000000L, 20.0), // 90s after -> outside [0s, 60s]
+      ("u2", T0 + 20L * 1000000000L, 30.0)  // 10s BEFORE u2 click -> outside
+    ))
+    // batch form
+    val batch = StreamingOps.intervalJoin(
+      clicks.select("k", "et"), buys.selectExpr("k", "et AS bet", "v"),
+      Seq("k"), "et", "bet", "0 seconds", "60 seconds")
+    assert(batch.collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("v"))).toSet ==
+      Set(("u1", 10.0)))
+
+    // streaming form: same data through MemoryStreams
+    val cs = MemoryStream[(String, Long, Double)]
+    val bs = MemoryStream[(String, Long, Double)]
+    val cdf = StreamingOps.withEventTime(cs.toDF().toDF("k", "tsNs", "v"), "tsNs", "et")
+      .select("k", "et")
+    val bdf = StreamingOps.withEventTime(bs.toDF().toDF("k", "tsNs", "v"), "tsNs", "et")
+      .selectExpr("k", "et AS bet", "v")
+    val joined = StreamingOps.intervalJoin(cdf, bdf, Seq("k"), "et", "bet",
+      "0 seconds", "60 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      cs.addData(("u1", T0, 1.0), ("u2", T0 + 30L * 1000000000L, 2.0))
+      bs.addData(("u1", T0 + 5L * 1000000000L, 10.0),
+        ("u1", T0 + 90L * 1000000000L, 20.0),
+        ("u2", T0 + 20L * 1000000000L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Double]("v"))).toSet
+      assert(got == Set(("u1", 10.0)))
+    } finally q.stop()
+  }
+
   test("applyCdcStream persists a durable versioned snapshot across batches") {
     implicit val sq = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
