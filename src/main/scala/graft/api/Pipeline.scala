@@ -341,6 +341,18 @@ object Pipeline {
     case "Rate" =>
       spark.readStream.format("rate")
         .option("rowsPerSecond", p.int("rows_per_second", 10)).load()
+    case "Kafka" =>
+      // option mapping per the reference connector-kafka; requires the
+      // spark-sql-kafka module on the classpath (not shipped in this
+      // sandbox — the mapping is the testable part)
+      var r = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", p.str("bootstrap.servers"))
+        .option("subscribe", p.str("topic"))
+      p.strOpt("consumer.group").foreach(g => r = r.option("kafka.group.id", g))
+      p.strOpt("start_mode").foreach(m => r = r.option("startingOffsets",
+        if (m.equalsIgnoreCase("earliest")) "earliest" else "latest"))
+      p.map("options").foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
     case other => throw new IllegalArgumentException(s"unknown streaming source plugin: $other")
   }
 

@@ -177,6 +177,21 @@ class PipelineSpec extends SparkSpec {
     assert(catalog("f_renamed_out").columns.toSeq == Seq("a"))
   }
 
+  test("Kafka streaming source shell maps reference options (module absent here)") {
+    val job = Pipeline.parse(
+      """{"env": {"job.mode": "STREAMING"},
+        |  "source": [{"plugin": "Kafka", "plugin_output": "k",
+        |              "bootstrap.servers": "broker:9092", "topic": "t",
+        |              "start_mode": "earliest"}],
+        |  "sink": [{"plugin": "Console", "plugin_input": "k"}]
+        |}""".stripMargin)
+    // spark-sql-kafka is not on this classpath: the config must reach
+    // format resolution (proving the mapping), then fail on the missing
+    // data source — not on option handling.
+    val e = intercept[Exception] { Pipeline.runStreaming(spark, job) }
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("env block: parallelism and job.mode are honored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
