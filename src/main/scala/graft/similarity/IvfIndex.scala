@@ -53,12 +53,12 @@ object IvfIndex {
   // plan — rewriting the underlying files under an identical plan would
   // need an explicit `clearCache()`.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int, Long), IvfIndex]()
 
   def cached(corpus: DataFrame, vecCol: String, nLists: Int = 16,
       sampleSize: Int = 65536, seed: Long = 42): IvfIndex = {
     val key = (corpus.queryExecution.logical.canonicalized.hashCode(),
-      vecCol, nLists, seed)
+      vecCol, nLists, sampleSize, seed)
     if (cache.size > 64) cache.clear()
     cache.computeIfAbsent(key,
       _ => build(corpus, vecCol, nLists, sampleSize, seed = seed))
