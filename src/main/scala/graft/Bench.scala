@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,15 +18,23 @@ object Bench {
     // JVM/session warm-up outside the timed region (codegen, block manager,
     // shuffle machinery) so the first query doesn't absorb startup cost.
     spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
+    // n reps per query, report the median — single runs swing up to 2x on
+    // this box (GC, first-compile of the plan's generated code). The data
+    // cache is cleared between reps, so every rep recomputes from parquet;
+    // the median measures the plan, not cache reuse.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,17 +151,36 @@ object AvroFormat {
     b.build()
   }
 
-  private def fromAvroValue(v: Any, dt: DataType): Any = {
+  /** Unwrap union(null, T) to T; null-safe (schema may be absent when a
+    * user-supplied Spark schema names a field the file lacks).
+    */
+  private def unwrapNull(s: Schema): Schema =
+    if (s != null && s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** Convert one Avro value. The Avro field schema rides along so logical
+    * types disambiguate the wire encoding — in particular
+    * timestamp-millis/local-timestamp-millis longs (common in files from
+    * other tooling) scale to micros instead of being read 1000x too small.
+    */
+  private def fromAvroValue(v: Any, dt: DataType, avro: Schema): Any = {
     if (v == null) return null
+    val s = unwrapNull(avro)
+    def logical = if (s == null) null else s.getLogicalType
     (v, dt) match {
       case (u: CharSequence, StringType) => u.toString
       case (l: java.lang.Long, TimestampType) =>
-        val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
+        val micros =
+          if (logical.isInstanceOf[LogicalTypes.TimestampMillis]) l * 1000L else l.longValue()
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
       case (l: java.lang.Long, TimestampNTZType) =>
-        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l, 1000000L),
-          (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+        val micros =
+          if (logical.isInstanceOf[LogicalTypes.LocalTimestampMillis]) l * 1000L else l.longValue()
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case (i: java.lang.Integer, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
       case (bb: java.nio.ByteBuffer, d: DecimalType) =>
@@ -172,9 +191,11 @@ object AvroFormat {
         bytes
       case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
       case (l: java.util.List[_], ArrayType(et, _)) =>
-        l.asScala.map(x => fromAvroValue(x, et)).toSeq
+        val elem = if (s != null && s.getType == Schema.Type.ARRAY) s.getElementType else null
+        l.asScala.map(x => fromAvroValue(x, et, elem)).toSeq
       case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-        m.asScala.map { case (k, x) => k.toString -> fromAvroValue(x, vt) }.toMap
+        val value = if (s != null && s.getType == Schema.Type.MAP) s.getValueType else null
+        m.asScala.map { case (k, x) => k.toString -> fromAvroValue(x, vt, value) }.toMap
       case (r: GenericRecord, st: StructType) => recordToRow(r, st)
       case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
       case (x, _) => x
@@ -186,8 +207,9 @@ object AvroFormat {
     var i = 0
     while (i < st.fields.length) {
       val f = st.fields(i)
-      val raw = if (rec.getSchema.getField(f.name) != null) rec.get(f.name) else null
-      vals(i) = fromAvroValue(raw, f.dataType)
+      val avroField = rec.getSchema.getField(f.name)
+      val raw = if (avroField != null) rec.get(f.name) else null
+      vals(i) = fromAvroValue(raw, f.dataType, if (avroField != null) avroField.schema() else null)
       i += 1
     }
     Row.fromSeq(vals.toIndexedSeq)

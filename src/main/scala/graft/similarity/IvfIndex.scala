@@ -49,16 +49,19 @@ object IvfIndex {
 
   // Quantizers are tiny and corpus-stable: memoize per (canonicalized
   // corpus plan, column, nLists, seed) so repeated ivfTopK calls over the
-  // same corpus skip the sampling scan entirely. Keyed on the logical
-  // plan — rewriting the underlying files under an identical plan would
-  // need an explicit `clearCache()`.
+  // same corpus skip the sampling scan entirely. Keyed on the FULL
+  // canonicalized plan string + schema (a 32-bit hashCode could collide
+  // across corpora and silently serve the wrong centroids); rewriting the
+  // underlying files under an identical plan would need an explicit
+  // `clearCache()`.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int, Long), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Long), IvfIndex]()
 
   def cached(corpus: DataFrame, vecCol: String, nLists: Int = 16,
       sampleSize: Int = 65536, seed: Long = 42): IvfIndex = {
-    val key = (corpus.queryExecution.logical.canonicalized.hashCode(),
-      vecCol, nLists, sampleSize, seed)
+    val planKey = corpus.queryExecution.logical.canonicalized.toString +
+      "|" + corpus.schema.catalogString
+    val key = (planKey, vecCol, nLists, sampleSize, seed)
     if (cache.size > 64) cache.clear()
     cache.computeIfAbsent(key,
       _ => build(corpus, vecCol, nLists, sampleSize, seed = seed))

@@ -83,6 +83,12 @@ object Similarity {
   /** LSH-bucketed ANN: candidates are corpus vectors sharing at least one
     * signature band with the query; exact cosine ranks within candidates.
     * Recall vs bruteForceTopK is measured in LshAnnSpec.
+    *
+    * Only (id, band_idx, band_val) enters the candidate join and its
+    * dedup exchange — vectors join back by id afterwards (corpus vectors
+    * cross the wire once per candidate doc; query vectors ride a
+    * broadcast). Letting vectors ride the ×numBands band explode was the
+    * dominant shuffle width at scale.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int = 10,
@@ -90,21 +96,23 @@ object Similarity {
     val sig = Dedup.planeSigUdf(dim, sigBits, seed)
     val numBands = sigBits / bandBits
 
-    def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .withColumn("sig", sig(col(vec)))
-        .select(col(id), col(vec),
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), sig(col(vecCol)).as("sig"))
+        .select(col(id),
           explode(array((0 until numBands).map(i =>
             struct(lit(i).as("band_idx"),
               shiftrightunsigned(col("sig"), i * bandBits)
                 .bitwiseAND(lit((1 << bandBits) - 1)).as("band_val"))): _*)).as("b"))
-        .select(col(id), col(vec), col("b.band_idx"), col("b.band_val"))
+        .select(col(id), col("b.band_idx"), col("b.band_val"))
 
-    val qb = broadcast(banded(queries, "q_id", "q_vec"))
-    val cb = banded(corpus, "n_id", "n_vec")
+    val qb = broadcast(banded(queries, "q_id"))
+    val cb = banded(corpus, "n_id")
     val candidates = cb.join(qb, Seq("band_idx", "band_val"))
+      .select("q_id", "n_id")
       .dropDuplicates("q_id", "n_id")
     candidates
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), Seq("q_id"))
       .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))

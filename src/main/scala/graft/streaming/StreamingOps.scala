@@ -136,10 +136,15 @@ object StreamingOps {
     val timeCond =
       col(s"r.$rightTimeCol") >= col(s"l.$leftTimeCol") + expr(s"INTERVAL $lowerBound") &&
       col(s"r.$rightTimeCol") <= col(s"l.$leftTimeCol") + expr(s"INTERVAL $upperBound")
+    // right-side non-key columns that collide with a left column name are
+    // suffixed `_r` — identically-schemed streams are the common case and
+    // duplicate output names break any downstream by-name selection
+    val leftNames = left.columns.toSet
     l.join(r, keyCond && timeCond)
       .select(keys.map(k => col(s"l.$k")) ++
         left.columns.filterNot(keys.contains).map(c => col(s"l.$c")) ++
-        right.columns.filterNot(keys.contains).map(c => col(s"r.$c")): _*)
+        right.columns.filterNot(keys.contains).map(c =>
+          if (leftNames.contains(c)) col(s"r.$c").as(s"${c}_r") else col(s"r.$c")): _*)
   }
 
   // ---------- CDC apply ----------
@@ -170,8 +175,12 @@ object StreamingOps {
     * foreachBatch. The snapshot is DURABLE, not driver memory: each
     * micro-batch merges the current version with the batch, writes
     * `stateDir/v{batchId}`, then atomically swaps a `_CURRENT` pointer
-    * file (FileSystem.rename). Replayed batches rewrite the same version
-    * directory, so the merge is idempotent under Structured Streaming's
+    * file (FileSystem.rename). A batch REPLAYED after its version was
+    * already committed (crash between commit and the streaming checkpoint)
+    * is detected by comparing the committed pointer with the incoming
+    * batchId and skipped — re-merging would overwrite the very directory
+    * being read as the current snapshot, which Spark (rightly) refuses.
+    * The merge is therefore idempotent under Structured Streaming's
     * at-least-once foreachBatch contract, and a restarted driver resumes
     * from the pointer — no state is lost with the process.
     * `onBatch` receives the freshly-persisted snapshot after each batch.
@@ -182,18 +191,27 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val current = currentSnapshot(spark, stateDir).getOrElse(initial)
-        val merged = applyCdcBatch(current, batch, keys, ordCol)
-        val versionDir = s"$stateDir/v$batchId"
-        merged.write.mode("overwrite").parquet(versionDir)
-        commitSnapshotVersion(spark, stateDir, batchId)
-        onBatch(spark.read.parquet(versionDir))
+        currentVersion(spark, stateDir) match {
+          case Some(v) if v >= batchId =>
+            // already merged + committed before a crash/stop: the durable
+            // snapshot holds this batch; just re-deliver it
+            onBatch(spark.read.parquet(s"$stateDir/v$v"))
+          case committed =>
+            val current = committed
+              .map(v => spark.read.parquet(s"$stateDir/v$v"))
+              .getOrElse(initial)
+            val merged = applyCdcBatch(current, batch, keys, ordCol)
+            val versionDir = s"$stateDir/v$batchId"
+            merged.write.mode("overwrite").parquet(versionDir)
+            commitSnapshotVersion(spark, stateDir, batchId)
+            onBatch(spark.read.parquet(versionDir))
+        }
       }
   }
 
-  /** Read the committed snapshot version, if any. */
-  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): Option[DataFrame] = {
+  /** Read the committed snapshot version number, if any. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[Long] = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ptr = new org.apache.hadoop.fs.Path(stateDir, "_CURRENT")
@@ -201,9 +219,14 @@ object StreamingOps {
     else {
       val in = fs.open(ptr)
       val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      Some(spark.read.parquet(s"$stateDir/v$v"))
+      Some(v.toLong)
     }
   }
+
+  /** Read the committed snapshot version, if any. */
+  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    currentVersion(spark, stateDir).map(v => spark.read.parquet(s"$stateDir/v$v"))
 
   private def commitSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, batchId: Long): Unit = {

@@ -59,6 +59,17 @@ class DedupSpec extends SparkSpec {
     assert(pairSet.size == 2)
   }
 
+  test("ngramJaccardPairs prefix path finds the same pairs as the naive index") {
+    // default prefixMinDocs keeps this 6-doc corpus on the naive path;
+    // prefixMinDocs = 0 forces the PPJoin prefix path — pair sets and
+    // Jaccard values must agree exactly
+    def run(minDocs: Int) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        prefixMinDocs = minDocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(0) == run(10000))
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val nearly = base.clone(); nearly(0) = base(0) + 0.001f

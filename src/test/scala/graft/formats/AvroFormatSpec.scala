@@ -75,6 +75,29 @@ class AvroFormatSpec extends SparkSpec {
     assert(files.exists(_.endsWith(".avro")))
   }
 
+  test("decodes timestamp-millis logical types from files written by other tooling") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"lts","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+        |{"name":"tsu","type":{"type":"long","logicalType":"timestamp-micros"}}]}""".stripMargin)
+    val dir = new java.io.File(tmpDir("millis")); dir.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "m.avro"))
+    val millis = 1709288430123L // 2024-03-01T10:20:30.123Z
+    val rec = new GenericData.Record(schema)
+    rec.put("ts", millis); rec.put("lts", millis); rec.put("tsu", millis * 1000L)
+    w.append(rec); w.close()
+
+    val r = AvroFormat.read(spark, dir.toString).collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("ts").getTime == millis)
+    assert(r.getAs[java.sql.Timestamp]("tsu").getTime == millis)
+    assert(r.getAs[java.time.LocalDateTime]("lts") ==
+      java.time.LocalDateTime.ofEpochSecond(millis / 1000,
+        (millis % 1000).toInt * 1000000, java.time.ZoneOffset.UTC))
+  }
+
   test("write refuses existing path unless mode=overwrite") {
     import graft.sinks.Sinks
     val df = spark.range(3).toDF("id")

@@ -149,6 +149,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(versions.length <= 2)
   }
 
+  test("intervalJoin suffixes right-side column names that collide with the left") {
+    val T0 = 1704067200L * 1000000000L
+    def mk(rows: Seq[(String, Long, Double)]) =
+      StreamingOps.withEventTime(rows.toDF("k", "tsNs", "v"), "tsNs", "et")
+    val left = mk(Seq(("u1", T0, 1.0))).select("k", "et", "v")
+    val right = mk(Seq(("u1", T0 + 5L * 1000000000L, 10.0))).selectExpr("k", "et AS bet", "v")
+    val out = StreamingOps.intervalJoin(left, right, Seq("k"), "et", "bet",
+      "0 seconds", "60 seconds")
+    assert(out.columns.toSeq == Seq("k", "et", "v", "bet", "v_r"))
+    val r = out.collect()(0)
+    assert(r.getAs[Double]("v") == 1.0 && r.getAs[Double]("v_r") == 10.0)
+  }
+
+  test("applyCdcStream skips re-merging a batch whose version is already committed") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc-replay").toString
+    val stateDir = s"$base/state"
+    // simulate a crash AFTER commitSnapshotVersion(0) but BEFORE the
+    // streaming checkpoint committed: v0 + _CURRENT exist, yet the query
+    // restarts from batchId 0
+    val pre = Seq((1L, "a")).toDF("id", "v")
+      .withColumn("__row_kind", lit("+I")).withColumn("ord", lit(0L))
+    pre.write.parquet(s"$stateDir/v0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stateDir, "_CURRENT"), "0".getBytes("UTF-8"))
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val changes = input.toDF().toDF("id", "v", "__row_kind", "ord")
+    val initial = pre.limit(0)
+    def snap() = StreamingOps.currentSnapshot(spark, stateDir).get
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = StreamingOps.applyCdcStream(changes, initial, Seq("id"), "ord",
+      s"$base/ckpt", stateDir)(_ => ()).start()
+    try {
+      // batch 0 is a replay of already-committed work: must NOT re-merge
+      // (the old path crashed here overwriting the directory being read)
+      input.addData((9L, "replayed", "+I", 5L))
+      q.processAllAvailable()
+      assert(StreamingOps.currentVersion(spark, stateDir).contains(0L))
+      assert(snap() == Map(1L -> "a"))
+      // batch 1 merges normally on top of the committed snapshot
+      input.addData((2L, "b", "+I", 6L))
+      q.processAllAvailable()
+      assert(StreamingOps.currentVersion(spark, stateDir).contains(1L))
+      assert(snap() == Map(1L -> "a", 2L -> "b"))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch assigns gap-based session ids (batch/SQL form)") {
     val df = Seq(
       (7L, 1000L), (7L, 2000L), (7L, 10000L), (8L, 500L)
