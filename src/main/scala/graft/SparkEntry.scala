@@ -490,6 +490,21 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // §2.4 delimited multi-column text round-trip (reference
+    // seatunnel-format-text field_delimiter files; one codegen'd
+    // split/try_cast projection over spark.read.text)
+    "q_src_text_delim" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/textd_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        Sinks.FileSinkConfig(tmp, "text", options = Map("field_delimiter" -> "|")))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "text",
+          Some(StructType(Seq(StructField("s_suppkey", LongType),
+            StructField("s_name", StringType), StructField("s_acctbal", DoubleType)))),
+          Map("field_delimiter" -> "|")))
+        .orderBy("s_suppkey")
+    }),
+
     // §2.4 avro file round-trip (graft.formats.AvroFormat — Avro Java API
     // over Hadoop input/output formats; splittable container files)
     "q_src_avro" -> ((s, dir) => {
@@ -1006,6 +1021,9 @@ object SparkEntry {
 
     "q_src_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_src_text_delim" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "q_src_avro" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate

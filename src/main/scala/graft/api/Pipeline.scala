@@ -116,6 +116,21 @@ object Pipeline {
         upperBound = p.strOpt("partition_upper_bound").map(_.toLong),
         fetchSize = p.strOpt("fetch_size").map(_.toInt),
         options = p.map("options")))
+    case "Http" | "HTTP" =>
+      // config shell for the reference connector-http source (url, method,
+      // format, schema, headers/params). This sandbox has no network
+      // egress, so — like the Kafka shell — the testable surface is that
+      // the config parses and validates; the fetch itself reports clearly.
+      val url = p.strOpt("url").getOrElse(
+        throw new IllegalArgumentException("Http source: url required"))
+      val method = p.strOpt("method").getOrElse("GET").toUpperCase
+      require(Set("GET", "POST").contains(method),
+        s"Http source: unsupported method $method")
+      p.strOpt("format").foreach(f => require(Set("json", "text").contains(f.toLowerCase),
+        s"Http source: unsupported format $f"))
+      throw new UnsupportedOperationException(
+        s"Http source: network egress is unavailable in this environment " +
+          s"(validated config: url=$url, method=$method)")
     case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
   }
 
@@ -199,9 +214,19 @@ object Pipeline {
   private def runSink(df: DataFrame, p: Plugin): Unit = p.plugin match {
     case "Console" => Sinks.console(df, p.int("limit", 20))
     case "LocalFile" | "File" =>
-      Sinks.writeFile(df, Sinks.FileSinkConfig(
+      val cfg = Sinks.FileSinkConfig(
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
-        p.strOpt("save_mode").getOrElse("overwrite"), p.list("partition_by"), p.map("options")))
+        p.strOpt("save_mode").getOrElse("overwrite"), p.list("partition_by"), p.map("options"))
+      (p.strOpt("schema_save_mode"), p.strOpt("data_save_mode")) match {
+        case (None, None) => Sinks.writeFile(df, cfg)
+        case (sm, dm) =>
+          // reference sink options schema_save_mode / data_save_mode
+          Sinks.writeFileWithSaveMode(df, cfg,
+            sm.map(graft.sinks.SaveModes.SchemaSaveMode.parse)
+              .getOrElse(graft.sinks.SaveModes.SchemaSaveMode.CreateWhenNotExist),
+            dm.map(graft.sinks.SaveModes.DataSaveMode.parse)
+              .getOrElse(graft.sinks.SaveModes.DataSaveMode.AppendData))
+      }
     case "Assert" =>
       val rules = p.options.get("rules").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil).map { r =>
         val m = r.asInstanceOf[Map[String, Any]]
@@ -223,14 +248,27 @@ object Pipeline {
       }
       Sinks.assertRules(df, rules)
     case "Jdbc" | "JDBC" =>
-      graft.sources.Jdbc.write(df, graft.sources.Jdbc.JdbcSinkConfig(
+      val cfg = graft.sources.Jdbc.JdbcSinkConfig(
         p.str("url"), p.strOpt("table").orElse(p.strOpt("table_path")).getOrElse(
           throw new IllegalArgumentException("Jdbc sink: table required")),
         mode = p.strOpt("save_mode").getOrElse("append"),
         user = p.strOpt("user"), password = p.strOpt("password"),
         driver = p.strOpt("driver"),
         batchSize = p.strOpt("batch_size").map(_.toInt),
-        options = p.map("options")))
+        options = p.map("options"))
+      (p.strOpt("schema_save_mode"), p.strOpt("data_save_mode")) match {
+        case (None, None) => graft.sources.Jdbc.write(df, cfg)
+        case (sm, dm) =>
+          // reference sink options schema_save_mode / data_save_mode /
+          // custom_sql (JdbcSinkFactory defaults: CREATE_SCHEMA_WHEN_NOT_
+          // EXIST + APPEND_DATA)
+          graft.sources.Jdbc.writeWithSaveMode(df, cfg,
+            sm.map(graft.sinks.SaveModes.SchemaSaveMode.parse)
+              .getOrElse(graft.sinks.SaveModes.SchemaSaveMode.CreateWhenNotExist),
+            dm.map(graft.sinks.SaveModes.DataSaveMode.parse)
+              .getOrElse(graft.sinks.SaveModes.DataSaveMode.AppendData),
+            p.strOpt("custom_sql"))
+      }
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 

@@ -35,6 +35,12 @@ object Sinks {
       case "orc" => w.orc(cfg.path)
       case "json" => w.json(cfg.path)
       case "csv" => w.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
+      // multi-column frames (or an explicit field_delimiter) write the
+      // reference's delimited text format; single-column frames go through
+      // Spark's raw text writer
+      case "text" if df.columns.length > 1 || cfg.options.contains("field_delimiter") =>
+        graft.formats.DelimitedTextFormat.write(df, cfg.path,
+          graft.formats.DelimitedTextFormat.configFrom(opts), cfg.mode)
       case "text" => w.text(cfg.path)
       case "xml" => w.option("rowTag", cfg.options.getOrElse("rowTag", "RECORD")).xml(cfg.path)
       case "avro" =>
@@ -53,6 +59,18 @@ object Sinks {
           opts.getOrElse("header", "true").toBoolean)
       case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
+  }
+
+  /** Reference-style write: schema/data save modes run driver-side first
+    * (directory create/recreate, content drop, error checks — see
+    * [[SaveModes]]), then the rows append. Mirrors the reference's
+    * SupportSaveMode contract for file sinks; the legacy Spark-mode
+    * `writeFile` stays for callers that want writer-native semantics.
+    */
+  def writeFileWithSaveMode(df: DataFrame, cfg: FileSinkConfig,
+      schemaMode: SaveModes.SchemaSaveMode, dataMode: SaveModes.DataSaveMode): Unit = {
+    SaveModes.handle(schemaMode, dataMode, new SaveModes.FileBackend(df, cfg.path))
+    writeFile(df, cfg.copy(mode = "append"))
   }
 
   // ---------- console ----------

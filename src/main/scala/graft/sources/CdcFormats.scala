@@ -165,6 +165,24 @@ object CdcFormats {
       when(ins, "insert").otherwise("delete").as("type"))).as(outputCol))
   }
 
+  /** GoldenGate ogg-json envelope, symmetric with [[parseOgg]]:
+    * +I/+U -> {"after": row, "op_type": "I"}; -U/-D -> {"before": row,
+    * "op_type": "D"}. Kind mapping follows the reference serializer
+    * (seatunnel-format-json/.../ogg/OggJsonSerializationSchema.java:61 —
+    * INSERT/UPDATE_AFTER emit the insert op, UPDATE_BEFORE/DELETE the
+    * delete op); the envelope field names follow the GoldenGate wire shape
+    * the parse side accepts, so toOggJson -> parseOgg round-trips.
+    */
+  def toOggJson(df: DataFrame, dataCols: Seq[String] = Nil,
+      outputCol: String = "json"): DataFrame = {
+    val data = dataStruct(df, dataCols)
+    val ins = col(RowKindOps.RowKindCol).isin("+I", "+U")
+    df.select(to_json(struct(
+      when(!ins, data).as("before"),
+      when(ins, data).as("after"),
+      when(ins, "I").otherwise("D").as("op_type"))).as(outputCol))
+  }
+
   /** Maxwell: {data, old, type: insert|update|delete, ...}. Single-row
     * envelopes; update pre-image = data patched with old's changed fields.
     */

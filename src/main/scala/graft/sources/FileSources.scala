@@ -32,6 +32,14 @@ object FileSources {
       case "orc" => r.orc(cfg.path)
       case "json" => r.json(cfg.path)
       case "csv" => r.csv(cfg.path)
+      // a multi-column schema (or an explicit field_delimiter) selects the
+      // reference's delimited text format; otherwise Spark's raw one-column
+      // text reader
+      case "text" if cfg.schema.exists(_.length > 1) || cfg.options.contains("field_delimiter") =>
+        graft.formats.DelimitedTextFormat.read(spark, cfg.path,
+          cfg.schema.getOrElse(throw new IllegalArgumentException(
+            "delimited text source requires a schema")),
+          graft.formats.DelimitedTextFormat.configFrom(cfg.options))
       case "text" => r.text(cfg.path)
       // Spark 4 native XML (reference: connector-file xml file_format_type);
       // rowTag comes through options, default matches the reference docs.

@@ -79,4 +79,22 @@ object Jdbc {
     cfg.batchSize.foreach(n => w = w.option("batchsize", n.toString))
     w.options(cfg.options).save()
   }
+
+  /** Reference-style write: the schema/data save modes run driver-side
+    * first (create/recreate table, truncate, error checks — see
+    * [[graft.sinks.SaveModes]]), then the rows append distributed. This is
+    * the reference's SupportSaveMode sink contract
+    * (seatunnel-api/.../sink/SupportSaveMode.java + DefaultSaveModeHandler).
+    */
+  def writeWithSaveMode(df: DataFrame, cfg: JdbcSinkConfig,
+      schemaMode: graft.sinks.SaveModes.SchemaSaveMode,
+      dataMode: graft.sinks.SaveModes.DataSaveMode,
+      customSql: Option[String] = None): Unit = {
+    val props = new java.util.Properties()
+    cfg.user.foreach(props.setProperty("user", _))
+    cfg.password.foreach(props.setProperty("password", _))
+    val backend = new graft.sinks.SaveModes.JdbcBackend(cfg.url, cfg.table, df.schema, props)
+    graft.sinks.SaveModes.handle(schemaMode, dataMode, backend, customSql)
+    write(df, cfg.copy(mode = "append"))
+  }
 }

@@ -192,6 +192,32 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"))
   }
 
+  test("Http source shell validates reference options (no egress here)") {
+    def job(src: String) = Pipeline.parse(
+      s"""{"source": [$src],
+         |  "sink": [{"plugin": "Console", "plugin_input": "h"}]
+         |}""".stripMargin)
+    // missing url fails option validation
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, job("""{"plugin": "Http", "plugin_output": "h"}"""))
+    }
+    assert(e1.getMessage.contains("url"))
+    // bad method fails option validation
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, job(
+        """{"plugin": "Http", "plugin_output": "h",
+          | "url": "http://example.invalid/data", "method": "PATCH"}""".stripMargin))
+    }
+    // valid config reaches the fetch, which reports the sandbox clearly
+    val e2 = intercept[UnsupportedOperationException] {
+      Pipeline.run(spark, job(
+        """{"plugin": "Http", "plugin_output": "h",
+          | "url": "http://example.invalid/data", "method": "GET",
+          | "format": "json"}""".stripMargin))
+    }
+    assert(e2.getMessage.contains("example.invalid"))
+  }
+
   test("env block: parallelism and job.mode are honored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {

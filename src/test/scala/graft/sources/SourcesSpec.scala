@@ -136,6 +136,8 @@ class SourcesSpec extends SparkSpec {
     assert(got(CdcFormats.parseMaxwell(
       CdcFormats.toMaxwellJson(changes), "json", userSchema)) ==
       expect.map { case (i, n, k) => (i, n, if (k == "+I") "+I" else "-D") })
+    assert(got(CdcFormats.parseOgg(
+      CdcFormats.toOggJson(changes), "json", userSchema)) == expect)
     // explicit data column selection keeps extra columns out of the envelope
     val withExtra = changes.withColumn("extra",
       org.apache.spark.sql.functions.lit("x"))
