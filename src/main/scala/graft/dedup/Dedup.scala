@@ -84,7 +84,12 @@ object Dedup {
     // signature+banding runs as a native codegen'd expression (no UDF
     // encoder round-trip on the per-document hot path)
     graft.plans.NativeExpressions.register(df.sparkSession)
+    // src feeds BOTH derived caches (banded + shingles); persisting it
+    // means the corpus parquet is scanned once per query, not once per
+    // derived table. MEMORY_AND_DISK: text-sized, spills, LRU-evictable
+    // (eviction degrades to a rescan, never an error).
     val src = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = expr(
       s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})")
     // banded feeds the oversized-bucket subquery AND both sides of the
