@@ -490,6 +490,26 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // §2.4 binary whole-file round-trip (reference BINARY file-copy
+    // format): emit each document's text as a file via the binary sink,
+    // re-ingest with the binary source, digest-compare against the table
+    "q_src_binary" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/bin_${dir.replaceAll("\\W", "_")}"
+      // every-50th doc: file-per-row emission is the format's contract, but
+      // benching 5k one-row files only measures filesystem metadata calls
+      val files = Tables.load(s, dir, "documents")
+        .where(col("doc_id") % 50 === 0)
+        .select(encode(col("text"), "UTF-8").as("data"),
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("relativePath"))
+      Sinks.writeFile(files, Sinks.FileSinkConfig(tmp, "binary"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "binary",
+          options = Map("path_glob" -> "*.txt")))
+        .select(col("relativePath"),
+          length(col("data")).cast("long").as("n_bytes"),
+          md5(col("data")).as("digest"))
+        .orderBy("relativePath")
+    }),
+
     // §2.4 delimited multi-column text round-trip (reference
     // seatunnel-format-text field_delimiter files; one codegen'd
     // split/try_cast projection over spark.read.text)
@@ -689,6 +709,21 @@ object SparkEntry {
         .select(col("doc_id"), col("g_n_words"), col("g_mean_word_len"),
           col("g_symbol_ratio"), col("g_alpha_word_ratio"),
           col("g_dupline_ratio"), col("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 C4-style page cleaning (published Raffel et al. recipe):
+    // line-level retention + page-level keep flag, DuckDB-oracle-exact.
+    // The synthetic docs carry no punctuation/newlines, so both engines
+    // derive page-shaped text the same way (sentence breaks at ' a ')
+    // to exercise the line filter non-degenerately.
+    "q_c4_filter" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("replace(text, ' a ', '.\\n')").as("page"))
+      TextAnalysis.c4Flags(pages, "page")
+        .select(col("doc_id"), col("c4_n_lines"), col("c4_n_kept_lines"),
+          col("c4_n_sentences"), col("c4_has_lorem"), col("c4_has_brace"),
+          md5(col("c4_clean_text")).as("c4_clean_digest"), col("c4_keep"))
         .orderBy("doc_id")
     }),
 
@@ -1025,6 +1060,12 @@ object SparkEntry {
     "q_src_text_delim" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
 
+    "q_src_binary" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS relativePath,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents WHERE doc_id % 50 = 0 ORDER BY relativePath""".stripMargin,
+
     "q_src_avro" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -1101,6 +1142,36 @@ object SparkEntry {
         |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
         |    AND (1.0 - CAST(n_dlines AS DOUBLE) / n_lines <= 0.3) AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id, replace(text, ' a ', '.' || chr(10)) AS page
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_split(page, chr(10)) AS lines,
+        |    list_filter(string_split(page, chr(10)),
+        |      l -> regexp_matches(l, '[.!?"'']\s*$')
+        |       AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |       AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept,
+        |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |    contains(page, '{') AS has_brace
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS ktext,
+        |    has_lorem, has_brace
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(n_lines AS INTEGER) AS c4_n_lines,
+        |  CAST(n_kept AS INTEGER) AS c4_n_kept_lines,
+        |  CAST(len(regexp_extract_all(ktext, '[.!?]')) AS INTEGER) AS c4_n_sentences,
+        |  has_lorem AS c4_has_lorem,
+        |  has_brace AS c4_has_brace,
+        |  md5(ktext) AS c4_clean_digest,
+        |  (len(regexp_extract_all(ktext, '[.!?]')) >= 3
+        |    AND NOT has_lorem AND NOT has_brace) AS c4_keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id,

@@ -57,6 +57,20 @@ object Sinks {
       case "excel" =>
         graft.formats.ExcelFormat.write(df, cfg.path,
           opts.getOrElse("header", "true").toBoolean)
+      // reference BINARY file-copy sink: (data, relativePath[, partIndex])
+      // rows reassemble into files (graft.sources.BinaryFiles). Mode
+      // semantics like avro: overwrite clears the target dir (stale files
+      // from a previous run would otherwise survive re-ingestion globs),
+      // append adds/replaces named files, error refuses an existing dir.
+      case "binary" =>
+        val p = new org.apache.hadoop.fs.Path(cfg.path)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          if (cfg.mode == "overwrite") fs.delete(p, true)
+          else if (cfg.mode != "append")
+            throw new IllegalArgumentException(s"binary sink: path exists and mode=${cfg.mode}")
+        }
+        graft.sources.BinaryFiles.write(df, cfg.path)
       case other => throw new IllegalArgumentException(s"unsupported sink format: $other")
     }
   }

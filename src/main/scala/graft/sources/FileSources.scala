@@ -44,6 +44,9 @@ object FileSources {
       // Spark 4 native XML (reference: connector-file xml file_format_type);
       // rowTag comes through options, default matches the reference docs.
       case "xml" => r.option("rowTag", cfg.options.getOrElse("rowTag", "RECORD")).xml(cfg.path)
+      // whole-file binary rows (reference BINARY file-copy format;
+      // graft.sources.BinaryFiles over Spark's binaryFile datasource)
+      case "binary" => BinaryFiles.read(spark, cfg.path, cfg.options)
       // Avro container files via the Avro Java API + Hadoop input format
       // (splittable; see graft.formats.AvroFormat)
       case "avro" => graft.formats.AvroFormat.read(spark, cfg.path, cfg.schema)

@@ -93,6 +93,46 @@ object TextAnalysis {
         col("g_dupline_ratio") <= 0.3)
   }
 
+  /** C4-style page cleaning (the published recipe from "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    * Raffel et al. 2020, §2.2 — the other de-facto standard corpus
+    * filter next to [[gopherFlags]]), as pure Column expressions:
+    *  - a line is RETAINED iff it ends in terminal punctuation (. ! ? or a
+    *    closing quote), has at least `minLineWords` (5) words, and does not
+    *    contain the word "javascript";
+    *  - the page is KEPT iff its retained lines span at least
+    *    `minSentences` (3) sentences (terminal-punctuation count), and the
+    *    page contains neither "lorem ipsum" nor a curly brace.
+    * (The original's dirty-word list and three-sentence-span dedup are the
+    * dedup family's job; see Dedup / Decontamination.)
+    * Emits the per-page features, the cleaned text (retained lines
+    * re-joined), and the combined `c4_keep` flag. Narrow, shuffle-free,
+    * one line split per page.
+    */
+  def c4Flags(df: DataFrame, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"']\\s*$") &&
+      size(split(trim(l), "\\s+")) >= minLineWords &&
+      !lower(l).rlike("\\bjavascript\\b"))
+    val keptText = array_join(keptLines, "\n")
+    val nSentences = size(regexp_extract_all(keptText, lit("[.!?]"), lit(0)))
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    df.withColumns(Map(
+        "c4_n_lines" -> size(lines).cast("int"),
+        "c4_n_kept_lines" -> size(keptLines).cast("int"),
+        "c4_n_sentences" -> nSentences.cast("int"),
+        "c4_has_lorem" -> hasLorem,
+        "c4_has_brace" -> hasBrace,
+        "c4_clean_text" -> keptText))
+      .withColumn("c4_keep",
+        col("c4_n_sentences") >= minSentences &&
+        !col("c4_has_lorem") && !col("c4_has_brace"))
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation marks).
     */

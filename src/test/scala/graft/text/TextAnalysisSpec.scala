@@ -44,6 +44,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3).getAs[Double]("g_dupline_ratio") > 0.3)
   }
 
+  test("c4Flags retains terminal-punctuation lines and flags bad pages") {
+    val goodPage =
+      """This is the first proper sentence of the page.
+        |Another full sentence follows it right here!
+        |And a third one to clear the sentence minimum?
+        |short line.
+        |no terminal punctuation on this line at all
+        |""".stripMargin
+    val jsPage =
+      """Please enable javascript to view this page properly today.
+        |This sentence survives because it is long and proper.
+        |Second surviving sentence is right here for you now.
+        |Third surviving sentence completes the needed minimum count.
+        |""".stripMargin
+    val loremPage = "A fine sentence that would pass the filter easily. " +
+      "Lorem ipsum dolor sit amet and so on. More text here as well."
+    val bracePage =
+      "function() { return 1; } is code. Still code here obviously. More code follows now."
+
+    val df = Seq((1, goodPage), (2, jsPage), (3, loremPage), (4, bracePage))
+      .toDF("id", "text")
+    val out = TextAnalysis.c4Flags(df, "text").orderBy("id").collect()
+
+    val good = out(0)
+    // "short line." (<5 words) and the unterminated line are dropped
+    assert(good.getAs[Int]("c4_n_kept_lines") == 3)
+    assert(good.getAs[Boolean]("c4_keep"))
+    assert(!good.getAs[String]("c4_clean_text").contains("short line"))
+
+    val js = out(1)
+    assert(js.getAs[Int]("c4_n_kept_lines") == 3) // javascript line dropped
+    assert(js.getAs[Boolean]("c4_keep"))
+
+    assert(!out(2).getAs[Boolean]("c4_keep") && out(2).getAs[Boolean]("c4_has_lorem"))
+    assert(!out(3).getAs[Boolean]("c4_keep") && out(3).getAs[Boolean]("c4_has_brace"))
+  }
+
   test("tokenCounts whitespace and BPE-ish") {
     val df = Seq((1, "hello world42 foo-bar")).toDF("id", "text")
     val r = TextAnalysis.tokenCounts(df, "text").collect()(0)
