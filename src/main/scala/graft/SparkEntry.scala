@@ -10,7 +10,7 @@ import graft.formats.ProtobufFormat
 import graft.similarity.Similarity
 import graft.sources.{CdcFormats, FakeSource, FileSources, Jdbc}
 import graft.sinks.Sinks
-import graft.text.TextAnalysis
+import graft.text.{Packing, TextAnalysis}
 
 /** Typed rows for DynamicOp's Dataset.map path (JVM-compiled user logic —
   * Graft's analog of the reference's DynamicCompile transform).
@@ -490,6 +490,19 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // §2.4 xml round-trip (Spark 4 native XML datasource; reference
+    // connector-file xml file_format_type)
+    "q_src_xml" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/xml_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(Tables.load(s, dir, "nation"),
+        Sinks.FileSinkConfig(tmp, "xml"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "xml",
+          Some(StructType(Seq(StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType), StructField("n_regionkey", IntegerType))))))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // §2.4 binary whole-file round-trip (reference BINARY file-copy
     // format): emit each document's text as a file via the binary sink,
     // re-ingest with the binary source, digest-compare against the table
@@ -724,6 +737,30 @@ object SparkEntry {
         .select(col("doc_id"), col("c4_n_lines"), col("c4_n_kept_lines"),
           col("c4_n_sentences"), col("c4_has_lorem"), col("c4_has_brace"),
           md5(col("c4_clean_text")).as("c4_clean_digest"), col("c4_keep"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 sequence packing: documents into 512-token training bins
+    // (rows-only: per-partition FFD is deterministic but not
+    // SQL-expressible; invariants spec-tested in PackingSpec)
+    "q_pack_sequences" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "text")
+      Packing.packGreedy(toks, "doc_id", "ws_tokens", budget = 512, numPartitions = 32)
+        .select(col("seq_id"), col("n_docs"), col("total_tokens"), col("oversized"))
+        .orderBy("seq_id")
+    }),
+
+    // §2.6 C4 three-sentence-span corpus dedup (rows-only: the
+    // lookbehind sentence split isn't RE2-expressible for DuckDB; exact
+    // semantics are spec-tested with planted spans). Pages derived the
+    // same way as q_c4_filter so spans exist.
+    "q_c4_span_dedup" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("replace(text, ' a ', '. ')").as("page"))
+      Dedup.c4SpanDedup(pages, "doc_id", "page")
+        .select(col("doc").as("doc_id"), col("n_sentences"),
+          col("n_kept_sentences"), col("n_removed"),
+          md5(col("clean_text")).as("clean_digest"))
         .orderBy("doc_id")
     }),
 
@@ -1059,6 +1096,9 @@ object SparkEntry {
 
     "q_src_text_delim" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "q_src_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_src_binary" ->
       """SELECT 'doc_' || doc_id || '.txt' AS relativePath,

@@ -256,18 +256,30 @@ object Pipeline {
         driver = p.strOpt("driver"),
         batchSize = p.strOpt("batch_size").map(_.toInt),
         options = p.map("options"))
+      val primaryKeys = p.list("primary_keys")
       (p.strOpt("schema_save_mode"), p.strOpt("data_save_mode")) match {
-        case (None, None) => graft.sources.Jdbc.write(df, cfg)
+        case (None, None) if primaryKeys.isEmpty => graft.sources.Jdbc.write(df, cfg)
         case (sm, dm) =>
           // reference sink options schema_save_mode / data_save_mode /
-          // custom_sql (JdbcSinkFactory defaults: CREATE_SCHEMA_WHEN_NOT_
-          // EXIST + APPEND_DATA)
-          graft.sources.Jdbc.writeWithSaveMode(df, cfg,
-            sm.map(graft.sinks.SaveModes.SchemaSaveMode.parse)
-              .getOrElse(graft.sinks.SaveModes.SchemaSaveMode.CreateWhenNotExist),
-            dm.map(graft.sinks.SaveModes.DataSaveMode.parse)
-              .getOrElse(graft.sinks.SaveModes.DataSaveMode.AppendData),
-            p.strOpt("custom_sql"))
+          // custom_sql / primary_keys (JdbcSinkFactory defaults:
+          // CREATE_SCHEMA_WHEN_NOT_EXIST + APPEND_DATA; primary_keys
+          // switches the write to the upsert path)
+          val schemaMode = sm.map(graft.sinks.SaveModes.SchemaSaveMode.parse)
+            .getOrElse(graft.sinks.SaveModes.SchemaSaveMode.CreateWhenNotExist)
+          val dataMode = dm.map(graft.sinks.SaveModes.DataSaveMode.parse)
+            .getOrElse(graft.sinks.SaveModes.DataSaveMode.AppendData)
+          if (primaryKeys.isEmpty)
+            graft.sources.Jdbc.writeWithSaveMode(df, cfg, schemaMode, dataMode,
+              p.strOpt("custom_sql"))
+          else {
+            val props = new java.util.Properties()
+            cfg.user.foreach(props.setProperty("user", _))
+            cfg.password.foreach(props.setProperty("password", _))
+            graft.sinks.SaveModes.handle(schemaMode, dataMode,
+              new graft.sinks.SaveModes.JdbcBackend(cfg.url, cfg.table, df.schema, props),
+              p.strOpt("custom_sql"))
+            graft.sources.Jdbc.upsert(df, cfg, primaryKeys)
+          }
       }
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }

@@ -315,6 +315,79 @@ object Dedup {
     }
   }
 
+  // ---------- C4 three-sentence-span dedup ----------
+
+  /** Corpus-level exact dedup of three-sentence spans — the C4 recipe's
+    * final step (Raffel et al. 2020 §2.2: "we discarded all but one of
+    * any three-sentence span occurring more than once in the data set"),
+    * complementing [[graft.text.TextAnalysis.c4Flags]]'s page rules.
+    *
+    * Distributed shape (three narrow-key shuffles, no text in any wide
+    * exchange):
+    *  1. one projection/doc: sentence split + sliding `spanSentences`
+    *     windows hashed to 64-bit (`xxhash64`) — codegen'd;
+    *  2. winner per span hash = global min (doc, span_idx) via one
+    *     partial-agg shuffle on the 8-byte hash;
+    *  3. duplicate span occurrences explode to covered sentence indexes
+    *     (hash-keyed join back, ids only);
+    *  4. docs rebuild by dropping removed sentences (anti-join on
+    *     (doc, sent_idx), groupBy doc re-assembly).
+    *
+    * Returns (doc, n_sentences, n_removed, clean_text). Docs with fewer
+    * than `spanSentences` sentences pass through unchanged.
+    */
+  def c4SpanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanSentences: Int = 3): DataFrame = {
+    // sentence boundary: whitespace following terminal punctuation
+    // (Java-regex lookbehind — Spark's split keeps the punctuation)
+    val sentences = df.select(col(idCol).as("doc"),
+      split(col(textCol), "(?<=[.!?])\\s+").as("sents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val nSpans = greatest(size(col("sents")) - (spanSentences - 1), lit(0))
+    val spans = sentences
+      .where(size(col("sents")) >= spanSentences)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), nSpans - 1),
+        i => xxhash64(concat_ws("", (0 until spanSentences).map(k =>
+          element_at(col("sents"), (i + k + 1).cast("int"))): _*))))
+        .as(Seq("span_idx", "span_hash")))
+
+    // winner per hash: global first occurrence (min doc, then min idx)
+    val winners = spans.groupBy("span_hash")
+      .agg(min(struct(col("doc"), col("span_idx"))).as("keep"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+    val dupSpans = spans.join(winners, Seq("span_hash"))
+      .where(!(col("doc") === col("keep.doc") && col("span_idx") === col("keep.span_idx")))
+      .select(col("doc"), col("span_idx"))
+
+    val removed = dupSpans
+      .select(col("doc"), explode(sequence(col("span_idx"),
+        col("span_idx") + (spanSentences - 1))).as("sent_idx"))
+      .dropDuplicates("doc", "sent_idx")
+
+    val exploded = sentences.select(col("doc"),
+      posexplode(col("sents")).as(Seq("sent_idx", "sentence")))
+    val kept = exploded.join(removed, Seq("doc", "sent_idx"), "left_anti")
+    val rebuilt = kept.groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("sent_idx"), col("sentence")))).as("ss"))
+      .select(col("doc"),
+        size(col("ss")).cast("int").as("n_kept_sentences"),
+        array_join(transform(col("ss"), s => s.getField("sentence")), " ").as("clean_text"))
+    val removedCounts = removed.groupBy("doc").agg(count(lit(1)).as("n_removed"))
+
+    // left joins from the full doc list: a doc whose every sentence was a
+    // duplicated span still comes back (empty clean_text), never vanishes
+    sentences.select(col("doc"), size(col("sents")).cast("int").as("n_sentences"))
+      .join(rebuilt, Seq("doc"), "left")
+      .join(removedCounts, Seq("doc"), "left")
+      .select(col("doc"), col("n_sentences"),
+        coalesce(col("n_kept_sentences"), lit(0)).as("n_kept_sentences"),
+        coalesce(col("n_removed"), lit(0L)).cast("int").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Random-hyperplane LSH signature (sign-bit of dot with seeded planes). */

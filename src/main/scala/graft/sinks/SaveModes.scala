@@ -103,21 +103,22 @@ object SaveModes {
     * reference generates per-dialect DDL through its catalog SPI — Graft
     * keeps one conservative mapping).
     */
+  private[graft] def sqlType(dt: DataType): String = dt match {
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType | ByteType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case StringType => "VARCHAR(4000)"
+    case BinaryType => "BLOB"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${math.min(d.precision, 31)},${math.min(d.scale, 31)})"
+    case other => throw new IllegalArgumentException(s"jdbc ddl: unsupported type $other")
+  }
+
   private[sinks] def ddlFor(table: String, schema: StructType): String = {
-    def sqlType(dt: DataType): String = dt match {
-      case IntegerType => "INTEGER"
-      case LongType => "BIGINT"
-      case ShortType | ByteType => "SMALLINT"
-      case DoubleType => "DOUBLE"
-      case FloatType => "REAL"
-      case BooleanType => "BOOLEAN"
-      case StringType => "VARCHAR(4000)"
-      case BinaryType => "BLOB"
-      case TimestampType => "TIMESTAMP"
-      case DateType => "DATE"
-      case d: DecimalType => s"DECIMAL(${math.min(d.precision, 31)},${math.min(d.scale, 31)})"
-      case other => throw new IllegalArgumentException(s"jdbc ddl: unsupported type $other")
-    }
     val cols = schema.fields.map { f =>
       s""""${f.name}" ${sqlType(f.dataType)}${if (f.nullable) "" else " NOT NULL"}"""
     }

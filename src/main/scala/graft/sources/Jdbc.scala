@@ -80,6 +80,73 @@ object Jdbc {
     w.options(cfg.options).save()
   }
 
+  /** Key-based upsert — the reference's primary-key sink path
+    * (connector-jdbc JdbcSinkConfig: `primary_keys`; portable strategy =
+    * `support_upsert_by_query_primary_key_exist`, the fallback every
+    * dialect supports). Per partition, rows stream through a batched
+    * UPDATE..WHERE keys; rows whose update matched nothing re-batch into
+    * an INSERT. Rows are hash-partitioned by key first so each key is
+    * written by exactly one task — the update/insert pair per key is then
+    * race-free without needing a unique constraint — and the whole op is
+    * one exchange + parallel database writes, no driver funnel.
+    */
+  def upsert(df: DataFrame, cfg: JdbcSinkConfig, keys: Seq[String]): Unit = {
+    val cols = df.schema.fieldNames.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"jdbc upsert: primary keys $keys must be columns of ${cols.mkString(",")}")
+    val nonKeys = cols.filterNot(keys.contains)
+    def q(c: String) = s""""$c""""
+    val insertSql = s"""INSERT INTO ${cfg.table} (${cols.map(q).mkString(", ")})
+                       |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    val updateSql =
+      if (nonKeys.isEmpty) null
+      else s"""UPDATE ${cfg.table}
+              |SET ${nonKeys.map(c => s"${q(c)} = ?").mkString(", ")}
+              |WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}""".stripMargin
+    val existsSql = s"""SELECT 1 FROM ${cfg.table}
+                       |WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}""".stripMargin
+    val batch = cfg.batchSize.getOrElse(500)
+    val (url, user, pass) = (cfg.url, cfg.user, cfg.password)
+    val colIdx = cols.zipWithIndex.toMap
+    val updOrder = (nonKeys ++ keys).map(colIdx)
+    val keyOrder = keys.map(colIdx)
+
+    df.repartition(keys.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val props = new java.util.Properties()
+        user.foreach(props.setProperty("user", _))
+        pass.foreach(props.setProperty("password", _))
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val ins = conn.prepareStatement(insertSql)
+          val upd = if (updateSql != null) conn.prepareStatement(updateSql) else null
+          val exists = if (updateSql == null) conn.prepareStatement(existsSql) else null
+
+          def flush(rows: Seq[org.apache.spark.sql.Row]): Unit = if (rows.nonEmpty) {
+            val missed =
+              if (upd != null) {
+                rows.foreach { r =>
+                  updOrder.zipWithIndex.foreach { case (src, i) => upd.setObject(i + 1, r.get(src)) }
+                  upd.addBatch()
+                }
+                rows.zip(upd.executeBatch()).collect { case (r, 0) => r }
+              } else rows.filter { r =>
+                keyOrder.zipWithIndex.foreach { case (src, i) => exists.setObject(i + 1, r.get(src)) }
+                val rs = exists.executeQuery()
+                try !rs.next() finally rs.close()
+              }
+            missed.foreach { r =>
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
+            }
+            ins.executeBatch()
+          }
+
+          it.grouped(batch).foreach(g => flush(g.toSeq))
+        } finally conn.close()
+      }
+  }
+
   /** Reference-style write: the schema/data save modes run driver-side
     * first (create/recreate table, truncate, error checks — see
     * [[graft.sinks.SaveModes]]), then the rows append distributed. This is

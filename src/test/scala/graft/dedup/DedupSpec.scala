@@ -83,6 +83,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairSet.contains((1L, 3L)))
   }
 
+  test("c4SpanDedup removes repeated three-sentence spans corpus-wide, keeps first") {
+    val span = "First shared sentence here. Second shared sentence here. Third shared sentence here."
+    val docA = s"Unique opening for doc a. $span Unique closing for doc a."
+    val docB = s"Totally different start b! $span"   // span repeats -> removed
+    val docC = "No duplicated content in this one. Just two sentences."
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val out = Dedup.c4SpanDedup(df, "doc_id", "text")
+      .orderBy("doc").collect()
+
+    val a = out(0)
+    assert(a.getAs[Int]("n_removed") == 0) // first occurrence keeps its span
+    assert(a.getAs[String]("clean_text") == docA)
+
+    val b = out(1)
+    assert(b.getAs[Int]("n_removed") == 3) // the three shared sentences go
+    assert(b.getAs[String]("clean_text") == "Totally different start b!")
+
+    val c = out(2)
+    assert(c.getAs[Int]("n_removed") == 0 && c.getAs[Int]("n_sentences") == 2)
+    assert(c.getAs[String]("clean_text") == docC)
+
+    // a doc that is ONLY a duplicated span still comes back, emptied
+    val df2 = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val out2 = Dedup.c4SpanDedup(df2, "doc_id", "text").orderBy("doc").collect()
+    assert(out2(0).getAs[String]("clean_text") == span)
+    assert(out2(1).getAs[String]("clean_text") == "")
+    assert(out2.length == 2)
+  }
+
   test("TextHashing primitives are deterministic and sane") {
     val s1 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
     val s2 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)

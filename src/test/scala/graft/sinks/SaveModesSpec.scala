@@ -155,6 +155,43 @@ class SaveModesSpec extends SparkSpec {
     assert(Jdbc.read(spark, Jdbc.JdbcSourceConfig(url, table = Some(t))).count() == 3)
   }
 
+  test("jdbc upsert merges by primary key: updates existing rows, inserts new ones") {
+    val t = freshTable()
+    Jdbc.writeWithSaveMode(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "score"),
+      Jdbc.JdbcSinkConfig(url, t), S.CreateWhenNotExist, D.AppendData)
+    // upsert: id 2 updated, id 3 inserted, id 1 untouched
+    Jdbc.upsert(
+      Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "v", "score"),
+      Jdbc.JdbcSinkConfig(url, t), keys = Seq("id"))
+    val got = Jdbc.read(spark, Jdbc.JdbcSourceConfig(url, table = Some(t)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+    // idempotent: re-running the same upsert changes nothing
+    Jdbc.upsert(
+      Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "v", "score"),
+      Jdbc.JdbcSinkConfig(url, t), keys = Seq("id"))
+    assert(Jdbc.read(spark, Jdbc.JdbcSourceConfig(url, table = Some(t))).count() == 3)
+    // unknown key column rejected
+    intercept[IllegalArgumentException] {
+      Jdbc.upsert(Seq((1L, "x", 0.0)).toDF("id", "v", "score"),
+        Jdbc.JdbcSinkConfig(url, t), keys = Seq("nope"))
+    }
+  }
+
+  test("Pipeline Jdbc sink with primary_keys upserts idempotently") {
+    val t = freshTable()
+    val job =
+      s"""{"source":[{"plugin":"FakeSource","plugin_output":"src",
+         |  "schema":{"fields":{"id":"long"}}, "row.num": 4}],
+         |"sink":[{"plugin":"Jdbc","plugin_input":"src","url":"$url","table":"$t",
+         |  "schema_save_mode":"CREATE_SCHEMA_WHEN_NOT_EXIST",
+         |  "primary_keys":["id"]}]}""".stripMargin
+    graft.api.Pipeline.run(spark, graft.api.Pipeline.parse(job))
+    graft.api.Pipeline.run(spark, graft.api.Pipeline.parse(job)) // second run: pure update
+    assert(Jdbc.read(spark, Jdbc.JdbcSourceConfig(url, table = Some(t))).count() == 4)
+  }
+
   test("mode names parse case-insensitively and reject unknowns") {
     assert(S.parse("recreate_schema") == S.Recreate)
     assert(D.parse("APPEND_DATA") == D.AppendData)
