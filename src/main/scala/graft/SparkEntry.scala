@@ -383,6 +383,15 @@ object SparkEntry {
         .orderBy("q_id", "rnk")
     }),
 
+    // §2.6 int8-quantized ANN: 4x smaller vectors through every scan/
+    // broadcast (rows-only; recall + reconstruction-error spec-tested)
+    "q_ann_int8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.int8TopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select("q_id", "n_id", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // §2.6 IVF ANN: KMeans coarse quantizer + nProbe cell probing
     // (rows-only; recall vs brute force is spec-tested)
     "q_ann_ivf" -> ((s, dir) => {
@@ -738,6 +747,35 @@ object SparkEntry {
           col("c4_n_sentences"), col("c4_has_lorem"), col("c4_has_brace"),
           md5(col("c4_clean_text")).as("c4_clean_digest"), col("c4_keep"))
         .orderBy("doc_id")
+    }),
+
+    // §2.6 deterministic hash sampling: reproducible corpus subset whose
+    // membership depends only on (key, salt) — engine-independent
+    // (oracle recomputes the identical md5 buckets in DuckDB)
+    "q_sample_hash" -> ((s, dir) => {
+      Sampling.hashSample(Tables.load(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // §2.6 deterministic train/valid/test split assignment (hash ranges)
+    "q_split_assign" -> ((s, dir) => {
+      Sampling.assignSplit(Tables.load(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    // §5 skew tooling: salted join must produce exactly the plain join's
+    // result (oracle = unsalted SQL join + aggregation)
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_partkey", "l_quantity")
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      ScaleOps.saltedJoin(li, part, Seq("l_partkey"), saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
     }),
 
     // §2.6 sequence packing: documents into 512-token training bins
@@ -1182,6 +1220,26 @@ object SparkEntry {
         |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
         |    AND (1.0 - CAST(n_dlines AS DOUBLE) / n_lines <= 0.3) AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || 'graft'), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT CASE
+        |    WHEN substr(md5(doc_id::VARCHAR || 'graft'), 1, 8) < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5(doc_id::VARCHAR || 'graft'), 1, 8) < 'e6666666' THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_c4_filter" ->
       """WITH p AS (

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (1L to 2000L).toDF("id")
+
+  test("hashSample is deterministic, repartition-stable, and near the target fraction") {
+    val a = Sampling.hashSample(ids, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids.repartition(13), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+    // monotone: larger fraction is a superset (same salt)
+    val bigger = Sampling.hashSample(ids, "id", 0.6).select("id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger))
+    // different salt draws a different subset
+    val other = Sampling.hashSample(ids, "id", 0.3, salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a != other)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 2000)
+  }
+
+  test("assignSplit covers every row exactly once with ~weighted shares") {
+    val out = Sampling.assignSplit(ids, "id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(out.count() == 2000)
+    val shares = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.keySet == Set("train", "valid", "test"))
+    assert(math.abs(shares("train") / 2000.0 - 0.8) < 0.05)
+    // membership agrees with hashSample thresholds: train == first 80%
+    val trainIds = out.where($"split" === "train").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val sampled80 = Sampling.hashSample(ids, "id", 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(trainIds == sampled80)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}

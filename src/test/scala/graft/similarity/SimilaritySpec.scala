@@ -47,4 +47,32 @@ class SimilaritySpec extends SparkSpec {
     // self must always be found (identical signature)
     (0L until 10L).foreach(q0 => assert(lsh.contains((q0, q0))))
   }
+
+  test("int8TopK: quantized scores track exact cosine with high recall") {
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val i8 = Similarity.int8TopK(emb, q, "vec_id", "embedding", k = 10)
+    val pairs = i8.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = bf.intersect(pairs).size.toDouble / bf.size
+    assert(recall >= 0.9, s"int8 recall too low: $recall")
+    // self-match scores stay ~1 after dequantization
+    val selfScores = i8.where(col("q_id") === col("n_id"))
+      .collect().map(_.getAs[Double]("cosine"))
+    assert(selfScores.nonEmpty && selfScores.forall(s => math.abs(s - 1.0) < 0.02))
+  }
+
+  test("quantizeInt8 codes are within int8 range and scale reconstructs") {
+    val out = Similarity.quantizeInt8(emb.limit(50), "embedding").collect()
+    out.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Byte]]("embedding_q")
+      val scale = r.getAs[Double]("embedding_scale")
+      val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // max reconstruction error is half a quantization step
+      orig.zip(codes).foreach { case (o, c) =>
+        assert(math.abs(o - c * scale) <= scale / 2 + 1e-9)
+      }
+    }
+  }
 }
