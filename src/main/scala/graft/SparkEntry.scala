@@ -749,6 +749,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 Gopher repetition filters (paragraph + n-gram char fractions);
+    // pages derived with paragraph breaks at ' a ' on both engines
+    "q_gopher_repetition" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("replace(text, ' a ', '\\n\\n')").as("page"))
+      TextAnalysis.gopherRepetitionFlags(pages, "page", "doc_id")
+        .select(col("doc_id"), col("r_dup_para_frac"), col("r_dup_para_char_frac"),
+          col("r_top_2gram_char_frac"), col("r_dup_5gram_char_frac"),
+          col("repetition_pass"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 deterministic hash sampling: reproducible corpus subset whose
     // membership depends only on (key, salt) — engine-independent
     // (oracle recomputes the identical md5 buckets in DuckDB)
@@ -1220,6 +1232,67 @@ object SparkEntry {
         |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
         |    AND (1.0 - CAST(n_dlines AS DOUBLE) / n_lines <= 0.3) AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_repetition" ->
+      """WITH p AS (
+        |  SELECT doc_id, replace(text, ' a ', chr(10) || chr(10)) AS page
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(page, '\n\s*\n'),
+        |      q -> length(trim(q)) > 0) AS paras,
+        |    string_split_regex(trim(page), '\s+') AS words,
+        |    CAST(length(regexp_replace(page, '\s+', '', 'g')) AS DOUBLE) AS chars
+        |  FROM p),
+        |para AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(paras) > 0 THEN
+        |      CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE) / len(paras)
+        |      ELSE 0.0 END AS r_dup_para_frac,
+        |    CASE WHEN list_sum(list_transform(paras, q -> length(q))) > 0 THEN
+        |      CAST(coalesce(list_sum(list_transform(
+        |          list_filter(paras, q -> len(list_filter(paras, x -> x = q)) > 1),
+        |          q -> length(q))), 0) AS DOUBLE)
+        |        / list_sum(list_transform(paras, q -> length(q)))
+        |      ELSE 0.0 END AS r_dup_para_char_frac
+        |  FROM w),
+        |g2 AS (
+        |  SELECT doc_id, any_value(chars) AS chars, g, count(*) AS c
+        |  FROM (SELECT doc_id, chars,
+        |          unnest(list_transform(range(1, len(words)),
+        |            i -> words[i] || ' ' || words[i + 1])) AS g
+        |        FROM w WHERE len(words) >= 2)
+        |  GROUP BY doc_id, g),
+        |top2 AS (
+        |  SELECT doc_id,
+        |    CAST(max(c * length(replace(g, ' ', ''))) AS DOUBLE) / any_value(chars)
+        |      AS r_top_2gram_char_frac
+        |  FROM g2 GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id, any_value(chars) AS chars, g, count(*) AS c
+        |  FROM (SELECT doc_id, chars,
+        |          unnest(list_transform(range(1, len(words) - 3),
+        |            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |                 words[i+3] || ' ' || words[i+4])) AS g
+        |        FROM w WHERE len(words) >= 5)
+        |  GROUP BY doc_id, g),
+        |dup5 AS (
+        |  SELECT doc_id,
+        |    LEAST(CAST(sum(CASE WHEN c > 1 THEN c * length(replace(g, ' ', ''))
+        |                        ELSE 0 END) AS DOUBLE) / any_value(chars), 1.0)
+        |      AS r_dup_5gram_char_frac
+        |  FROM g5 GROUP BY doc_id)
+        |SELECT w.doc_id, para.r_dup_para_frac, para.r_dup_para_char_frac,
+        |  coalesce(top2.r_top_2gram_char_frac, 0.0) AS r_top_2gram_char_frac,
+        |  coalesce(dup5.r_dup_5gram_char_frac, 0.0) AS r_dup_5gram_char_frac,
+        |  (para.r_dup_para_frac <= 0.30 AND para.r_dup_para_char_frac <= 0.20
+        |   AND coalesce(top2.r_top_2gram_char_frac, 0.0) <= 0.20
+        |   AND coalesce(dup5.r_dup_5gram_char_frac, 0.0) <= 0.15) AS repetition_pass
+        |FROM w
+        |LEFT JOIN para ON w.doc_id = para.doc_id
+        |LEFT JOIN top2 ON w.doc_id = top2.doc_id
+        |LEFT JOIN dup5 ON w.doc_id = dup5.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -93,6 +93,78 @@ object TextAnalysis {
         col("g_dupline_ratio") <= 0.3)
   }
 
+  /** Gopher repetition filters — the rest of the published Rae et al.
+    * 2021 Appendix A recipe beyond [[gopherFlags]]'s document rules:
+    *  - duplicate-paragraph fraction (<= 0.30) and the fraction of
+    *    CHARACTERS sitting in duplicated paragraphs (<= 0.20);
+    *  - fraction of characters in the most frequent word 2-gram
+    *    (<= 0.20): occurrences x non-space gram chars / non-space chars;
+    *  - fraction of characters in duplicated (count > 1) 5-grams
+    *    (<= 0.15), same char accounting, capped at 1 (overlapping spans
+    *    are attributed per occurrence — the standard approximation).
+    *
+    * Scale shape: paragraph stats are narrow array expressions; n-gram
+    * stats explode to (doc, gram) and partial-aggregate on that pair —
+    * two keyed shuffles whose rows carry only (doc, 8-byte-ish gram,
+    * count), then join back by doc. No UDFs anywhere.
+    */
+  def gopherRepetitionFlags(df: DataFrame, textCol: String,
+      idCol: String, topNgram: Int = 2, dupNgram: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val paras = filter(split(t, "\n\\s*\n"), p => length(trim(p)) > 0)
+    val nParas = size(paras)
+    val paraChars = aggregate(paras, lit(0), (a, p) => a + length(p))
+    // chars in paragraphs occurring more than once (all occurrences)
+    val dupParaChars = aggregate(
+      filter(paras, p => size(filter(paras, x => x === p)) > 1),
+      lit(0), (a, p) => a + length(p))
+    val dupParas = nParas - size(array_distinct(paras))
+    val withParas = df.withColumns(Map(
+      "r_dup_para_frac" ->
+        when(nParas > 0, dupParas.cast("double") / nParas).otherwise(lit(0.0)),
+      "r_dup_para_char_frac" ->
+        when(paraChars > 0, dupParaChars.cast("double") / paraChars).otherwise(lit(0.0))))
+
+    // (doc, gram) pair stats: one explode + partial-agg per n
+    val chars = length(regexp_replace(t, "\\s+", "")).cast("double")
+    val base = df.select(col(idCol).as("__doc"),
+      split(trim(t), "\\s+").as("__w"), chars.as("__chars"))
+    def gramStats(n: Int, top: Boolean): DataFrame = {
+      // guard: sequence(0, negative) counts DOWN in Spark — docs shorter
+      // than n words get an empty gram array instead
+      val gramArr = when(size(col("__w")) >= n,
+        transform(sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(col("__w"), (i + k + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>"))
+      val grams = base.select(col("__doc"), col("__chars"),
+        explode_outer(gramArr).as("__g"))
+      val counted = grams.where(col("__g").isNotNull)
+        .groupBy("__doc", "__g").agg(count(lit(1)).as("__c"), first("__chars").as("__chars"))
+      val gramChars = length(regexp_replace(col("__g"), "\\s+", ""))
+      if (top)
+        counted.groupBy("__doc").agg(
+          coalesce(max(col("__c") * gramChars).cast("double") /
+            max(col("__chars")), lit(0.0)).as(s"r_top_${n}gram_char_frac"))
+      else
+        counted.groupBy("__doc").agg(
+          least(coalesce(
+            sum(when(col("__c") > 1, col("__c") * gramChars).otherwise(0)).cast("double") /
+              max(col("__chars")), lit(0.0)), lit(1.0)).as(s"r_dup_${n}gram_char_frac"))
+    }
+    withParas
+      .join(gramStats(topNgram, top = true)
+        .withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .join(gramStats(dupNgram, top = false)
+        .withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .na.fill(0.0, Seq(s"r_top_${topNgram}gram_char_frac", s"r_dup_${dupNgram}gram_char_frac"))
+      .withColumn("repetition_pass",
+        col("r_dup_para_frac") <= 0.30 &&
+        col("r_dup_para_char_frac") <= 0.20 &&
+        col(s"r_top_${topNgram}gram_char_frac") <= 0.20 &&
+        col(s"r_dup_${dupNgram}gram_char_frac") <= 0.15)
+  }
+
   /** C4-style page cleaning (the published recipe from "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
     * Raffel et al. 2020, §2.2 — the other de-facto standard corpus

@@ -81,6 +81,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(3).getAs[Boolean]("c4_keep") && out(3).getAs[Boolean]("c4_has_brace"))
   }
 
+  test("gopherRepetitionFlags: paragraph and n-gram repetition fractions") {
+    val cleanDoc = (1 to 40).map(i => s"unique$i word$i token$i").mkString("Para one here.\n\n", " ", "\n\nPara two ends.")
+    val dupParaDoc = "same paragraph content here\n\nsame paragraph content here\n\nanother one"
+    val top2Doc = ((1 to 20).map(_ => "hot pair") ++ (1 to 5).map(i => s"w$i")).mkString(" ")
+    val dup5Doc = ((1 to 6).flatMap(_ => Seq("a1", "b2", "c3", "d4", "e5")) ++ Seq("tail")).mkString(" ")
+    val tiny = "just three words"
+    val df = Seq((1L, cleanDoc), (2L, dupParaDoc), (3L, top2Doc), (4L, dup5Doc), (5L, tiny))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionFlags(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+
+    assert(out(0).getAs[Boolean]("repetition_pass"))
+
+    val dp = out(1)
+    assert(dp.getAs[Double]("r_dup_para_frac") > 0.3) // 2 of 3 paras duplicated
+    assert(dp.getAs[Double]("r_dup_para_char_frac") > 0.2)
+    assert(!dp.getAs[Boolean]("repetition_pass"))
+
+    val t2 = out(2)
+    assert(t2.getAs[Double]("r_top_2gram_char_frac") > 0.2, s"got $t2")
+    assert(!t2.getAs[Boolean]("repetition_pass"))
+
+    val d5 = out(3)
+    assert(d5.getAs[Double]("r_dup_5gram_char_frac") > 0.15, s"got $d5")
+    assert(!d5.getAs[Boolean]("repetition_pass"))
+
+    // shorter than 5 words: no 5-grams -> zero dup fraction, no errors
+    // (top-2gram is trivially high on 3 words — Gopher applies these
+    // filters after the 50-word minimum, which gopherFlags enforces)
+    val t = out(4)
+    assert(t.getAs[Double]("r_dup_5gram_char_frac") == 0.0)
+    assert(t.getAs[Double]("r_dup_para_frac") == 0.0)
+  }
+
   test("tokenCounts whitespace and BPE-ish") {
     val df = Seq((1, "hello world42 foo-bar")).toDF("id", "text")
     val r = TextAnalysis.tokenCounts(df, "text").collect()(0)
