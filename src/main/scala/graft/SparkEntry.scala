@@ -749,6 +749,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 one-pass dataset profiling (exact subset: null counts +
+    // string min/max per column from ONE aggregation over the table)
+    "q_profile" -> ((s, dir) => {
+      Profile.profileExact(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("column")
+    }),
+
     // §2.6 Gopher repetition filters (paragraph + n-gram char fractions);
     // pages derived with paragraph breaks at ' a ' on both engines
     "q_gopher_repetition" -> ((s, dir) => {
@@ -1232,6 +1239,24 @@ object SparkEntry {
         |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
         |    AND (1.0 - CAST(n_dlines AS DOUBLE) / n_lines <= 0.3) AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    min(o_custkey::VARCHAR) AS min_str, max(o_custkey::VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*),
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(o_orderkey::VARCHAR), max(o_orderkey::VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |) ORDER BY "column"""".stripMargin,
 
     "q_gopher_repetition" ->
       """WITH p AS (

@@ -56,4 +56,36 @@ object FileSources {
       case other => throw new IllegalArgumentException(s"unsupported file format: $other")
     }
   }
+
+  /** Dirty-data tolerant read (the reference connectors' dirty-row
+    * handling): parse json/csv PERMISSIVE-ly against the declared schema,
+    * route unparseable lines to a dead-letter directory as raw text, and
+    * return only the clean rows. One read pass (the parsed frame is
+    * persisted because Spark refuses to filter on the internal corrupt
+    * column of an unpersisted scan); the DLQ write streams the bad rows
+    * distributed.
+    */
+  def readWithDeadLetter(spark: SparkSession, cfg: FileSourceConfig,
+      dlqPath: String): DataFrame = {
+    val schema = cfg.schema.getOrElse(
+      throw new IllegalArgumentException("dead-letter read requires an explicit schema"))
+    require(Seq("json", "csv").contains(cfg.format.toLowerCase),
+      s"dead-letter read supports json/csv, got ${cfg.format}")
+    val corrupt = "_corrupt_record"
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType))
+    val r = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .options(cfg.options)
+    val parsed = (cfg.format.toLowerCase match {
+      case "json" => r.json(cfg.path)
+      case "csv" => r.option("header", cfg.options.getOrElse("header", "false")).csv(cfg.path)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = parsed.where(org.apache.spark.sql.functions.col(corrupt).isNotNull)
+      .select(org.apache.spark.sql.functions.col(corrupt).as("value"))
+    bad.write.mode("append").text(dlqPath)
+    parsed.where(org.apache.spark.sql.functions.col(corrupt).isNull).drop(corrupt)
+  }
 }

@@ -153,19 +153,40 @@ object StreamingOps {
     * last change per key wins (by `ordCol`), +I/+U upsert, -D delete,
     * -U images are discarded. Used inside foreachBatch; both inputs are
     * plain DataFrames so the same function serves batch backfills.
+    *
+    * With `evolveSchema = true`, data columns present in the changes but
+    * absent from the snapshot are ADDED to the result (nulls for
+    * pre-existing rows) — the reference's SupportSchemaEvolutionSink
+    * add-column semantics for CDC pipelines whose upstream tables gain
+    * columns mid-stream. Dropped/renamed upstream columns keep their
+    * snapshot values (nulls in new rows), the only lossless choice.
     */
   def applyCdcBatch(snapshot: DataFrame, changes: DataFrame,
-      keys: Seq[String], ordCol: String): DataFrame = {
+      keys: Seq[String], ordCol: String, evolveSchema: Boolean = false): DataFrame = {
     val kindCol = graft.operators.RowKindOps.RowKindCol
+    val changeFields = changes.schema.fields.map(f => f.name -> f.dataType).toMap
+    val newCols =
+      if (!evolveSchema) Nil
+      else changes.columns.filterNot(snapshot.columns.contains)
+        .filterNot(Set(kindCol, ordCol)).toSeq
+    val target = newCols.foldLeft(snapshot) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(changeFields(c)))
+    }
     val latest = changes
       .where(col(kindCol) =!= "-U")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol).desc)))
       .where(col("__rn") === 1).drop("__rn")
     val upserts = latest.where(col(kindCol) =!= "-D")
-      .select(snapshot.columns.map(col).toSeq: _*)
+      .select(target.columns.map(c =>
+        // evolution also tolerates snapshot columns absent from the
+        // changes (upstream drop): new rows carry null there. Without
+        // evolution a missing column stays an analysis error, as before.
+        if (!changes.columns.contains(c) && evolveSchema)
+          lit(null).cast(snapshot.schema(c).dataType).as(c)
+        else col(c)).toSeq: _*)
     val deletes = latest.where(col(kindCol) === "-D").select(keys.map(col): _*)
-    snapshot
+    target
       .join(latest.select(keys.map(col): _*), keys, "left_anti") // untouched rows
       .unionByName(upserts)
       .join(deletes, keys, "left_anti")

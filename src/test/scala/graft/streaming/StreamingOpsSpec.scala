@@ -149,6 +149,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(versions.length <= 2)
   }
 
+  test("applyCdcBatch evolveSchema adds new change columns, tolerates dropped ones") {
+    val snapshot = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // upstream gained column `extra`
+    val changes = Seq((2L, "b2", 7, "+U", 10L), (3L, "c", 9, "+I", 11L))
+      .toDF("id", "v", "extra", "__row_kind", "ord")
+    val out = StreamingOps.applyCdcBatch(snapshot, changes, Seq("id"), "ord",
+      evolveSchema = true).orderBy("id").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head == Seq("id", "v", "extra"))
+    assert(out.map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSeq ==
+      Seq((1L, "a", None), (2L, "b2", Some(7)), (3L, "c", Some(9))))
+    // upstream dropped `v`: kept for old rows, null for new ones
+    val dropped = Seq((4L, "+I", 12L)).toDF("id", "__row_kind", "ord")
+    val out2 = StreamingOps.applyCdcBatch(snapshot, dropped, Seq("id"), "ord",
+      evolveSchema = true).orderBy("id").collect()
+    assert(out2.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a")), (2L, Some("b")), (4L, None)))
+    // without evolution a missing column is still an error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingOps.applyCdcBatch(snapshot, dropped, Seq("id"), "ord").collect()
+    }
+  }
+
   test("intervalJoin suffixes right-side column names that collide with the left") {
     val T0 = 1704067200L * 1000000000L
     def mk(rows: Seq[(String, Long, Double)]) =
