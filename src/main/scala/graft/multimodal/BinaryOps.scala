@@ -142,6 +142,104 @@ object BinaryOps {
     df.withColumn(binCol, resizeUdf(col(binCol)))
   }
 
+  // ---------- raw RGB888 pixel operators (REAL math, no codec) ----------
+  //
+  // Decoders produce raw interleaved RGB buffers; everything downstream of
+  // the (stubbed) codec call operates on those. These operators do the
+  // actual pixel arithmetic on w*h*3-byte buffers, so the only stub left
+  // in the multimodal path is the container-format decode itself. UDFs are
+  // appropriate here: the payloads are opaque blobs with no columnar
+  // representation for codegen to exploit, and each UDF is one
+  // allocation + tight primitive loop per row.
+
+  /** Deterministic raw RGB test frame (w*h*3 bytes, gradient pattern). */
+  def rawRgbFrame(w: Int, h: Int, seed: Int = 0): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      out(i * 3) = ((i + seed) & 0xff).toByte
+      out(i * 3 + 1) = ((i * 2 + seed) & 0xff).toByte
+      out(i * 3 + 2) = ((i * 3 + seed) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private[multimodal] def resizeNearest(src: Array[Byte], srcW: Int, srcH: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * srcH / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * srcW / outW
+        val si = (sy * srcW + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = src(si); out(di + 1) = src(si + 1); out(di + 2) = src(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize of raw RGB888 buffers; source dimensions come
+    * from the metadata struct (see [[decodeMeta]]). Null-safe: wrong-sized
+    * buffers pass through as null.
+    */
+  def resizeRawRgb(df: DataFrame, binCol: String, metaCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val f = udf { (bytes: Array[Byte], w: Int, h: Int) =>
+      if (bytes == null || w <= 0 || h <= 0 || bytes.length != w * h * 3) null
+      else resizeNearest(bytes, w, h, outW, outH)
+    }
+    df.withColumn(binCol, f(col(binCol), col(s"$metaCol.width"), col(s"$metaCol.height")))
+      .withColumn(metaCol, struct(col(s"$metaCol.mime").as("mime"),
+        lit(outW).as("width"), lit(outH).as("height"),
+        col(s"$metaCol.n_frames").as("n_frames")))
+  }
+
+  /** BT.601 integer luma: raw RGB888 -> single-channel grayscale bytes. */
+  def toGrayscale(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length % 3 != 0) null
+      else {
+        val out = new Array[Byte](bytes.length / 3)
+        var i = 0
+        while (i < out.length) {
+          val r = bytes(i * 3) & 0xff
+          val g = bytes(i * 3 + 1) & 0xff
+          val b = bytes(i * 3 + 2) & 0xff
+          out(i) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+          i += 1
+        }
+        out
+      }
+    }
+    df.withColumn(outCol, f(col(binCol)))
+  }
+
+  /** Per-image channel means (normalization statistics), exact integer
+    * sums divided once — (mean_r, mean_g, mean_b) doubles.
+    */
+  def rgbChannelMeans(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length % 3 != 0 || bytes.isEmpty) null
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        val n = bytes.length / 3
+        while (i < n) {
+          sr += bytes(i * 3) & 0xff; sg += bytes(i * 3 + 1) & 0xff; sb += bytes(i * 3 + 2) & 0xff
+          i += 1
+        }
+        Array(sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+    df.withColumn(outCol, f(col(binCol)))
+  }
+
   /** Frame sampling: emit one row per sampled frame index (stride
     * sampling), the video -> training-frames explode shape.
     */

@@ -74,4 +74,46 @@ class BinaryOpsSpec extends SparkSpec {
     val df = BinaryOps.repartitionForMedia(media, totalRows = 3, rowsPerPartition = 1)
     assert(df.rdd.getNumPartitions == 3)
   }
+
+  test("resizeRawRgb nearest-neighbor produces exact expected pixels") {
+    // 2x2 RGB source with distinct pixels
+    val src = Array[Byte](
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    // upscale 2x2 -> 4x4: each source pixel repeats in a 2x2 block
+    val up = BinaryOps.resizeNearest(src, 2, 2, 4, 4)
+    assert(up.length == 4 * 4 * 3)
+    assert(up.slice(0, 3).toSeq == Seq[Byte](10, 11, 12))
+    assert(up.slice(6, 9).toSeq == Seq[Byte](20, 21, 22)) // x=2 maps to sx=1
+    assert(up.slice((3 * 4 + 3) * 3, (3 * 4 + 3) * 3 + 3).toSeq == Seq[Byte](40, 41, 42))
+    // downscale 4x4 -> 2x2 returns the stride-sampled originals
+    val down = BinaryOps.resizeNearest(up, 4, 4, 2, 2)
+    assert(down.toSeq == src.toSeq)
+
+    // through the DataFrame op with metadata
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("img", BinaryType),
+      StructField("meta", BinaryOps.mediaMetaType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(src, Row("image/raw", 2, 2, 1))), schema)
+    val out = BinaryOps.resizeRawRgb(df, "img", "meta", 4, 4).collect()(0)
+    assert(out.getAs[Array[Byte]]("img").toSeq == up.toSeq)
+    assert(out.getAs[Row]("meta").getAs[Int]("width") == 4)
+  }
+
+  test("toGrayscale and rgbChannelMeans compute exact BT.601/means") {
+    val img = Array[Byte](0, 0, 0, 127, 127, 127, -1, -1, -1) // black, mid, white
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(img)), StructType(Seq(StructField("img", BinaryType))))
+    val g = BinaryOps.toGrayscale(df, "img", "gray").collect()(0).getAs[Array[Byte]]("gray")
+    assert((g(0) & 0xff) == 0)
+    assert((g(1) & 0xff) == (77 * 127 + 150 * 127 + 29 * 127) >> 8)
+    assert((g(2) & 0xff) == (77 * 255 + 150 * 255 + 29 * 255) >> 8)
+    val m = BinaryOps.rgbChannelMeans(df, "img", "m").collect()(0)
+      .getAs[scala.collection.Seq[Double]]("m")
+    assert(m.toSeq == Seq((0 + 127 + 255) / 3.0, (0 + 127 + 255) / 3.0, (0 + 127 + 255) / 3.0))
+  }
 }
