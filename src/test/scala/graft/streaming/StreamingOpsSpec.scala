@@ -219,6 +219,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a broadcast dimension") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")).toDF("key", "name")
+    val input = MemoryStream[(Long, Int)]
+    val joined = input.toDF().toDF("ev_id", "key")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("key"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      input.addData((100L, 0), (101L, 2), (102L, 9)) // 9 has no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("ev_id", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(rows == Set(100L -> "AFRICA", 101L -> "ASIA"))
+      // the static side must be broadcast, not shuffled, in the stream plan
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch assigns gap-based session ids (batch/SQL form)") {
     val df = Seq(
       (7L, 1000L), (7L, 2000L), (7L, 10000L), (8L, 500L)
