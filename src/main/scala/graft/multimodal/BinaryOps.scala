@@ -165,7 +165,7 @@ object BinaryOps {
     out
   }
 
-  private[multimodal] def resizeNearest(src: Array[Byte], srcW: Int, srcH: Int,
+  private[graft] def resizeNearest(src: Array[Byte], srcW: Int, srcH: Int,
       outW: Int, outH: Int): Array[Byte] = {
     val out = new Array[Byte](outW * outH * 3)
     var y = 0

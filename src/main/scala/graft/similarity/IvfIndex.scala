@@ -73,7 +73,7 @@ object IvfIndex {
     * O(sampleSize * nLists * dim * maxIter) on the driver — microseconds
     * to low milliseconds per iteration at the default sizes.
     */
-  private[similarity] def localKMeans(points: Array[Array[Double]], k: Int,
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
       maxIter: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "IvfIndex: empty training sample")
     val rnd = new scala.util.Random(seed)
