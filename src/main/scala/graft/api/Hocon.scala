@@ -1,0 +1,150 @@
+package graft.api
+
+/** Minimal HOCON-subset parser for SeaTunnel job configs (the reference's
+  * native config syntax — every file under the reference's
+  * seatunnel-examples/ and docs uses it). Written from the public HOCON
+  * grammar; covers the subset job configs actually use:
+  *  - `#` and `//` line comments,
+  *  - objects `{ k = v, ... }` with `=` or `:` separators and
+  *    newline-or-comma entry separation,
+  *  - arrays `[ v, ... ]`,
+  *  - quoted and unquoted scalars (unquoted run to , } ] or newline),
+  *  - dotted keys kept LITERAL (`job.mode` stays one key, matching the
+  *    reference's env options),
+  *  - repeated keys preserved in order (a source block may declare the
+  *    same plugin twice).
+  *
+  * Scalars parse to String; callers coerce (Plugin.int/bool already do).
+  */
+object Hocon {
+
+  sealed trait Value
+  final case class Obj(entries: Seq[(String, Value)]) extends Value {
+    def get(key: String): Option[Value] = entries.find(_._1 == key).map(_._2)
+  }
+  final case class Arr(values: Seq[Value]) extends Value
+  final case class Scalar(text: String) extends Value
+
+  def parse(text: String): Obj = {
+    val p = new Parser(strip(text))
+    val o = p.parseObjectBody(topLevel = true)
+    p.skipWs()
+    require(p.eof, s"hocon: trailing content at offset ${p.pos}")
+    o
+  }
+
+  /** Remove comments (outside quotes) while preserving newlines. */
+  private def strip(text: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '"' && text.charAt(i - 1) != '\\') inStr = false
+        i += 1
+      } else if (c == '"') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '#' || (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '/')) {
+        while (i < text.length && text.charAt(i) != '\n') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    private def cur: Char = s.charAt(pos)
+
+    def skipWs(): Unit = while (!eof && cur.isWhitespace) pos += 1
+    private def skipInlineWs(): Unit =
+      while (!eof && (cur == ' ' || cur == '\t' || cur == '\r')) pos += 1
+
+    /** Object body; `topLevel` bodies have no surrounding braces. */
+    def parseObjectBody(topLevel: Boolean): Obj = {
+      val entries = Seq.newBuilder[(String, Value)]
+      skipWs()
+      while (!eof && cur != '}') {
+        val key = parseKey()
+        skipInlineWs()
+        val value =
+          if (!eof && (cur == '=' || cur == ':')) { pos += 1; skipWs(); parseValue() }
+          else if (!eof && cur == '{') parseValue() // `Key { ... }` block form
+          else throw new IllegalArgumentException(
+            s"hocon: expected '=', ':' or '{' after key '$key' at offset $pos")
+        entries += key -> value
+        skipWs()
+        if (!eof && cur == ',') { pos += 1; skipWs() }
+      }
+      if (!topLevel) {
+        require(!eof && cur == '}', s"hocon: expected '}' at offset $pos")
+        pos += 1
+      }
+      Obj(entries.result())
+    }
+
+    private def parseKey(): String = {
+      skipWs()
+      if (cur == '"') parseQuoted()
+      else {
+        val start = pos
+        while (!eof && !cur.isWhitespace && cur != '=' && cur != ':' && cur != '{') pos += 1
+        require(pos > start, s"hocon: empty key at offset $pos")
+        s.substring(start, pos)
+      }
+    }
+
+    def parseValue(): Value = {
+      skipWs()
+      cur match {
+        case '{' => pos += 1; parseObjectBody(topLevel = false)
+        case '[' =>
+          pos += 1
+          val vs = Seq.newBuilder[Value]
+          skipWs()
+          while (!eof && cur != ']') {
+            vs += parseValue()
+            skipWs()
+            if (!eof && cur == ',') { pos += 1; skipWs() }
+          }
+          require(!eof, "hocon: unterminated array")
+          pos += 1
+          Arr(vs.result())
+        case '"' => Scalar(parseQuoted())
+        case _ =>
+          val start = pos
+          while (!eof && cur != ',' && cur != '\n' && cur != '}' && cur != ']') pos += 1
+          Scalar(s.substring(start, pos).trim)
+      }
+    }
+
+    private def parseQuoted(): String = {
+      require(cur == '"')
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && cur != '"') {
+        if (cur == '\\' && pos + 1 < s.length) {
+          pos += 1
+          sb.append(cur match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          })
+        } else sb.append(cur)
+        pos += 1
+      }
+      require(!eof, "hocon: unterminated string")
+      pos += 1
+      sb.toString
+    }
+  }
+
+  /** Convert a parsed value to the plain Scala shapes Pipeline options
+    * use (Map preserving nothing special, Seq, String).
+    */
+  def toPlain(v: Value): Any = v match {
+    case Obj(entries) => entries.map { case (k, x) => k -> toPlain(x) }.toMap
+    case Arr(vs) => vs.map(toPlain)
+    case Scalar(t) => t
+  }
+}

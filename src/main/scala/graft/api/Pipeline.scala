@@ -87,6 +87,48 @@ object Pipeline {
     Job(block("source"), block("transform"), block("sink"), env)
   }
 
+  // ---------- HOCON config (the reference's native syntax) ----------
+
+  private val canonicalPlugins: Map[String, String] = Seq(
+    "FakeSource", "LocalFile", "File", "Jdbc", "Http", "Kafka", "Rate",
+    "Console", "Assert", "Memory",
+    "Copy", "FieldMapper", "FieldRename", "Filter", "FilterRowKind",
+    "RowKindExtractor", "Replace", "Split", "Sql", "JsonPath", "Metadata",
+    "Embedding", "LLM", "DynamicCompile")
+    .map(n => n.toLowerCase -> n).toMap
+
+  /** Parse a SeaTunnel-style HOCON job config (the syntax of every
+    * example under the reference's seatunnel-examples/) into the same Job
+    * model as the JSON form: plugin blocks keyed by plugin name,
+    * case-insensitive plugin matching, and both the current
+    * plugin_input/plugin_output wiring and the legacy
+    * source_table_name/result_table_name aliases.
+    */
+  def parseHocon(text: String): Job = {
+    val root = Hocon.parse(text)
+    def plugins(block: String): Seq[Plugin] = root.get(block) match {
+      case Some(o: Hocon.Obj) => o.entries.map { case (name, v) =>
+        val opts = Hocon.toPlain(v).asInstanceOf[Map[String, Any]]
+        Plugin(
+          canonicalPlugins.getOrElse(name.toLowerCase, name),
+          opts - "plugin_input" - "plugin_output" - "source_table_name" - "result_table_name",
+          opts.get("plugin_input").orElse(opts.get("source_table_name")).map(_.toString),
+          opts.get("plugin_output").orElse(opts.get("result_table_name")).map(_.toString))
+      }
+      case _ => Nil
+    }
+    val env = root.get("env") match {
+      case Some(o: Hocon.Obj) =>
+        o.entries.map { case (k, v) => k -> Hocon.toPlain(v).toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    Job(plugins("source"), plugins("transform"), plugins("sink"), env)
+  }
+
+  /** Parse and run a HOCON job config. */
+  def runHocon(spark: SparkSession, text: String): Map[String, DataFrame] =
+    run(spark, parseHocon(text))
+
   // ---------- execution ----------
 
   private def resolveSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {

@@ -18,9 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlOp {
 
-  /** Run `query` with `df` visible as table `inputName`. */
+  /** Run `query` with `df` visible as table `inputName` — and as `dual`,
+    * the implicit input-table alias the reference's Zeta SQL accepts
+    * (its example configs write `FROM dual` regardless of plugin_input).
+    */
   def sql(spark: SparkSession, df: DataFrame, query: String, inputName: String = "input"): DataFrame = {
     df.createOrReplaceTempView(inputName)
+    if (inputName != "dual") df.createOrReplaceTempView("dual")
     spark.sql(query)
   }
 

@@ -11,30 +11,53 @@ import org.apache.spark.sql.functions._
   *
   * Graft generates on the cluster from `spark.range` (no driver-side rows,
   * parallelism = `slices`), with deterministic per-index generators so runs
-  * are reproducible at any scale.
+  * are reproducible at any scale. The type vocabulary covers the
+  * reference's FakeSource schema grammar: the scalar types its example
+  * configs declare (int/tinyint/smallint/bigint/float/double/decimal(p,s)/
+  * string/boolean/bytes/date/timestamp/null) plus array&lt;T&gt; and
+  * map&lt;string, T&gt;.
   */
 object FakeSource {
 
-  /** Supported field types: int, long, double, string, boolean, timestamp,
-    * date. Generators are pure functions of the row index.
+  private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\)""".r
+  private val ArrayRe = """array<(.+)>""".r
+  private val MapRe = """map<\s*string\s*,(.+)>""".r
+
+  /** Deterministic generator for one field; `variant` perturbs the value
+    * so array/map elements differ within a row.
     */
+  private def genFor(name: String, tpe: String, seed: Long, variant: Int): Column = {
+    val i = col("id") + lit(variant * 7919L)
+    val mixed = hash(i.cast("string"), lit(seed))
+    tpe.trim.toLowerCase match {
+      case "int" | "integer" => pmod(mixed, lit(1000000)).cast("int")
+      case "tinyint" | "byte" => pmod(mixed, lit(128)).cast("byte")
+      case "smallint" | "short" => pmod(mixed, lit(32768)).cast("smallint")
+      case "long" | "bigint" => abs(xxhash64(i.cast("string"), lit(seed)))
+      case "double" => (pmod(mixed, lit(1000000)).cast("double") / 1000.0)
+      case "float" => (pmod(mixed, lit(1000000)).cast("double") / 1000.0).cast("float")
+      case DecimalRe(p, s) =>
+        (pmod(mixed, lit(1000000)).cast("double") / 1000.0).cast(s"decimal($p,$s)")
+      case "string" | "varchar" => concat(lit(s"${name}_"), i.cast("string"))
+      case "boolean" => (i % 2 === 0)
+      case "bytes" | "binary" => encode(concat(lit(s"${name}_"), i.cast("string")), "UTF-8")
+      case "timestamp" => timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365)))
+      case "date" => to_date(timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365))))
+      case "null" => lit(null).cast("string")
+      case ArrayRe(et) => array((0 until 3).map(k => genFor(name, et, seed, variant + k + 1)): _*)
+      case MapRe(vt) => map(
+        lit("k1"), genFor(name, vt, seed, variant + 1),
+        lit("k2"), genFor(name, vt, seed, variant + 2))
+      case other => throw new IllegalArgumentException(s"FakeSource: unsupported type $other")
+    }
+  }
+
+  /** Generate `rows` rows of the declared (name, type) fields. */
   def generate(spark: SparkSession, fields: Seq[(String, String)], rows: Long,
       slices: Int = 4, seed: Long = 42): DataFrame = {
     val base = spark.range(0, rows, 1, slices)
-    val cols: Seq[Column] = fields.map { case (name, tpe) =>
-      val i = col("id")
-      val mixed = hash(i.cast("string"), lit(seed)) // deterministic per-row mix
-      (tpe.toLowerCase match {
-        case "int" | "integer" => pmod(mixed, lit(1000000)).cast("int")
-        case "long" | "bigint" => abs(xxhash64(i.cast("string"), lit(seed)))
-        case "double" | "float" => (pmod(mixed, lit(1000000)).cast("double") / 1000.0)
-        case "string" | "varchar" => concat(lit(s"${name}_"), i.cast("string"))
-        case "boolean" => (i % 2 === 0)
-        case "timestamp" => timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365)))
-        case "date" => to_date(timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365))))
-        case other => throw new IllegalArgumentException(s"FakeSource: unsupported type $other")
-      }).as(name)
-    }
-    base.select(cols: _*)
+    base.select(fields.map { case (name, tpe) =>
+      genFor(name, tpe, seed, 0).as(name)
+    }: _*)
   }
 }
