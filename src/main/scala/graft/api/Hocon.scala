@@ -140,10 +140,12 @@ object Hocon {
   }
 
   /** Convert a parsed value to the plain Scala shapes Pipeline options
-    * use (Map preserving nothing special, Seq, String).
+    * use. Objects become insertion-ordered ListMaps — option blocks like
+    * field_mapper are order-significant in the reference.
     */
   def toPlain(v: Value): Any = v match {
-    case Obj(entries) => entries.map { case (k, x) => k -> toPlain(x) }.toMap
+    case Obj(entries) =>
+      scala.collection.immutable.ListMap(entries.map { case (k, x) => k -> toPlain(x) }: _*)
     case Arr(vs) => vs.map(toPlain)
     case Scalar(t) => t
   }

@@ -133,13 +133,21 @@ object Pipeline {
 
   private def resolveSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
     case "FakeSource" =>
-      val fields = p.options.get("schema") match {
+      val fields: Seq[(String, Any)] = p.options.get("schema") match {
         case Some(m: Map[_, _]) =>
-          m.asInstanceOf[Map[String, Any]]("fields").asInstanceOf[Map[String, Any]]
-            .map { case (k, v) => k -> v.toString }.toSeq.sortBy(_._1)
+          m.asInstanceOf[Map[String, Any]]("fields") match {
+            // HOCON configs arrive as insertion-ordered ListMaps (declared
+            // field order preserved, nested row maps allowed); plain JSON
+            // maps sort by name for determinism
+            case lm: scala.collection.immutable.ListMap[_, _] =>
+              lm.toSeq.map { case (k, v) => k.toString -> v }
+            case fm: Map[_, _] =>
+              fm.toSeq.map { case (k, v) => k.toString -> v }.sortBy(_._1)
+            case other => throw new IllegalArgumentException(s"FakeSource: bad fields $other")
+          }
         case _ => Seq("id" -> "long")
       }
-      FakeSource.generate(spark, fields, p.int("row.num", 10).toLong)
+      FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong)
     case "LocalFile" | "File" =>
       FileSources.read(spark, FileSources.FileSourceConfig(
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
@@ -177,7 +185,16 @@ object Pipeline {
   }
 
   private def applyTransform(spark: SparkSession, p: Plugin, df: DataFrame): DataFrame = p.plugin match {
-    case "Copy" => FieldOps.copyFields(df, p.map("fields").toSeq.sortBy(_._2).map(_.swap))
+    case "Copy" =>
+      (p.strOpt("src_field"), p.strOpt("dest_field")) match {
+        // reference single-copy form (CopyFieldTransform src_field/dest_field)
+        case (Some(s), Some(d)) => FieldOps.copyFields(df, Seq(s -> d))
+        case _ => p.options("fields") match {
+          case lm: scala.collection.immutable.ListMap[_, _] => // declared order
+            FieldOps.copyFields(df, lm.toSeq.map { case (d, s) => s.toString -> d.toString })
+          case _ => FieldOps.copyFields(df, p.map("fields").toSeq.sortBy(_._2).map(_.swap))
+        }
+      }
     case "FieldMapper" => FieldOps.fieldMapper(df, orderedPairs(p, "field_mapper"))
     case "FieldRename" =>
       // full reference option set (rename/FieldRenameConfig.java): explicit
@@ -197,7 +214,10 @@ object Pipeline {
       }.filter { case (a, b) => a != b }.toMap
       FieldOps.renameFields(df, renames)
     case "Filter" =>
-      if (p.list("include_fields").nonEmpty) FieldOps.keepFields(df, p.list("include_fields"))
+      // `fields` is the reference's original keep-list option name;
+      // include_fields/exclude_fields are the current pair
+      if (p.list("fields").nonEmpty) FieldOps.keepFields(df, p.list("fields"))
+      else if (p.list("include_fields").nonEmpty) FieldOps.keepFields(df, p.list("include_fields"))
       else FieldOps.dropFields(df, p.list("exclude_fields"))
     case "FilterRowKind" =>
       if (p.list("include_kinds").nonEmpty) RowKindOps.filterRowKind(df, p.list("include_kinds"))
@@ -270,6 +290,53 @@ object Pipeline {
               .getOrElse(graft.sinks.SaveModes.DataSaveMode.AppendData))
       }
     case "Assert" =>
+      p.options.get("rules") match {
+        // the reference's native grammar (connector-assert AssertConfig:
+        // rules { row_rules = [{rule_type, rule_value}], field_rules =
+        // [{field_name, field_type, field_value = [{rule_type, rule_value,
+        // equals_to}]}] })
+        case Some(rm: Map[_, _]) =>
+          val mm = rm.asInstanceOf[Map[String, Any]]
+          def seqOf(k: String): Seq[Map[String, Any]] =
+            mm.get(k).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+              .map(_.asInstanceOf[Map[String, Any]])
+          val rowRules = seqOf("row_rules").map { r =>
+            val v = r.get("rule_value").map(_.toString.toDouble.toLong)
+            r("rule_type").toString.toUpperCase match {
+              case "MIN_ROW" => Sinks.RowCountBetween(v.get, Long.MaxValue)
+              case "MAX_ROW" => Sinks.RowCountBetween(0L, v.get)
+              case other => throw new IllegalArgumentException(s"assert row rule: $other")
+            }
+          }
+          val fieldRules = seqOf("field_rules").flatMap { fr =>
+            val fname = fr("field_name").toString
+            val typeRule = fr.get("field_type").collect {
+              case s: String => Sinks.FieldType(fname, s)
+            }
+            val valueRules = fr.get("field_value").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+              .map(_.asInstanceOf[Map[String, Any]]).map { vr =>
+                val v = vr.get("rule_value").map(_.toString.toDouble)
+                vr.get("rule_type").map(_.toString.toUpperCase) match {
+                  case Some("NOT_NULL") => Sinks.NotNull(fname)
+                  case Some("MIN") => Sinks.MinValue(fname, v.get)
+                  case Some("MAX") => Sinks.MaxValue(fname, v.get)
+                  case Some("MIN_LENGTH") => Sinks.MinLength(fname, v.get.toInt)
+                  case Some("MAX_LENGTH") => Sinks.MaxLength(fname, v.get.toInt)
+                  case None if vr.contains("equals_to") =>
+                    Sinks.EqualsValue(fname, vr("equals_to"))
+                  case other => throw new IllegalArgumentException(s"assert field rule: $other")
+                }
+              }
+            typeRule.toSeq ++ valueRules
+          }
+          Sinks.assertRules(df, rowRules ++ fieldRules)
+        case _ => runAssertLegacy(df, p)
+      }
+    case "Jdbc" | "JDBC" => runJdbcSink(df, p)
+    case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
+  }
+
+  private def runAssertLegacy(df: DataFrame, p: Plugin): Unit = {
       val rules = p.options.get("rules").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil).map { r =>
         val m = r.asInstanceOf[Map[String, Any]]
         m("rule").toString match {
@@ -289,7 +356,9 @@ object Pipeline {
         }
       }
       Sinks.assertRules(df, rules)
-    case "Jdbc" | "JDBC" =>
+  }
+
+  private def runJdbcSink(df: DataFrame, p: Plugin): Unit = {
       val cfg = graft.sources.Jdbc.JdbcSinkConfig(
         p.str("url"), p.strOpt("table").orElse(p.strOpt("table_path")).getOrElse(
           throw new IllegalArgumentException("Jdbc sink: table required")),
@@ -323,7 +392,6 @@ object Pipeline {
             graft.sources.Jdbc.upsert(df, cfg, primaryKeys)
           }
       }
-    case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 
   /** Execute a parsed job and report per-sink row metrics (the reference's

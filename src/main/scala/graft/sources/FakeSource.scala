@@ -52,12 +52,29 @@ object FakeSource {
     }
   }
 
+  /** A field type is either a type-name string or a nested field map (the
+    * reference's row-type schema syntax: `c_row = { c_int = int }`).
+    */
+  private def genAny(name: String, tpe: Any, seed: Long, variant: Int): Column = tpe match {
+    case s: String => genFor(name, s, seed, variant)
+    case m: scala.collection.Map[_, _] =>
+      struct(m.toSeq.zipWithIndex.map { case ((k, v), idx) =>
+        genAny(k.toString, v, seed, variant + idx + 1).as(k.toString)
+      }: _*)
+    case other => throw new IllegalArgumentException(s"FakeSource: bad field spec $other")
+  }
+
   /** Generate `rows` rows of the declared (name, type) fields. */
   def generate(spark: SparkSession, fields: Seq[(String, String)], rows: Long,
+      slices: Int = 4, seed: Long = 42): DataFrame =
+    generateAny(spark, fields, rows, slices, seed)
+
+  /** Like [[generate]] but field specs may be nested row maps. */
+  def generateAny(spark: SparkSession, fields: Seq[(String, Any)], rows: Long,
       slices: Int = 4, seed: Long = 42): DataFrame = {
     val base = spark.range(0, rows, 1, slices)
     base.select(fields.map { case (name, tpe) =>
-      genFor(name, tpe, seed, 0).as(name)
+      genAny(name, tpe, seed, 0).as(name)
     }: _*)
   }
 }

@@ -43,6 +43,39 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Int]]("c_array").length == 3)
   }
 
+  private val e2e1 = "/root/reference/seatunnel-e2e/seatunnel-transforms-v2-e2e/" +
+    "seatunnel-transforms-v2-e2e-part-1/src/test/resources/"
+  private val e2e2 = "/root/reference/seatunnel-e2e/seatunnel-transforms-v2-e2e/" +
+    "seatunnel-transforms-v2-e2e-part-2/src/test/resources/"
+
+  test("reference e2e filter_transform.conf runs verbatim (incl. native Assert rules)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "filter_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.columns.toSeq == Seq("age", "name", "c_row"))
+    assert(out.count() == 100)
+    // nested row schema materialized as a struct of structs
+    assert(out.schema("c_row").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("c_row"))
+  }
+
+  test("reference e2e copy_transform.conf runs verbatim (single + multi copy forms)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "copy_transform.conf"))
+    val out = catalog("fake2")
+    assert(out.count() == 100)
+    assert(Seq("name1", "id_1", "name2", "name3", "c_row_1").forall(out.columns.contains))
+    val r = out.select("name", "name1", "name2").collect()(0)
+    assert(r.getString(0) == r.getString(1) && r.getString(1) == r.getString(2))
+  }
+
+  test("reference e2e field_mapper config runs verbatim (ordered mapping + renames)") {
+    val catalog = Pipeline.runHocon(spark,
+      load(e2e2 + "field_mapper_transform_without_result_table.conf"))
+    val out = catalog("fake1")
+    // declared mapper order: id, age->age_as, int1->int1_as, name, c_row
+    assert(out.columns.toSeq == Seq("id", "age_as", "int1_as", "name", "c_row"))
+    assert(out.count() == 100)
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
