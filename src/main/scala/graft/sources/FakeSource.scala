@@ -43,6 +43,9 @@ object FakeSource {
       case "bytes" | "binary" => encode(concat(lit(s"${name}_"), i.cast("string")), "UTF-8")
       case "timestamp" => timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365)))
       case "date" => to_date(timestamp_seconds(lit(1704067200L) + pmod(mixed, lit(86400 * 365))))
+      case "time" => // Spark 4 TIME type, built from a seconds-of-day value
+        format_string("%02d:%02d:%02d",
+          pmod(mixed, lit(24)), pmod(mixed, lit(60)), pmod(mixed, lit(60))).cast("time")
       case "null" => lit(null).cast("string")
       case ArrayRe(et) => array((0 until 3).map(k => genFor(name, et, seed, variant + k + 1)): _*)
       case MapRe(vt) => map(
@@ -69,9 +72,19 @@ object FakeSource {
       slices: Int = 4, seed: Long = 42): DataFrame =
     generateAny(spark, fields, rows, slices, seed)
 
+  private def declaresTime(tpe: Any): Boolean = tpe match {
+    case s: String => s.trim.equalsIgnoreCase("time")
+    case m: scala.collection.Map[_, _] => m.values.exists(declaresTime)
+    case _ => false
+  }
+
   /** Like [[generate]] but field specs may be nested row maps. */
   def generateAny(spark: SparkSession, fields: Seq[(String, Any)], rows: Long,
       slices: Int = 4, seed: Long = 42): DataFrame = {
+    // Spark 4's TIME type ships behind a flag; a schema that declares a
+    // time field is an explicit opt-in
+    if (fields.exists { case (_, t) => declaresTime(t) })
+      spark.conf.set("spark.sql.timeType.enabled", "true")
     val base = spark.range(0, rows, 1, slices)
     base.select(fields.map { case (name, tpe) =>
       genAny(name, tpe, seed, 0).as(name)

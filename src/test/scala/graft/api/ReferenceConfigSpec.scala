@@ -76,6 +76,23 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("reference e2e replace_transform.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "replace_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.count() == 100)
+    assert(out.select("name").distinct().collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("reference e2e sql_transform.conf runs verbatim (TIME type, dual binding, pi())") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "sql_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.count() == 100)
+    assert(out.columns.contains("pi"))
+    assert(out.schema("c_time").dataType.typeName.startsWith("time"))
+    val r = out.select("name", "pi").collect()(0)
+    assert(r.getString(0) == "b" && math.abs(r.getDouble(1) - math.Pi) < 1e-12)
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
