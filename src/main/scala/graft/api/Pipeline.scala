@@ -220,8 +220,20 @@ object Pipeline {
       else if (p.list("include_fields").nonEmpty) FieldOps.keepFields(df, p.list("include_fields"))
       else FieldOps.dropFields(df, p.list("exclude_fields"))
     case "FilterRowKind" =>
-      if (p.list("include_kinds").nonEmpty) RowKindOps.filterRowKind(df, p.list("include_kinds"))
-      else RowKindOps.filterRowKindExclude(df, p.list("exclude_kinds"))
+      // reference configs write FULL kind names (INSERT/...); kind-less
+      // rows are implicit inserts (FakeSource emits plain rows)
+      val fullNames = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
+        "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
+      def canon(k: String) = fullNames.getOrElse(k.toUpperCase, k)
+      val hadKind = df.columns.contains(RowKindOps.RowKindCol)
+      val withKind = if (hadKind) df
+        else df.withColumn(RowKindOps.RowKindCol,
+          org.apache.spark.sql.functions.lit("+I"))
+      val filtered =
+        if (p.list("include_kinds").nonEmpty)
+          RowKindOps.filterRowKind(withKind, p.list("include_kinds").map(canon))
+        else RowKindOps.filterRowKindExclude(withKind, p.list("exclude_kinds").map(canon))
+      if (hadKind) filtered else filtered.drop(RowKindOps.RowKindCol)
     case "RowKindExtractor" =>
       RowKindOps.extractRowKind(df, p.strOpt("custom_field_name").getOrElse("row_kind"),
         p.strOpt("transform_format").exists(_.equalsIgnoreCase("FULL")))

@@ -93,6 +93,16 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(r.getString(0) == "b" && math.abs(r.getDouble(1) - math.Pi) < 1e-12)
   }
 
+  test("reference e2e filter_row_kind configs run verbatim (full kind names, implicit inserts)") {
+    // exclude INSERT on a plain source -> everything filtered, asserts 0 rows
+    val ex = Pipeline.runHocon(spark, load(e2e1 + "filter_row_kind_exclude_insert.conf"))
+    assert(ex("fake1").count() == 0)
+    // include INSERT -> everything kept, asserts 100 rows + field rules
+    val in = Pipeline.runHocon(spark, load(e2e1 + "filter_row_kind_include_insert.conf"))
+    assert(in("fake1").count() == 100)
+    assert(!in("fake1").columns.contains("__row_kind")) // implicit kind stays internal
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
