@@ -674,6 +674,29 @@ object SparkEntry {
       graft.api.Pipeline.runJson(s, cfg)("rep").orderBy("c_custkey")
     }),
 
+    // §2.4 NATIVE HOCON pipeline end-to-end — the reference's own config
+    // syntax driving a source->SQL aggregation, oracle-checked
+    "q_pipeline_hocon" -> ((s, dir) => {
+      val conf =
+        s"""env { job.mode = "BATCH" }
+           |source {
+           |  LocalFile {
+           |    plugin_output = "orders"
+           |    path = "$dir/orders.parquet"
+           |    file_format_type = "parquet"
+           |  }
+           |}
+           |transform {
+           |  Sql {
+           |    plugin_input = "orders"
+           |    plugin_output = "agg"
+           |    query = "select o_orderstatus, count(*) as n, cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total from orders group by o_orderstatus order by o_orderstatus"
+           |  }
+           |}
+           |""".stripMargin
+      graft.api.Pipeline.runHocon(s, conf)("agg")
+    }),
+
     // §2.1.14 TableRename as a catalog-level Pipeline plugin (prefix +
     // regex replacement + case conversion, per the reference options)
     "q_table_rename" -> ((s, dir) => {
@@ -1202,6 +1225,11 @@ object SparkEntry {
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
         |FROM customer WHERE c_acctbal > 5000
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_pipeline_hocon" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
