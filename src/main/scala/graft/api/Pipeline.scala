@@ -147,7 +147,33 @@ object Pipeline {
           }
         case _ => Seq("id" -> "long")
       }
-      FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong)
+      p.options.get("rows") match {
+        case Some(rowsAny: Seq[_]) =>
+          // the reference's literal-rows mode (FakeSourceOptions.rows):
+          // config-declared fixture rows with optional CDC kinds. Bounded
+          // by config size, so driver-side literal construction is the
+          // right shape (it's configuration, not data).
+          val kinds = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
+            "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
+          val strRows = rowsAny.map(_.asInstanceOf[Map[String, Any]]).map { rs =>
+            val vals = rs("fields").asInstanceOf[Seq[Any]]
+              .map(v => if (v == null) null else v.toString)
+            org.apache.spark.sql.Row.fromSeq(vals :+ kinds.getOrElse(
+              rs.getOrElse("kind", "INSERT").toString.toUpperCase, "+I"))
+          }
+          val strSchema = StructType(fields.map { case (n, _) =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType) } :+
+            org.apache.spark.sql.types.StructField(RowKindOps.RowKindCol,
+              org.apache.spark.sql.types.StringType))
+          val raw = spark.createDataFrame(
+            spark.sparkContext.parallelize(strRows, 1), strSchema)
+          raw.select(fields.map { case (n, t) =>
+            org.apache.spark.sql.functions.col(n).cast(t.toString).as(n)
+          } :+ org.apache.spark.sql.functions.col(RowKindOps.RowKindCol): _*)
+        case _ =>
+          FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong)
+      }
     case "LocalFile" | "File" =>
       FileSources.read(spark, FileSources.FileSourceConfig(
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
@@ -235,8 +261,11 @@ object Pipeline {
         else RowKindOps.filterRowKindExclude(withKind, p.list("exclude_kinds").map(canon))
       if (hadKind) filtered else filtered.drop(RowKindOps.RowKindCol)
     case "RowKindExtractor" =>
+      // the reference accepts both option spellings (transform_type in the
+      // e2e configs, transform_format in the docs)
       RowKindOps.extractRowKind(df, p.strOpt("custom_field_name").getOrElse("row_kind"),
-        p.strOpt("transform_format").exists(_.equalsIgnoreCase("FULL")))
+        p.strOpt("transform_format").orElse(p.strOpt("transform_type"))
+          .exists(_.equalsIgnoreCase("FULL")))
     case "Replace" =>
       RowOps.replaceField(df, p.str("replace_field"), p.str("pattern"), p.str("replacement"),
         p.bool("is_regex", default = false), p.bool("replace_first", default = false))

@@ -103,6 +103,25 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(!in("fake1").columns.contains("__row_kind")) // implicit kind stays internal
   }
 
+  test("reference e2e rowkind_extractor_transform_case1.conf runs verbatim (literal rows)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "rowkind_extractor_transform_case1.conf"))
+    val out = catalog("trans_result")
+    assert(out.count() == 10)
+    val kinds = out.select("custom_name").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("INSERT", "UPDATE_BEFORE", "UPDATE_AFTER", "DELETE"))
+    // literal row values arrive typed per the declared schema
+    assert(out.schema("pk_id").dataType.typeName == "long")
+    assert(out.where(org.apache.spark.sql.functions.col("pk_id") === 1L).count() == 3)
+  }
+
+  test("reference e2e rowkind_extractor_transform_case2.conf runs verbatim (SHORT codes)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "rowkind_extractor_transform_case2.conf"))
+    val out = catalog("trans_result")
+    assert(out.count() == 10)
+    val kinds = out.select("row_kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("+I", "-U", "+U", "-D"))
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
