@@ -337,45 +337,73 @@ object Pipeline {
         // [{field_name, field_type, field_value = [{rule_type, rule_value,
         // equals_to}]}] })
         case Some(rm: Map[_, _]) =>
-          val mm = rm.asInstanceOf[Map[String, Any]]
-          def seqOf(k: String): Seq[Map[String, Any]] =
-            mm.get(k).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
-              .map(_.asInstanceOf[Map[String, Any]])
-          val rowRules = seqOf("row_rules").map { r =>
-            val v = r.get("rule_value").map(_.toString.toDouble.toLong)
-            r("rule_type").toString.toUpperCase match {
-              case "MIN_ROW" => Sinks.RowCountBetween(v.get, Long.MaxValue)
-              case "MAX_ROW" => Sinks.RowCountBetween(0L, v.get)
-              case other => throw new IllegalArgumentException(s"assert row rule: $other")
-            }
-          }
-          val fieldRules = seqOf("field_rules").flatMap { fr =>
-            val fname = fr("field_name").toString
-            val typeRule = fr.get("field_type").collect {
-              case s: String => Sinks.FieldType(fname, s)
-            }
-            val valueRules = fr.get("field_value").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
-              .map(_.asInstanceOf[Map[String, Any]]).map { vr =>
-                val v = vr.get("rule_value").map(_.toString.toDouble)
-                vr.get("rule_type").map(_.toString.toUpperCase) match {
-                  case Some("NOT_NULL") => Sinks.NotNull(fname)
-                  case Some("MIN") => Sinks.MinValue(fname, v.get)
-                  case Some("MAX") => Sinks.MaxValue(fname, v.get)
-                  case Some("MIN_LENGTH") => Sinks.MinLength(fname, v.get.toInt)
-                  case Some("MAX_LENGTH") => Sinks.MaxLength(fname, v.get.toInt)
-                  case None if vr.contains("equals_to") =>
-                    Sinks.EqualsValue(fname, vr("equals_to"))
-                  case other => throw new IllegalArgumentException(s"assert field rule: $other")
-                }
-              }
-            typeRule.toSeq ++ valueRules
-          }
-          Sinks.assertRules(df, rowRules ++ fieldRules)
+          Sinks.assertRules(df, parseNativeAssertRules(rm.asInstanceOf[Map[String, Any]]))
         case _ => runAssertLegacy(df, p)
       }
     case "Jdbc" | "JDBC" => runJdbcSink(df, p)
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
+
+  /** The reference Assert grammar (connector-assert AssertConfig):
+    * row_rules = [{rule_type, rule_value}], field_rules = [{field_name,
+    * field_type, field_value = [{rule_type, rule_value, equals_to}]}].
+    */
+  private def parseNativeAssertRules(mm: Map[String, Any]): Seq[Sinks.AssertRule] = {
+    def seqOf(k: String): Seq[Map[String, Any]] =
+      mm.get(k).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+        .map(_.asInstanceOf[Map[String, Any]])
+    val rowRules = seqOf("row_rules").map { r =>
+      val v = r.get("rule_value").map(_.toString.toDouble.toLong)
+      r("rule_type").toString.toUpperCase match {
+        case "MIN_ROW" => Sinks.RowCountBetween(v.get, Long.MaxValue)
+        case "MAX_ROW" => Sinks.RowCountBetween(0L, v.get)
+        case other => throw new IllegalArgumentException(s"assert row rule: $other")
+      }
+    }
+    val fieldRules = seqOf("field_rules").flatMap { fr =>
+      val fname = fr("field_name").toString
+      val typeRule = fr.get("field_type").collect {
+        case s: String => Sinks.FieldType(fname, s)
+      }
+      val valueRules = fr.get("field_value").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+        .map(_.asInstanceOf[Map[String, Any]]).map { vr =>
+          val v = vr.get("rule_value").map(_.toString.toDouble)
+          vr.get("rule_type").map(_.toString.toUpperCase) match {
+            case Some("NOT_NULL") => Sinks.NotNull(fname)
+            case Some("MIN") => Sinks.MinValue(fname, v.get)
+            case Some("MAX") => Sinks.MaxValue(fname, v.get)
+            case Some("MIN_LENGTH") => Sinks.MinLength(fname, v.get.toInt)
+            case Some("MAX_LENGTH") => Sinks.MaxLength(fname, v.get.toInt)
+            case None if vr.contains("equals_to") =>
+              Sinks.EqualsValue(fname, vr("equals_to"))
+            case other => throw new IllegalArgumentException(s"assert field rule: $other")
+          }
+        }
+      typeRule.toSeq ++ valueRules
+    }
+    rowRules ++ fieldRules
+  }
+
+  /** Multi-table Assert (rules.tables_configs): each entry names a
+    * table_path resolved against the job catalog and carries its own
+    * rule set.
+    */
+  private def runAssertMultiTable(catalog: Map[String, DataFrame], p: Plugin): Unit = {
+    val mm = p.options("rules").asInstanceOf[Map[String, Any]]
+    mm("tables_configs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]]).foreach { tc =>
+        val path = tc("table_path").toString
+        val df = catalog.getOrElse(path,
+          throw new IllegalArgumentException(s"Assert: unknown table_path $path"))
+        Sinks.assertRules(df, parseNativeAssertRules(tc))
+      }
+  }
+
+  private def isMultiTableAssert(p: Plugin): Boolean =
+    p.plugin == "Assert" && (p.options.get("rules") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]].contains("tables_configs")
+      case _ => false
+    })
 
   private def runAssertLegacy(df: DataFrame, p: Plugin): Unit = {
       val rules = p.options.get("rules").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil).map { r =>
@@ -461,9 +489,27 @@ object Pipeline {
     var catalog = Map.empty[String, DataFrame]
     var last: Option[String] = None
     job.sources.foreach { s =>
-      val name = s.output.getOrElse(s.plugin)
-      catalog += name -> resolveSource(spark, s)
-      last = Some(name)
+      s.options.get("tables_configs") match {
+        // the reference's multi-table FakeSource: one source block declares
+        // several catalog tables, each keyed by its schema.table path
+        case Some(tcs: Seq[_]) if s.plugin == "FakeSource" =>
+          tcs.map(_.asInstanceOf[Map[String, Any]]).foreach { tc =>
+            val schema = tc("schema").asInstanceOf[Map[String, Any]]
+            val tableName = schema("table").toString
+            val fields: Seq[(String, Any)] = schema.get("columns") match {
+              case Some(cols: Seq[_]) => cols.map(_.asInstanceOf[Map[String, Any]])
+                .map(c => c("name").toString -> c("type"))
+              case _ => schema("fields").asInstanceOf[Map[String, Any]].toSeq
+            }
+            val rows = tc.get("row.num").map(_.toString.toLong).getOrElse(10L)
+            catalog += tableName -> FakeSource.generateAny(spark, fields, rows)
+            last = Some(tableName)
+          }
+        case _ =>
+          val name = s.output.getOrElse(s.plugin)
+          catalog += name -> resolveSource(spark, s)
+          last = Some(name)
+      }
     }
     job.transforms.foreach { t =>
       t.plugin match {
@@ -484,7 +530,13 @@ object Pipeline {
           catalog = catalog.map { case (n, df) => newName(n) -> df }
           last = last.map(newName) // keep `last` tracking its renamed table
         case "TableMerge" =>
-          val out = t.strOpt("output_table").getOrElse("merged")
+          // reference names the merged table database + table
+          val out = t.strOpt("output_table")
+            .orElse((t.strOpt("database"), t.strOpt("table")) match {
+              case (Some(db), Some(tb)) => Some(s"$db.$tb")
+              case _ => None
+            })
+            .getOrElse("merged")
           catalog = graft.operators.TableOps.mergeTables(catalog,
             t.str("table_match_regex"), out,
             t.bool("tag_source_table", default = false))
@@ -521,10 +573,13 @@ object Pipeline {
   def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
     val (catalog, last) = buildCatalog(spark, job)
     job.sinks.foreach { s =>
-      val in = s.input.orElse(last).getOrElse(
-        throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-      runSink(catalog.getOrElse(in,
-        throw new IllegalArgumentException(s"unknown table $in")), s)
+      if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
+      else {
+        val in = s.input.orElse(last).getOrElse(
+          throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+        runSink(catalog.getOrElse(in,
+          throw new IllegalArgumentException(s"unknown table $in")), s)
+      }
     }
     catalog
   }

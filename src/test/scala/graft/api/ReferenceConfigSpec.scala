@@ -122,6 +122,14 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(kinds == Set("+I", "-U", "+U", "-D"))
   }
 
+  test("reference e2e table_merge_multi_table.conf runs verbatim (multi-table source/assert)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "table_merge_multi_table.conf"))
+    // test.user_1 + test.user_2 merged into sink.user_all; test.xyz untouched
+    assert(catalog("sink.user_all").count() == 6)
+    assert(catalog("test.xyz").count() == 5)
+    assert(!catalog.contains("test.user_1"))
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
