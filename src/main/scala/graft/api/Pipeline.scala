@@ -148,29 +148,7 @@ object Pipeline {
         case _ => Seq("id" -> "long")
       }
       p.options.get("rows") match {
-        case Some(rowsAny: Seq[_]) =>
-          // the reference's literal-rows mode (FakeSourceOptions.rows):
-          // config-declared fixture rows with optional CDC kinds. Bounded
-          // by config size, so driver-side literal construction is the
-          // right shape (it's configuration, not data).
-          val kinds = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
-            "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
-          val strRows = rowsAny.map(_.asInstanceOf[Map[String, Any]]).map { rs =>
-            val vals = rs("fields").asInstanceOf[Seq[Any]]
-              .map(v => if (v == null) null else v.toString)
-            org.apache.spark.sql.Row.fromSeq(vals :+ kinds.getOrElse(
-              rs.getOrElse("kind", "INSERT").toString.toUpperCase, "+I"))
-          }
-          val strSchema = StructType(fields.map { case (n, _) =>
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType) } :+
-            org.apache.spark.sql.types.StructField(RowKindOps.RowKindCol,
-              org.apache.spark.sql.types.StringType))
-          val raw = spark.createDataFrame(
-            spark.sparkContext.parallelize(strRows, 1), strSchema)
-          raw.select(fields.map { case (n, t) =>
-            org.apache.spark.sql.functions.col(n).cast(t.toString).as(n)
-          } :+ org.apache.spark.sql.functions.col(RowKindOps.RowKindCol): _*)
+        case Some(rowsAny: Seq[_]) => literalRows(spark, fields, rowsAny)
         case _ =>
           FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong)
       }
@@ -208,6 +186,33 @@ object Pipeline {
         s"Http source: network egress is unavailable in this environment " +
           s"(validated config: url=$url, method=$method)")
     case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
+  }
+
+  /** The reference's literal-rows mode (FakeSourceOptions.rows):
+    * config-declared fixture rows with optional CDC kinds. Bounded by
+    * config size, so driver-side literal construction is the right shape
+    * (it's configuration, not data).
+    */
+  private def literalRows(spark: SparkSession, fields: Seq[(String, Any)],
+      rowsAny: Seq[_]): DataFrame = {
+    val kinds = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
+      "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
+    val strRows = rowsAny.map(_.asInstanceOf[Map[String, Any]]).map { rs =>
+      val vals = rs("fields").asInstanceOf[Seq[Any]]
+        .map(v => if (v == null) null else v.toString)
+      org.apache.spark.sql.Row.fromSeq(vals :+ kinds.getOrElse(
+        rs.getOrElse("kind", "INSERT").toString.toUpperCase, "+I"))
+    }
+    val strSchema = StructType(fields.map { case (n, _) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType) } :+
+      org.apache.spark.sql.types.StructField(RowKindOps.RowKindCol,
+        org.apache.spark.sql.types.StringType))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(strRows, 1), strSchema)
+    raw.select(fields.map { case (n, t) =>
+      org.apache.spark.sql.functions.col(n).cast(t.toString).as(n)
+    } :+ org.apache.spark.sql.functions.col(RowKindOps.RowKindCol): _*)
   }
 
   private def applyTransform(spark: SparkSession, p: Plugin, df: DataFrame): DataFrame = p.plugin match {
@@ -381,7 +386,14 @@ object Pipeline {
         }
       typeRule.toSeq ++ valueRules
     }
-    rowRules ++ fieldRules
+    // catalog_table_rule: schema-level column name/type assertions
+    val schemaRules = mm.get("catalog_table_rule")
+      .map(_.asInstanceOf[Map[String, Any]]).toSeq.flatMap { cr =>
+        cr.get("column_rule").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
+          .map(_.asInstanceOf[Map[String, Any]])
+          .map(c => Sinks.FieldType(c("name").toString, c("type").toString))
+      }
+    rowRules ++ fieldRules ++ schemaRules
   }
 
   /** Multi-table Assert (rules.tables_configs): each entry names a
@@ -501,8 +513,11 @@ object Pipeline {
                 .map(c => c("name").toString -> c("type"))
               case _ => schema("fields").asInstanceOf[Map[String, Any]].toSeq
             }
-            val rows = tc.get("row.num").map(_.toString.toLong).getOrElse(10L)
-            catalog += tableName -> FakeSource.generateAny(spark, fields, rows)
+            catalog += tableName -> (tc.get("rows") match {
+              case Some(rowsAny: Seq[_]) => literalRows(spark, fields, rowsAny)
+              case _ => FakeSource.generateAny(spark, fields,
+                tc.get("row.num").map(_.toString.toLong).getOrElse(10L))
+            })
             last = Some(tableName)
           }
         case _ =>
@@ -547,12 +562,26 @@ object Pipeline {
         case _ => t.strOpt("table_match_regex") match {
           // multi-table mode (reference: transform-multi-table.md /
           // AbstractMultiCatalog*Transform): apply to every matching table
-          // in place — one wrapper, N per-table plans.
+          // in place — one wrapper, N per-table plans. `table_transform`
+          // entries override the options for specific table_paths (and
+          // apply even to tables outside the regex, per the reference).
           case Some(pattern) =>
             val re = pattern.r
+            val overrides: Map[String, Map[String, Any]] =
+              t.options.get("table_transform") match {
+                case Some(l: Seq[_]) => l.map(_.asInstanceOf[Map[String, Any]])
+                  .map(m => m("table_path").toString -> (m - "table_path")).toMap
+                case _ => Map.empty
+              }
             catalog = catalog.map { case (name, df) =>
-              if (re.pattern.matcher(name).matches()) name -> applyTransform(spark, t, df)
-              else name -> df
+              overrides.get(name) match {
+                case Some(ov) =>
+                  val tt = t.copy(options = t.options - "table_transform" ++ ov)
+                  name -> applyTransform(spark, tt, df)
+                case None if re.pattern.matcher(name).matches() =>
+                  name -> applyTransform(spark, t, df)
+                case None => name -> df
+              }
             }
           case None =>
             val in = t.input.orElse(last).getOrElse(

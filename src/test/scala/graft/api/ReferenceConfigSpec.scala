@@ -130,6 +130,20 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(!catalog.contains("test.user_1"))
   }
 
+  test("reference e2e metadata_multi_table.conf runs verbatim (per-table overrides)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "metadata_multi_table.conf"))
+    // regex-matched table gets the default metadata field
+    assert(catalog("test.abc").columns.contains("rowKind"))
+    // table_transform override renames it for test.xyz
+    assert(catalog("test.xyz").columns.contains("rowKind2"))
+    assert(!catalog("test.xyz").columns.contains("rowKind"))
+    // untouched table keeps its literal fixture rows
+    assert(!catalog("test.www").columns.exists(_.startsWith("rowKind")))
+    assert(catalog("test.www").count() == 5)
+    val names = catalog("test.abc").select("name").collect().map(_.getString(0)).toSet
+    assert(names.contains("Jia Fan")) // literal rows, not generated values
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
