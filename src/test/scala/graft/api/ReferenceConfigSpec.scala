@@ -144,6 +144,19 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(names.contains("Jia Fan")) // literal rows, not generated values
   }
 
+  test("reference e2e filter_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "filter_transform_multi_table.conf"))
+    assert(catalog("test.abc").columns.toSeq == Seq("age", "name")) // default keep-list
+    assert(catalog("test.xyz").columns.toSeq == Seq("id", "name")) // per-table override
+    assert(catalog("test.www").columns.toSeq == Seq("id", "name", "age")) // untouched
+  }
+
+  test("reference e2e copy_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "copy_transform_multi_table.conf"))
+    assert(catalog.keys.exists(_.startsWith("test.")))
+    catalog.foreach { case (_, df) => assert(df.count() > 0) }
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
