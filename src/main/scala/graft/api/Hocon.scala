@@ -24,6 +24,8 @@ object Hocon {
   }
   final case class Arr(values: Seq[Value]) extends Value
   final case class Scalar(text: String) extends Value
+  /** Unquoted `null` literal (quoted "null" stays a Scalar). */
+  case object Null extends Value
 
   def parse(text: String): Obj = {
     val p = new Parser(strip(text))
@@ -33,7 +35,10 @@ object Hocon {
     o
   }
 
-  /** Remove comments (outside quotes) while preserving newlines. */
+  /** Remove comments (outside quotes) while preserving newlines. Triple-
+    * quoted `"""..."""` blocks (HOCON multiline strings, used by the
+    * reference's sql_transform e2e configs) pass through verbatim.
+    */
   private def strip(text: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -44,6 +49,11 @@ object Hocon {
         sb.append(c)
         if (c == '"' && text.charAt(i - 1) != '\\') inStr = false
         i += 1
+      } else if (c == '"' && text.startsWith("\"\"\"", i)) {
+        val end = text.indexOf("\"\"\"", i + 3)
+        require(end >= 0, "hocon: unterminated triple-quoted string")
+        sb.append(text.substring(i, end + 3))
+        i = end + 3
       } else if (c == '"') { inStr = true; sb.append(c); i += 1 }
       else if (c == '#' || (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '/')) {
         while (i < text.length && text.charAt(i) != '\n') i += 1
@@ -98,6 +108,12 @@ object Hocon {
     def parseValue(): Value = {
       skipWs()
       cur match {
+        case '"' if s.startsWith("\"\"\"", pos) =>
+          val end = s.indexOf("\"\"\"", pos + 3)
+          require(end >= 0, "hocon: unterminated triple-quoted string")
+          val body = s.substring(pos + 3, end)
+          pos = end + 3
+          Scalar(body)
         case '{' => pos += 1; parseObjectBody(topLevel = false)
         case '[' =>
           pos += 1
@@ -115,7 +131,8 @@ object Hocon {
         case _ =>
           val start = pos
           while (!eof && cur != ',' && cur != '\n' && cur != '}' && cur != ']') pos += 1
-          Scalar(s.substring(start, pos).trim)
+          val text = s.substring(start, pos).trim
+          if (text == "null") Null else Scalar(text)
       }
     }
 
@@ -144,6 +161,7 @@ object Hocon {
     * field_mapper are order-significant in the reference.
     */
   def toPlain(v: Value): Any = v match {
+    case Null => null
     case Obj(entries) =>
       scala.collection.immutable.ListMap(entries.map { case (k, x) => k -> toPlain(x) }: _*)
     case Arr(vs) => vs.map(toPlain)

@@ -150,7 +150,17 @@ object Pipeline {
       p.options.get("rows") match {
         case Some(rowsAny: Seq[_]) => literalRows(spark, fields, rowsAny)
         case _ =>
-          FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong)
+          // reference FakeOption `<type>.template` value lists
+          val templates: Map[String, Seq[Any]] = p.options.collect {
+            case (k, v: Seq[_]) if k.endsWith(".template") =>
+              k.stripSuffix(".template").toLowerCase -> (v: Seq[Any])
+          }
+          if (templates.nonEmpty)
+            // templated keys may collide (that's how the reference gets
+            // single-entry maps from one-element templates)
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong,
+            templates = templates)
       }
     case "LocalFile" | "File" =>
       FileSources.read(spark, FileSources.FileSourceConfig(
@@ -197,21 +207,38 @@ object Pipeline {
       rowsAny: Seq[_]): DataFrame = {
     val kinds = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
       "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
+    // zeta type spellings -> Spark DDL
+    def ddlOf(t: Any): String = t.toString.trim match {
+      case b if b.equalsIgnoreCase("bytes") => "binary"
+      case other => other
+    }
+    def isArrayType(t: Any): Boolean =
+      t.toString.trim.toLowerCase.startsWith("array<")
     val strRows = rowsAny.map(_.asInstanceOf[Map[String, Any]]).map { rs =>
-      val vals = rs("fields").asInstanceOf[Seq[Any]]
-        .map(v => if (v == null) null else v.toString)
+      val vals = rs("fields").asInstanceOf[Seq[Any]].map {
+        case null => null
+        case xs: Seq[_] => xs.map(x => if (x == null) null else x.toString)
+        case v => v.toString
+      }
       org.apache.spark.sql.Row.fromSeq(vals :+ kinds.getOrElse(
         rs.getOrElse("kind", "INSERT").toString.toUpperCase, "+I"))
     }
-    val strSchema = StructType(fields.map { case (n, _) =>
+    val strSchema = StructType(fields.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n,
-        org.apache.spark.sql.types.StringType) } :+
+        if (isArrayType(t))
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+        else org.apache.spark.sql.types.StringType) } :+
       org.apache.spark.sql.types.StructField(RowKindOps.RowKindCol,
         org.apache.spark.sql.types.StringType))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(strRows, 1), strSchema)
     raw.select(fields.map { case (n, t) =>
-      org.apache.spark.sql.functions.col(n).cast(t.toString).as(n)
+      val c = org.apache.spark.sql.functions.col(n)
+      val typed =
+        if (ddlOf(t) == "binary") // reference fixture bytes are base64
+          org.apache.spark.sql.functions.unbase64(c)
+        else c.cast(ddlOf(t))
+      typed.as(n)
     } :+ org.apache.spark.sql.functions.col(RowKindOps.RowKindCol): _*)
   }
 
@@ -277,14 +304,17 @@ object Pipeline {
     case "Split" =>
       RowOps.splitField(df, p.str("separator"), p.str("split_field"), p.list("output_fields"))
     case "Sql" | "SQL" =>
-      graft.functions.ZetaFunctions.register(spark)
-      SqlOp.sql(spark, df, p.str("query"), p.input.getOrElse("input"))
+      // config SQL runs in the Zeta dialect (the syntax the reference's
+      // own job files are written in) — SqlOp.sqlZeta scaladoc
+      SqlOp.sqlZeta(spark, df, p.str("query"), p.input.getOrElse("input"))
     case "JsonPath" =>
       JsonPathOp.extract(df, p.options("columns").asInstanceOf[Seq[Any]].map { c =>
         val m = c.asInstanceOf[Map[String, Any]]
         JsonPathOp.PathSpec(m("src_field").toString, m("path").toString,
-          m("dest_field").toString, m.get("dest_type").map(t => DataType.fromDDL(t.toString)))
-      })
+          m("dest_field").toString, m.get("dest_type").map(t => DataType.fromDDL(t.toString)),
+          m.get("column_error_handle_way").map(w => JsonPathOp.ErrorHandleWay.parse(w.toString)))
+      }, p.strOpt("row_error_handle_way").map(JsonPathOp.ErrorHandleWay.parse)
+        .getOrElse(JsonPathOp.ErrorHandleWay.Skip))
     case "Metadata" =>
       MetadataOp.inject(df, p.map("metadata_fields"), MetadataOp.MetaConfig(
         p.strOpt("database"), p.strOpt("table"), p.strOpt("event_time_field")))
@@ -375,6 +405,7 @@ object Pipeline {
           val v = vr.get("rule_value").map(_.toString.toDouble)
           vr.get("rule_type").map(_.toString.toUpperCase) match {
             case Some("NOT_NULL") => Sinks.NotNull(fname)
+            case Some("NULL") => Sinks.IsNull(fname)
             case Some("MIN") => Sinks.MinValue(fname, v.get)
             case Some("MAX") => Sinks.MaxValue(fname, v.get)
             case Some("MIN_LENGTH") => Sinks.MinLength(fname, v.get.toInt)
@@ -484,7 +515,7 @@ object Pipeline {
   def runWithMetrics(spark: SparkSession, job: Job): (Map[String, DataFrame], Map[String, Long]) = {
     val (catalog, last) = buildCatalog(spark, job)
     val metrics = job.sinks.zipWithIndex.map { case (s, i) =>
-      val in = s.input.orElse(last).getOrElse(
+      val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
         throw new IllegalArgumentException(s"${s.plugin}: no input table"))
       val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
       val obs = new org.apache.spark.sql.Observation(s"graft_sink_$i")
@@ -588,7 +619,9 @@ object Pipeline {
               throw new IllegalArgumentException(s"${t.plugin}: no input table"))
             val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
             val name = t.output.getOrElse(in + "_out")
-            catalog += name -> applyTransform(spark, t, df)
+            // pass the resolved input name down so SQL transforms bind
+            // their temp view to it even when plugin_input was implicit
+            catalog += name -> applyTransform(spark, t.copy(input = Some(in)), df)
             last = Some(name)
         }
       }
@@ -604,7 +637,9 @@ object Pipeline {
     job.sinks.foreach { s =>
       if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
       else {
-        val in = s.input.orElse(last).getOrElse(
+        // some reference configs label the sink's input with plugin_output
+        // (e2e func_array.conf) — accept it as the read-table alias
+        val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
           throw new IllegalArgumentException(s"${s.plugin}: no input table"))
         runSink(catalog.getOrElse(in,
           throw new IllegalArgumentException(s"unknown table $in")), s)

@@ -159,6 +159,42 @@ object ZetaFunctions {
     if (x >= 0) math.floor(x * factor) / factor else math.ceil(x * factor) / factor
   }
 
+  /** NumericFunction.java:155 — MOD via BigDecimal divideAndRemainder, so
+    * fractional moduli are exact: MOD(13, 5.4) = 2.2, not Java fmod's
+    * 2.1999999999999993 (reference e2e func_numeric.conf asserts 2.2).
+    */
+  def zetaMod(a: java.lang.Double, b: java.lang.Double): java.lang.Double = {
+    if (a == null || b == null) return null
+    require(b != 0d, "MOD by zero")
+    java.math.BigDecimal.valueOf(a).divideAndRemainder(java.math.BigDecimal.valueOf(b))(1)
+      .doubleValue()
+  }
+
+  // ---- DES (StringFunction-adjacent zeta UDFs) ----
+  //
+  // Reference: seatunnel-transforms-v2 .../sql/zeta/functions/udf/
+  // DESUtil.java — DES/CBC/PKCS5Padding, fixed IV "12345678", DESKeySpec
+  // from the password bytes, Base64-encoded ciphertext. Re-implemented
+  // from that public behavioral contract on the JDK's javax.crypto.
+
+  private def desCipher(mode: Int, password: String): javax.crypto.Cipher = {
+    val dks = new javax.crypto.spec.DESKeySpec(password.getBytes("utf-8"))
+    val key = javax.crypto.SecretKeyFactory.getInstance("DES").generateSecret(dks)
+    val cipher = javax.crypto.Cipher.getInstance("DES/CBC/PKCS5Padding")
+    cipher.init(mode, key, new javax.crypto.spec.IvParameterSpec("12345678".getBytes("utf-8")))
+    cipher
+  }
+
+  def desEncrypt(password: String, data: String): String =
+    if (password == null || data == null) null
+    else java.util.Base64.getEncoder.encodeToString(
+      desCipher(javax.crypto.Cipher.ENCRYPT_MODE, password).doFinal(data.getBytes("utf-8")))
+
+  def desDecrypt(password: String, data: String): String =
+    if (password == null || data == null) null
+    else new String(desCipher(javax.crypto.Cipher.DECRYPT_MODE, password)
+      .doFinal(java.util.Base64.getDecoder.decode(data)), "utf-8")
+
   /** StringFunction.java:654 — TO_CHAR for numbers and datetimes. */
   def toCharTs(ts: Timestamp, fmt: String): String = formatdatetime(ts, fmt)
   def toCharNum(x: Double): String =
@@ -191,6 +227,7 @@ object ZetaFunctions {
   private def registerBuilders(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
     import org.apache.spark.unsafe.types.UTF8String
 
     def call(name: String, args: Seq[Expression]): Expression =
@@ -278,18 +315,215 @@ object ZetaFunctions {
         FromUnixTime(sec, fmt).withTimeZone(zone).asInstanceOf[Expression]
       case args => throw new IllegalArgumentException(s"FROM_UNIXTIME: bad arg count ${args.length}")
     }, "built-in")
+
+    // TO_CHAR: 1-arg = cast-to-string (SystemFunction-style, covers
+    // numerics and booleans); 2-arg = datetime pattern formatting
+    reg.createOrReplaceTempFunction("to_char", {
+      case Seq(x) => Cast(x, StringType)
+      case Seq(ts, fmt) => call("formatdatetime", Seq(ts, fmt))
+      case args => throw new IllegalArgumentException(s"TO_CHAR: bad arg count ${args.length}")
+    }, "built-in")
+
+    // DATEADD(ts, n[, unit]) — 2-arg defaults to DAY (DateTimeFunction)
+    reg.createOrReplaceTempFunction("dateadd", {
+      case Seq(ts, n) => call("zeta_dateadd", Seq(ts, n, Literal("DAY")))
+      case Seq(ts, n, unit) => call("zeta_dateadd", Seq(ts, n, unit))
+      case args => throw new IllegalArgumentException(s"DATEADD: bad arg count ${args.length}")
+    }, "built-in")
+
+    // zeta-typed ARRAY and digit-parsing CASTs (ZetaExprs scaladoc)
+    reg.createOrReplaceTempFunction("zeta_array",
+      args => ZetaExprs.ZetaArray(args), "built-in")
+    reg.createOrReplaceTempFunction("zeta_cast_date",
+      { case Seq(x) => ZetaExprs.ZetaCastDate(x) }, "built-in")
+    reg.createOrReplaceTempFunction("zeta_cast_time",
+      { case Seq(x) => ZetaExprs.ZetaCastTime(x) }, "built-in")
+    reg.createOrReplaceTempFunction("zeta_cast_timestamp",
+      { case Seq(x) => ZetaExprs.ZetaCastTimestamp(x) }, "built-in")
   }
 
-  /** Register every zeta name Spark lacks on `spark`. Idempotent. */
+  /** Zeta WEEK: WeekFields.ISO.weekOfYear() + 1 (DateTimeFunction.java:537
+    * — NOT the ISO week-based-year week the `week` UDF exposes).
+    */
+  def zetaWeek(ts: Timestamp): java.lang.Integer =
+    if (ts == null) null
+    else Int.box(toLdt(ts).toLocalDate.get(
+      java.time.temporal.WeekFields.ISO.weekOfYear()) + 1)
+
+  /** Zeta DAY_OF_WEEK: ISO Monday=1..Sunday=7 (DateTimeFunction.java:323). */
+  def zetaDayOfWeek(ts: Timestamp): java.lang.Integer =
+    if (ts == null) null else Int.box(toLdt(ts).getDayOfWeek.getValue)
+
+  // ---- dialect-scoped overrides ----
+  //
+  // These REPLACE Spark builtins with zeta semantics (different result
+  // types or argument orders), so they must not leak into Spark-flavored
+  // SQL or the DataFrame API (Spark 4's functions.* resolve through the
+  // same session registry). `withDialect` installs them, runs the body
+  // (parse + analysis happen eagerly inside), and restores the previous
+  // builders.
+
+  private def dialectOverrides: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def call(name: String, args: Seq[Expression]): Expression =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, _) => Some(s.toString)
+      case _ => None
+    }
+    def isFractionalLit(e: Expression): Boolean = e match {
+      case Literal(_, t) => t == DoubleType || t == org.apache.spark.sql.types.FloatType ||
+        t.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      case Cast(Literal(_, _), t, _, _) => t == DoubleType // dialect double-literal rewrite
+      case _ => false
+    }
+    def intCeil(args: Seq[Expression]): Expression = args match {
+      case Seq(x) => Cast(Ceil(x), IntegerType)
+      case Seq(x, d) => Cast(RoundCeil(x, d), IntegerType)
+      case _ => throw new IllegalArgumentException(s"CEIL: bad arg count ${args.length}")
+    }
+
+    Seq(
+      // CEIL/FLOOR -> Integer (NumericFunction.java:193/:285 `.intValue()`)
+      "ceil" -> intCeil _,
+      "ceiling" -> intCeil _,
+      "floor" -> { (args: Seq[Expression]) => args match {
+        case Seq(x) => Cast(Floor(x), IntegerType)
+        case Seq(x, d) => Cast(RoundFloor(x, d), IntegerType)
+        case _ => throw new IllegalArgumentException(s"FLOOR: bad arg count ${args.length}")
+      }},
+      // SIGN -> int (NumericFunction.java:406)
+      "sign" -> { (args: Seq[Expression]) => Cast(Signum(args.head), IntegerType) },
+      // MOD: integral-literal modulus stays native % (cast to the
+      // literal's type, NumericFunction.java:171-176); fractional-literal
+      // modulus is BigDecimal-exact (zetaMod)
+      "mod" -> { (args: Seq[Expression]) => args match {
+        case Seq(l, r) if isFractionalLit(r) =>
+          call("zeta_mod", Seq(Cast(l, DoubleType), Cast(r, DoubleType)))
+        case Seq(l, r @ Literal(_, LongType)) => Cast(Remainder(l, r), LongType)
+        case Seq(l, r @ Literal(_, IntegerType)) => Cast(Remainder(l, r), IntegerType)
+        case Seq(l, r) => Remainder(l, r)
+        case _ => throw new IllegalArgumentException(s"MOD: bad arg count ${args.length}")
+      }},
+      // LENGTH family -> Long (StringFunction returns Long; the e2e
+      // func_string.conf asserts bigint)
+      "length" -> { (args: Seq[Expression]) => Cast(Length(args.head), LongType) },
+      "char_length" -> { (args: Seq[Expression]) => Cast(Length(args.head), LongType) },
+      "character_length" -> { (args: Seq[Expression]) => Cast(Length(args.head), LongType) },
+      "bit_length" -> { (args: Seq[Expression]) => Cast(BitLength(args.head), LongType) },
+      "octet_length" -> { (args: Seq[Expression]) => Cast(OctetLength(args.head), LongType) },
+      // TRIM/LTRIM/RTRIM(str[, chars]) — H2 argument order (string FIRST;
+      // Spark's native 2-arg form is (trimStr, srcStr))
+      "trim" -> { (args: Seq[Expression]) => args match {
+        case Seq(s) => StringTrim(s, None)
+        case Seq(s, chars) => StringTrim(s, Some(chars))
+        case _ => throw new IllegalArgumentException(s"TRIM: bad arg count ${args.length}")
+      }},
+      "ltrim" -> { (args: Seq[Expression]) => args match {
+        case Seq(s) => StringTrimLeft(s, None)
+        case Seq(s, chars) => StringTrimLeft(s, Some(chars))
+        case _ => throw new IllegalArgumentException(s"LTRIM: bad arg count ${args.length}")
+      }},
+      "rtrim" -> { (args: Seq[Expression]) => args match {
+        case Seq(s) => StringTrimRight(s, None)
+        case Seq(s, chars) => StringTrimRight(s, Some(chars))
+        case _ => throw new IllegalArgumentException(s"RTRIM: bad arg count ${args.length}")
+      }},
+      // DATE_TRUNC: zeta order is (ts, 'UNIT'); a literal-first call keeps
+      // Spark's native ('unit', ts) order so mixed SQL still works
+      "date_trunc" -> { (args: Seq[Expression]) => args match {
+        case Seq(fmt @ Literal(_: UTF8String, _), ts) => TruncTimestamp(fmt, ts)
+        case Seq(ts, unit) => TruncTimestamp(unit, ts)
+        case _ => throw new IllegalArgumentException(s"DATE_TRUNC: bad arg count ${args.length}")
+      }},
+      // TO_DATE(s[, fmt]): a format with time fields yields a TIMESTAMP
+      // (zeta toDate returns LocalDateTime then — func_datetime.conf
+      // asserts to_date(c7,'yyyy-MM-dd HH:mm:ss.SSS') IS a timestamp)
+      "to_date" -> { (args: Seq[Expression]) => args match {
+        case Seq(s) => new ParseToDate(s)
+        case Seq(s, fmt) =>
+          val hasTime = litStr(fmt).exists(_.exists(c => "Hhmsk".contains(c)))
+          if (hasTime) call("parsedatetime", Seq(s, fmt)) else new ParseToDate(s, fmt)
+        case _ => throw new IllegalArgumentException(s"TO_DATE: bad arg count ${args.length}")
+      }},
+      // EXTRACT(field FROM source) — zeta/H2: int results, ISO DAYOFWEEK
+      // (Monday=1), truncated int SECOND, MILLISECOND supported
+      "extract" -> { (args: Seq[Expression]) =>
+        require(args.length == 2, s"EXTRACT: bad arg count ${args.length}")
+        val src = args(1)
+        litStr(args.head).getOrElse(
+          throw new IllegalArgumentException("EXTRACT: field must be a literal")).toUpperCase match {
+          case "YEAR" => Year(src)
+          case "QUARTER" => Quarter(src)
+          case "MONTH" => Month(src)
+          case "WEEK" => call("zeta_week", Seq(src))
+          case "DAY" | "DAYOFMONTH" | "DAY_OF_MONTH" => DayOfMonth(src)
+          case "DAYOFWEEK" | "DAY_OF_WEEK" | "ISO_DAY_OF_WEEK" => Add(WeekDay(src), Literal(1))
+          case "DAYOFYEAR" | "DAY_OF_YEAR" => DayOfYear(src)
+          case "HOUR" => Hour(src)
+          case "MINUTE" => Minute(src)
+          case "SECOND" => Second(src)
+          case "MILLISECOND" => Cast(Remainder(UnixMillis(src), Literal(1000L)), IntegerType)
+          case other => throw new IllegalArgumentException(s"EXTRACT: unsupported field $other")
+        }
+      },
+      // DATEDIFF(a, b) = b - a in days (DateTimeFunction.java:143 — the
+      // REVERSE of Spark's datediff(end, start); func_datetime.conf
+      // asserts datediff('2021-04-15','2022-01-23') = 283)
+      "datediff" -> { (args: Seq[Expression]) => args match {
+        case Seq(a, b) => call("zeta_datediff", Seq(a, b, Literal("DAY")))
+        case Seq(a, b, unit) => call("zeta_datediff", Seq(a, b, unit))
+        case _ => throw new IllegalArgumentException(s"DATEDIFF: bad arg count ${args.length}")
+      }},
+      // WEEK / DAY_OF_WEEK: zeta's own field semantics (see zetaWeek)
+      "week" -> { (args: Seq[Expression]) => call("zeta_week", args) },
+      "day_of_week" -> { (args: Seq[Expression]) => call("zeta_day_of_week", args) })
+  }
+
+  /** Run `body` with the zeta dialect overrides installed, restoring the
+    * previous builders afterwards. Parse/analysis must happen inside
+    * `body` (Dataset operations analyze eagerly, so building the plan
+    * inside suffices; execution later needs no registry).
+    */
+  def withDialect[T](spark: SparkSession)(body: => T): T = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    register(spark)
+    val reg = spark.sessionState.functionRegistry
+    val overrides = dialectOverrides
+    val saved = overrides.map { case (n, _) =>
+      n -> reg.lookupFunctionBuilder(FunctionIdentifier(n)) }
+    overrides.foreach { case (n, b) => reg.createOrReplaceTempFunction(n, b, "built-in") }
+    try body
+    finally saved.foreach {
+      case (n, Some(b)) => reg.createOrReplaceTempFunction(n, b, "built-in")
+      case (n, None) => reg.dropFunction(FunctionIdentifier(n)); ()
+    }
+  }
+
+  /** Register every zeta name Spark lacks on `spark`. Idempotent.
+    * UDFs first, then expression builders — builders override where the
+    * same name needs arity/type dispatch (to_char, dateadd, ...).
+    */
   def register(spark: SparkSession): Unit = {
-    registerBuilders(spark)
     val u = spark.udf
     u.register("hextoraw", hextoraw _)
     u.register("rawtohex", rawtohex _)
-    // "INSERT" is a reserved statement keyword in Spark's parser; zeta SQL
-    // using INSERT(...) should be rewritten to INSERT_STR(...).
+    // Spark's parser happily parses INSERT(...) as a function call in an
+    // expression position, so the zeta name registers directly;
+    // INSERT_STR stays as an alias.
+    u.register("insert", insertStr _)
     u.register("insert_str", insertStr _)
+    u.register("des_encrypt", desEncrypt _)
+    u.register("des_decrypt", desDecrypt _)
+    u.register("zeta_mod", zetaMod _)
+    u.register("zeta_week", zetaWeek _)
+    u.register("zeta_day_of_week", zetaDayOfWeek _)
     u.register("dateadd", dateadd _)
+    u.register("zeta_dateadd", dateadd _)
     u.register("zeta_datediff", zetaDatediff _)
     u.register("dayname", dayname _)
     u.register("monthname", monthname _)
@@ -303,10 +537,9 @@ object ZetaFunctions {
     u.register("day_of_week", (ts: Timestamp) => if (ts == null) null else Int.box(toLdt(ts).getDayOfWeek.getValue % 7 + 1))
     u.register("truncate", truncate _)
     u.register("trunc_num", truncate _)
-    u.register("to_char", toCharTs _)
     u.register("to_char_num", toCharNum _)
     u.register("current_time",
       () => LocalTime.now().format(DateTimeFormatter.ofPattern("HH:mm:ss")))
-    ()
+    registerBuilders(spark)
   }
 }

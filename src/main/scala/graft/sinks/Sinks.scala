@@ -145,8 +145,13 @@ object Sinks {
   final case class MatchesRegex(field: String, regex: String) extends AssertRule
   final case class MinLength(field: String, min: Int) extends AssertRule
   final case class MaxLength(field: String, max: Int) extends AssertRule
-  /** Every row's value must equal `value` (reference AssertRule.equalTo). */
+  /** Every row's value must equal `value` (reference AssertRule.equalTo).
+    * `value` may be a scalar, a Seq (array equality) or a Map (compared
+    * entry-wise — Spark has no native map equality).
+    */
   final case class EqualsValue(field: String, value: Any) extends AssertRule
+  /** Every row's value must be NULL (reference rule_type NULL). */
+  final case class IsNull(field: String) extends AssertRule
   /** Schema-level check: field exists with the given DDL type (reference
     * AssertFieldRule.fieldType). Evaluated without scanning data.
     */
@@ -163,17 +168,59 @@ object Sinks {
       case FieldType(f, ddl) =>
         df.schema.find(_.name == f) match {
           case None => Some(s"field $f missing")
+          case Some(_) if ddl.trim.equalsIgnoreCase("null") =>
+            // zeta types statically-null expressions as NULL; Spark may
+            // give them a concrete type (e.g. a missing map key is typed
+            // by the map's value type) — accept any type here and let the
+            // companion NULL data rule enforce all-null values
+            None
           case Some(sf) =>
-            val want = org.apache.spark.sql.types.DataType.fromDDL(ddl)
-            if (sf.dataType != want)
+            // zeta type spellings that aren't Spark DDL
+            val ddlNorm = ddl.trim.toLowerCase match {
+              case "bytes" => "binary"
+              case other => other
+            }
+            val want = org.apache.spark.sql.types.DataType.fromDDL(ddlNorm)
+            // normalize nullability flags on both sides: config DDL can't
+            // express containsNull/valueContainsNull
+            def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+              import org.apache.spark.sql.types._
+              dt match {
+                case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+                case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+                case StructType(fs) => StructType(fs.map(x =>
+                  x.copy(dataType = norm(x.dataType), nullable = true)))
+                case other => other
+              }
+            }
+            if (norm(sf.dataType) != norm(want))
               Some(s"$f has type ${sf.dataType.simpleString}, expected ${want.simpleString}")
             else None
         }
     }.flatten
     if (schemaFailures.nonEmpty) throw new AssertionFailed(schemaFailures.mkString("; "))
 
+    // "differs from expected" predicate; arrays compare natively, maps
+    // entry-wise (no native map equality in Spark)
+    def mismatch(f: String, v: Any): org.apache.spark.sql.Column = v match {
+      case s: Seq[_] =>
+        // literal elements arrive as strings (HOCON scalars); Spark does
+        // not implicitly coerce array-to-array comparisons, so cast the
+        // expectation to the column's actual array type
+        col(f).isNull || col(f) =!= array(s.map(x => lit(x)): _*)
+          .cast(df.schema(f).dataType)
+      case m: Map[_, _] =>
+        val entries = m.asInstanceOf[Map[String, Any]]
+        val entryMismatch = entries.map { case (k, vv) =>
+          !(col(f).getItem(k) <=> lit(vv))
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        col(f).isNull || size(map_entries(col(f))) =!= lit(entries.size) || entryMismatch
+      case _ => col(f).isNull || col(f) =!= lit(v)
+    }
+
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
       case (NotNull(f), i) => Seq(sum(when(col(f).isNull, 1).otherwise(0)).as(s"__r$i"))
+      case (IsNull(f), i) => Seq(sum(when(col(f).isNotNull, 1).otherwise(0)).as(s"__r$i"))
       case (MinValue(f, _), i) => Seq(min(col(f).cast("double")).as(s"__r$i"))
       case (MaxValue(f, _), i) => Seq(max(col(f).cast("double")).as(s"__r$i"))
       case (MatchesRegex(f, re), i) =>
@@ -181,7 +228,7 @@ object Sinks {
       case (MinLength(f, _), i) => Seq(min(length(col(f))).as(s"__r$i"))
       case (MaxLength(f, _), i) => Seq(max(length(col(f))).as(s"__r$i"))
       case (EqualsValue(f, v), i) =>
-        Seq(sum(when(col(f).isNull || col(f) =!= lit(v), 1).otherwise(0)).as(s"__r$i"))
+        Seq(sum(when(mismatch(f, v), 1).otherwise(0)).as(s"__r$i"))
       case (RowCountBetween(_, _), _) | (FieldType(_, _), _) => Nil
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -192,6 +239,9 @@ object Sinks {
       case (NotNull(f), i) =>
         val bad = row.getAs[Long](s"__r$i")
         if (bad > 0) Some(s"$f has $bad nulls") else None
+      case (IsNull(f), i) =>
+        val bad = row.getAs[Long](s"__r$i")
+        if (bad > 0) Some(s"$f has $bad non-null rows") else None
       case (MinValue(f, lo), i) =>
         val v = row.getAs[Double](s"__r$i")
         if (v < lo) Some(s"min($f)=$v < $lo") else None
@@ -202,10 +252,10 @@ object Sinks {
         val bad = row.getAs[Long](s"__r$i")
         if (bad > 0) Some(s"$f has $bad rows not matching /$re/") else None
       case (MinLength(f, lo), i) =>
-        val v = row.getAs[Int](s"__r$i")
+        val v = row.getAs[Number](s"__r$i").intValue() // int natively, long if zeta length
         if (v < lo) Some(s"min(length($f))=$v < $lo") else None
       case (MaxLength(f, hi), i) =>
-        val v = row.getAs[Int](s"__r$i")
+        val v = row.getAs[Number](s"__r$i").intValue()
         if (v > hi) Some(s"max(length($f))=$v > $hi") else None
       case (EqualsValue(f, value), i) =>
         val bad = row.getAs[Long](s"__r$i")

@@ -26,10 +26,18 @@ object FakeSource {
   /** Deterministic generator for one field; `variant` perturbs the value
     * so array/map elements differ within a row.
     */
-  private def genFor(name: String, tpe: String, seed: Long, variant: Int): Column = {
+  private def genFor(name: String, tpe: String, seed: Long, variant: Int,
+      templates: Map[String, Seq[Any]] = Map.empty): Column = {
     val i = col("id") + lit(variant * 7919L)
     val mixed = hash(i.cast("string"), lit(seed))
-    tpe.trim.toLowerCase match {
+    val t = tpe.trim.toLowerCase
+    // reference FakeOption `<type>.template`: values cycle from the
+    // declared list instead of being generated
+    templates.get(t).filter(_.nonEmpty).foreach { vals =>
+      return element_at(array(vals.map(v => lit(v.toString).cast(t)): _*),
+        (pmod(mixed, lit(vals.size)) + 1).cast("int"))
+    }
+    t match {
       case "int" | "integer" => pmod(mixed, lit(1000000)).cast("int")
       case "tinyint" | "byte" => pmod(mixed, lit(128)).cast("byte")
       case "smallint" | "short" => pmod(mixed, lit(32768)).cast("smallint")
@@ -47,10 +55,16 @@ object FakeSource {
         format_string("%02d:%02d:%02d",
           pmod(mixed, lit(24)), pmod(mixed, lit(60)), pmod(mixed, lit(60))).cast("time")
       case "null" => lit(null).cast("string")
-      case ArrayRe(et) => array((0 until 3).map(k => genFor(name, et, seed, variant + k + 1)): _*)
+      case ArrayRe(et) =>
+        array((0 until 3).map(k => genFor(name, et, seed, variant + k + 1, templates)): _*)
       case MapRe(vt) => map(
-        lit("k1"), genFor(name, vt, seed, variant + 1),
-        lit("k2"), genFor(name, vt, seed, variant + 2))
+        // keys are generated strings so `string.template` shapes them the
+        // way the reference does (duplicate templated keys collapse —
+        // callers set mapKeyDedupPolicy=LAST_WIN when templates are on)
+        genFor(name, "string", seed, variant + 3, templates),
+        genFor(name, vt, seed, variant + 1, templates),
+        genFor(name, "string", seed, variant + 4, templates),
+        genFor(name, vt, seed, variant + 2, templates))
       case other => throw new IllegalArgumentException(s"FakeSource: unsupported type $other")
     }
   }
@@ -58,11 +72,12 @@ object FakeSource {
   /** A field type is either a type-name string or a nested field map (the
     * reference's row-type schema syntax: `c_row = { c_int = int }`).
     */
-  private def genAny(name: String, tpe: Any, seed: Long, variant: Int): Column = tpe match {
-    case s: String => genFor(name, s, seed, variant)
+  private def genAny(name: String, tpe: Any, seed: Long, variant: Int,
+      templates: Map[String, Seq[Any]] = Map.empty): Column = tpe match {
+    case s: String => genFor(name, s, seed, variant, templates)
     case m: scala.collection.Map[_, _] =>
       struct(m.toSeq.zipWithIndex.map { case ((k, v), idx) =>
-        genAny(k.toString, v, seed, variant + idx + 1).as(k.toString)
+        genAny(k.toString, v, seed, variant + idx + 1, templates).as(k.toString)
       }: _*)
     case other => throw new IllegalArgumentException(s"FakeSource: bad field spec $other")
   }
@@ -80,14 +95,15 @@ object FakeSource {
 
   /** Like [[generate]] but field specs may be nested row maps. */
   def generateAny(spark: SparkSession, fields: Seq[(String, Any)], rows: Long,
-      slices: Int = 4, seed: Long = 42): DataFrame = {
+      slices: Int = 4, seed: Long = 42,
+      templates: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     // Spark 4's TIME type ships behind a flag; a schema that declares a
     // time field is an explicit opt-in
     if (fields.exists { case (_, t) => declaresTime(t) })
       spark.conf.set("spark.sql.timeType.enabled", "true")
     val base = spark.range(0, rows, 1, slices)
     base.select(fields.map { case (name, tpe) =>
-      genAny(name, tpe, seed, 0).as(name)
+      genAny(name, tpe, seed, 0, templates).as(name)
     }: _*)
   }
 }

@@ -157,6 +157,128 @@ class ReferenceConfigSpec extends SparkSpec {
     catalog.foreach { case (_, df) => assert(df.count() > 0) }
   }
 
+  // ---- the reference's own SQL-engine acceptance configs (e2e part-2
+  // sql_transform/ + json_path_transform/), run VERBATIM. Their Assert
+  // sinks carry the expected values, so Pipeline.runHocon completing IS
+  // the check; the extra assertions below pin schema-level outcomes the
+  // Assert grammar can't express.
+
+  private val sqlE2e = e2e2 + "sql_transform/"
+  private val jsonE2e = e2e2 + "json_path_transform/"
+
+  test("reference e2e func_string.conf runs verbatim (33 zeta string functions)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_string.conf"))
+    val r = catalog("fake1").collect()(0)
+    assert(r.getAs[String]("name15") == "Joy Ding") // des round trip
+    assert(r.getAs[Long]("c4_2") == 8L) // zeta LENGTH is bigint
+  }
+
+  test("reference e2e func_numeric.conf runs verbatim (zeta int CEIL/FLOOR/SIGN, exact MOD)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_numeric.conf"))
+    val r = catalog("fake1").collect()(0)
+    assert(r.getAs[Int]("c5_1") == 14) // ceil -> Integer per NumericFunction
+    assert(r.getAs[Double]("c4_2") == 2.2) // BigDecimal-exact MOD(13, 5.4)
+  }
+
+  test("reference e2e func_datetime.conf runs verbatim (dateadd/datediff/extract/date_trunc)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_datetime.conf"))
+    val r = catalog("fake1").collect()(0)
+    assert(r.getAs[Long]("test") == 283L) // zeta DATEDIFF(a,b) = b - a
+    assert(r.getAs[Int]("c3_16") == 235) // extract(MILLISECOND)
+    assert(r.getAs[java.sql.Timestamp]("c7_1") != null) // to_date w/ time fmt -> timestamp
+  }
+
+  test("reference e2e func_system.conf runs verbatim (zeta casts incl. int->date/time/timestamp)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_system.conf"))
+    val out = catalog("fake1")
+    assert(out.schema("c6").dataType.typeName.startsWith("time"))
+    val r = out.collect()(0)
+    // cast(1687747869032 as timestamp) reads MILLIS (zeta), not seconds
+    assert(r.getAs[java.sql.Timestamp]("c4_1").toInstant.toEpochMilli == 1687747869032L)
+    assert(r.getAs[java.sql.Date]("c5").toString == "2023-06-25")
+  }
+
+  test("reference e2e func_from_unixtime.conf runs verbatim (3-arg zone form)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_from_unixtime.conf"))
+    assert(catalog("fake1").collect()(0).getAs[String]("ts") == "2023-01-01 00:00:00")
+  }
+
+  test("reference e2e func_array.conf runs verbatim (zeta array typing: mixed -> string)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_array.conf"))
+    val out = catalog("fake")
+    assert(out.schema("field_array_1").dataType.simpleString == "array<string>")
+    assert(out.schema("double_array").dataType.simpleString == "array<double>")
+    assert(out.schema("long_array").dataType.simpleString == "array<bigint>")
+  }
+
+  test("reference e2e func_split.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "func_split.conf"))
+    assert(catalog("fake1").collect()(0).getSeq[String](1) == Seq("zhangsan", "zhangsan"))
+  }
+
+  test("reference e2e case_when.conf runs verbatim") {
+    Pipeline.runHocon(spark, load(sqlE2e + "case_when.conf"))
+  }
+
+  test("reference e2e binary_expression.conf runs verbatim (double-literal arithmetic)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "binary_expression.conf"))
+    // zeta fractional literals are DOUBLE: % is fmod, not decimal remainder
+    assert(catalog("fake1").collect()(0).getAs[Double]("price3") == 18.619999999999994)
+  }
+
+  test("reference e2e criteria_filter.conf runs verbatim (predicate surface)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "criteria_filter.conf"))
+    assert(catalog("fake1").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("reference e2e inner_query.conf runs verbatim (nested row + map dot access)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "inner_query.conf"))
+    val out = catalog("tmp1")
+    assert(out.count() == 100)
+    assert(out.select("map_val").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("innerQuery"))
+  }
+
+  test("reference e2e sql_all_columns.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "sql_all_columns.conf"))
+    assert(catalog("fake1").columns.last == "id_")
+  }
+
+  test("reference e2e explode_transform.conf runs verbatim (column-replacing explode)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "explode_transform.conf"))
+    assert(catalog("fake1").count() == 24) // the reference's own row count
+  }
+
+  test("reference e2e explode_transform_with_outer.conf runs verbatim (null rows kept)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "explode_transform_with_outer.conf"))
+    assert(catalog("fake1").count() == 4)
+  }
+
+  test("reference e2e explode_transform_without_outer.conf runs verbatim (null elements dropped)") {
+    val catalog = Pipeline.runHocon(spark, load(sqlE2e + "explode_transform_without_outer.conf"))
+    assert(catalog("fake1").count() == 2)
+  }
+
+  test("reference e2e json_path nested_row_test.conf runs verbatim ($[i] on ROW columns)") {
+    val catalog = Pipeline.runHocon(spark, load(jsonE2e + "nested_row_test.conf"))
+    assert(catalog("fake1").schema("test_str").dataType.typeName == "string")
+  }
+
+  test("reference e2e json_path array_test.conf runs verbatim ($[i] on ARRAY columns)") {
+    val catalog = Pipeline.runHocon(spark, load(jsonE2e + "array_test.conf"))
+    assert(catalog("fake1").count() == 100)
+  }
+
+  test("reference e2e json_path_with_error_handle_way.conf runs verbatim (column SKIP)") {
+    val catalog = Pipeline.runHocon(spark, load(jsonE2e + "json_path_with_error_handle_way.conf"))
+    val rows = catalog.collectFirst { case (k, df) if k.endsWith("_out") => df }
+      .get.orderBy("id").collect()
+    assert(rows.length == 2)
+    // row 1 lacks $.f2: column_error_handle_way=SKIP -> null, row kept
+    assert(rows(0).getAs[String]("data_f2") == null)
+    assert(rows(1).getAs[String]("data_f2") == "v2")
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
