@@ -25,6 +25,32 @@ class MiscOpsSpec extends SparkSpec {
     assert(out.select("parsed.k").collect()(0).getInt(0) == 5)
   }
 
+  test("JsonPathOp error_handle_way SKIP_ROW drops unextractable rows, keeps null sources") {
+    val df = Seq((1, """{"f":"a"}"""), (2, """{"g":"b"}"""), (3, null))
+      .toDF("id", "j")
+    val out = JsonPathOp.extract(df,
+      Seq(JsonPathOp.PathSpec("j", "$.f", "f")),
+      rowErrorHandleWay = JsonPathOp.ErrorHandleWay.SkipRow)
+    // row 2 ($.f missing) dropped; row 3 (null source) kept per reference
+    assert(out.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
+  test("JsonPathOp error_handle_way FAIL raises on unextractable row; column override wins") {
+    val df = Seq((1, """{"f":"a"}"""), (2, """{"g":"b"}""")).toDF("id", "j")
+    val failing = JsonPathOp.extract(df,
+      Seq(JsonPathOp.PathSpec("j", "$.f", "f")),
+      rowErrorHandleWay = JsonPathOp.ErrorHandleWay.Fail)
+    val e = intercept[Exception](failing.collect())
+    assert(e.getMessage.contains("JsonPath FAIL") ||
+      Option(e.getCause).exists(_.getMessage.contains("JsonPath FAIL")))
+    // per-column SKIP overrides the row-level FAIL default
+    val skipped = JsonPathOp.extract(df,
+      Seq(JsonPathOp.PathSpec("j", "$.f", "f",
+        errorHandleWay = Some(JsonPathOp.ErrorHandleWay.Skip))),
+      rowErrorHandleWay = JsonPathOp.ErrorHandleWay.Fail)
+    assert(skipped.count() == 2)
+  }
+
   test("MetadataOp injects database/table/rowkind/event-time") {
     val df = Seq((1, "2024-01-01 00:00:00")).toDF("id", "ts")
       .withColumn("ts", col("ts").cast("timestamp"))
