@@ -24,6 +24,7 @@ object Bench {
     // the median measures the plan, not cache reuse.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        GraftCaches.releaseAll(spark) // drop tracked intermediates + registry
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -634,18 +634,22 @@ object Pipeline {
     */
   def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
     val (catalog, last) = buildCatalog(spark, job)
-    job.sinks.foreach { s =>
-      if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
-      else {
-        // some reference configs label the sink's input with plugin_output
-        // (e2e func_array.conf) — accept it as the read-table alias
-        val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
-          throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-        runSink(catalog.getOrElse(in,
-          throw new IllegalArgumentException(s"unknown table $in")), s)
+    try {
+      job.sinks.foreach { s =>
+        if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
+        else {
+          // some reference configs label the sink's input with plugin_output
+          // (e2e func_array.conf) — accept it as the read-table alias
+          val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
+            throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+          runSink(catalog.getOrElse(in,
+            throw new IllegalArgumentException(s"unknown table $in")), s)
+        }
       }
-    }
-    catalog
+      catalog
+      // sinks have materialized: drop the job's tracked persisted
+      // intermediates (catalog frames recompute if inspected afterwards)
+    } finally graft.GraftCaches.releaseAll(spark)
   }
 
   def runJson(spark: SparkSession, json: String): Map[String, DataFrame] =

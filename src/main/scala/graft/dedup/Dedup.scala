@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.GraftCaches.PersistOps
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.6).
   *
@@ -89,7 +90,7 @@ object Dedup {
     // derived table. MEMORY_AND_DISK: text-sized, spills, LRU-evictable
     // (eviction degrades to a rescan, never an error).
     val src = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
     val bands = expr(
       s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})")
     // banded feeds the oversized-bucket subquery AND both sides of the
@@ -98,7 +99,7 @@ object Dedup {
     // (measured: 7 parquet scans per query). Same treatment as ngram.
     val banded = src.select(col("doc"),
       posexplode(bands).as(Seq("band_idx", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
 
     val bucketed = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
 
@@ -114,14 +115,11 @@ object Dedup {
     // both verification joins)
     val shingles = src.select(col("doc"),
       expr(s"shingle_hashes(txt, ${cfg.shingleSize})").as("hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val jaccardUdf = udf { (ha: Seq[Long], hb: Seq[Long]) =>
-      TextHashing.jaccard(ha.toArray, hb.toArray)
-    }
+      .graftPersist
     candidates
       .join(shingles.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
       .join(shingles.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("h_a"), col("h_b")))
+      .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
       .where(col("jaccard") >= cfg.threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -152,7 +150,7 @@ object Dedup {
           struct(lit(i).as("band_idx"),
             shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("b"))
       .select(col("doc"), col("sig"), col("b.band_idx"), col("b.band_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
     val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
@@ -210,7 +208,7 @@ object Dedup {
     // scale; Spark's LRU owns eviction.
     val src = df.select(col(idCol).as("doc"),
       expr(s"shingle_hashes(`$textCol`, $n)").as("hashes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
     val grams = src.select(col("doc"), explode(col("hashes")).as("gram"))
 
     // per-gram doc frequency (partial-agg shuffle on the 8-byte hash);
@@ -223,10 +221,6 @@ object Dedup {
     // the probe doubles as the one materialization pass of the persisted
     // shingle table (both paths consume all of src immediately after)
     val nDocs = src.count()
-
-    val jaccardUdf = udf { (ha: Seq[Long], hb: Seq[Long]) =>
-      TextHashing.jaccard(ha.toArray, hb.toArray)
-    }
 
     if (nDocs <= prefixMinDocs) {
       // ---- small-corpus path: count-aggregate join ----
@@ -242,14 +236,14 @@ object Dedup {
       // hence safe by construction on this branch.
       val narrow = grams.join(broadcast(indexable), Seq("gram"))
         .select(col("doc"), col("gram"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftPersist
       val a = narrow.select(col("gram"), col("doc").as("id_a")).hint("shuffle_hash")
       val b = narrow.select(col("gram"), col("doc").as("id_b"))
       val common = a.join(b, Seq("gram"))
         .where(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("__common"))
         // feeds the exact branch and the (near-empty) fallback branch
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftPersist
       val stats = broadcast(
         src.select(col("doc"), size(col("hashes")).cast("long").as("__n_tot"))
           .join(narrow.groupBy("doc").agg(count(lit(1)).as("__n_idx")), Seq("doc"), "left")
@@ -267,7 +261,7 @@ object Dedup {
         .select("id_a", "id_b")
         .join(broadcast(src.select(col("doc").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
         .join(broadcast(src.select(col("doc").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
-        .withColumn("jaccard", jaccardUdf(col("h_a"), col("h_b")))
+        .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
         .where(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
       exactPairs.unionAll(fallbackPairs)
@@ -297,7 +291,7 @@ object Dedup {
         .where(col("__rn") <= ceil((lit(1.0) - lit(threshold)) * col("__n_idx")) + lit(1))
         .select(col("doc"), col("gram"))
         // both sides of the self-join read this; persist to compute once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftPersist
 
       val a = index.select(col("gram"), col("doc").as("id_a"))
       val b = index.select(col("gram"), col("doc").as("id_b"))
@@ -309,7 +303,7 @@ object Dedup {
       candidates
         .join(src.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
         .join(src.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
-        .withColumn("jaccard", jaccardUdf(col("h_a"), col("h_b")))
+        .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
         .where(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
@@ -322,16 +316,25 @@ object Dedup {
     * any three-sentence span occurring more than once in the data set"),
     * complementing [[graft.text.TextAnalysis.c4Flags]]'s page rules.
     *
-    * Distributed shape (three narrow-key shuffles, no text in any wide
-    * exchange):
+    * Distributed shape (narrow-key shuffles only — document text never
+    * enters an exchange):
     *  1. one projection/doc: sentence split + sliding `spanSentences`
     *     windows hashed to 64-bit (`xxhash64`) — codegen'd;
     *  2. winner per span hash = global min (doc, span_idx) via one
     *     partial-agg shuffle on the 8-byte hash;
-    *  3. duplicate span occurrences explode to covered sentence indexes
-    *     (hash-keyed join back, ids only);
-    *  4. docs rebuild by dropping removed sentences (anti-join on
-    *     (doc, sent_idx), groupBy doc re-assembly).
+    *  3. duplicate span occurrences expand to a per-doc removed-sentence-
+    *     index ARRAY (ids + small ints only — rows exist only for docs
+    *     that actually contain a duplicated span);
+    *  4. that small table broadcasts back onto the persisted sentence
+    *     arrays, and each doc rebuilds IN PLACE with codegen'd
+    *     `filter`/`array_join` — no explode/regroup, the text column
+    *     stays in its scan partitions.
+    *
+    * The broadcast payload is bounded by (#docs with a duplicated span) ×
+    * (avg removed indexes) ints — orders of magnitude narrower than the
+    * corpus; if a pathological corpus ever outgrew the driver, the same
+    * join degrades to a shuffle join by dropping the hint, trading one
+    * 1× text exchange for it.
     *
     * Returns (doc, n_sentences, n_removed, clean_text). Docs with fewer
     * than `spanSentences` sentences pass through unchanged.
@@ -342,7 +345,7 @@ object Dedup {
     // (Java-regex lookbehind — Spark's split keeps the punctuation)
     val sentences = df.select(col(idCol).as("doc"),
       split(col(textCol), "(?<=[.!?])\\s+").as("sents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
 
     val nSpans = greatest(size(col("sents")) - (spanSentences - 1), lit(0))
     val spans = sentences
@@ -362,53 +365,40 @@ object Dedup {
       .where(!(col("doc") === col("keep.doc") && col("span_idx") === col("keep.span_idx")))
       .select(col("doc"), col("span_idx"))
 
-    val removed = dupSpans
+    // per-doc removed sentence indexes, deduped inside the aggregate —
+    // one narrow shuffle of (doc, int) rows, arrays of ints out
+    val removedIdx = dupSpans
       .select(col("doc"), explode(sequence(col("span_idx"),
         col("span_idx") + (spanSentences - 1))).as("sent_idx"))
-      .dropDuplicates("doc", "sent_idx")
+      .groupBy("doc")
+      .agg(array_sort(array_distinct(collect_list(col("sent_idx")))).as("removed_idx"))
 
-    val exploded = sentences.select(col("doc"),
-      posexplode(col("sents")).as(Seq("sent_idx", "sentence")))
-    val kept = exploded.join(removed, Seq("doc", "sent_idx"), "left_anti")
-    val rebuilt = kept.groupBy("doc")
-      .agg(sort_array(collect_list(struct(col("sent_idx"), col("sentence")))).as("ss"))
-      .select(col("doc"),
-        size(col("ss")).cast("int").as("n_kept_sentences"),
-        array_join(transform(col("ss"), s => s.getField("sentence")), " ").as("clean_text"))
-    val removedCounts = removed.groupBy("doc").agg(count(lit(1)).as("n_removed"))
-
-    // left joins from the full doc list: a doc whose every sentence was a
-    // duplicated span still comes back (empty clean_text), never vanishes
-    sentences.select(col("doc"), size(col("sents")).cast("int").as("n_sentences"))
-      .join(rebuilt, Seq("doc"), "left")
-      .join(removedCounts, Seq("doc"), "left")
+    // rebuild in place: broadcast the small removed-index table onto the
+    // persisted sentence arrays and filter with codegen'd HOFs — the
+    // sentence text never leaves its partitions
+    sentences.join(broadcast(removedIdx), Seq("doc"), "left")
+      .select(col("doc"), size(col("sents")).cast("int").as("n_sentences"),
+        coalesce(
+          when(col("removed_idx").isNotNull,
+            filter(col("sents"), (_, i) => !array_contains(col("removed_idx"), i)))
+            .otherwise(col("sents")),
+          array().cast("array<string>")).as("kept"),
+        coalesce(size(col("removed_idx")), lit(0)).cast("int").as("n_removed"))
       .select(col("doc"), col("n_sentences"),
-        coalesce(col("n_kept_sentences"), lit(0)).as("n_kept_sentences"),
-        coalesce(col("n_removed"), lit(0L)).cast("int").as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("kept")).cast("int").as("n_kept_sentences"),
+        col("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   // ---------- embedding cosine near-dup ----------
 
-  /** Random-hyperplane LSH signature (sign-bit of dot with seeded planes). */
-  private[graft] def planeSigUdf(dim: Int, bits: Int, seed: Int) = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    udf { (v: Seq[Float]) =>
-      var sig = 0
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var i = 0
-        val p = planes(b)
-        val n = math.min(v.length, dim)
-        while (i < n) { dot += p(i) * v(i); i += 1 }
-        if (dot > 0) sig |= (1 << b)
-        b += 1
-      }
-      sig
-    }
-  }
+  /** Random-hyperplane LSH signature column (sign-bit of dot with seeded
+    * planes) — the native codegen'd `plane_sig` expression
+    * ([[graft.plans.PlaneSigExpr]]); the caller's session must have
+    * [[graft.plans.NativeExpressions.register]] applied.
+    */
+  private[graft] def planeSig(vecCol: String, dim: Int, bits: Int, seed: Int): Column =
+    expr(s"plane_sig(`$vecCol`, $dim, $bits, $seed)")
 
   /** Exact cosine over float-vector columns, computed in double with
     * codegen'd higher-order functions (deterministic fold order).
@@ -434,17 +424,17 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.9, sigBits: Int = 16, bandBits: Int = 8,
       seed: Int = 42, maxBucketSize: Int = 10000): DataFrame = {
-    val sig = planeSigUdf(dim, sigBits, seed)
+    graft.plans.NativeExpressions.register(df.sparkSession)
     val numBands = sigBits / bandBits
     val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("vec"))
-    val banded = vecs.withColumn("sig", sig(col("vec")))
+    val banded = vecs.withColumn("sig", planeSig("vec", dim, sigBits, seed))
       .select(col("doc"),
         explode(array((0 until numBands).map(i =>
           struct(lit(i).as("band_idx"),
             shiftrightunsigned(col("sig"), i * bandBits)
               .bitwiseAND(lit((1 << bandBits) - 1)).as("band_val"))): _*)).as("b"))
       .select(col("doc"), col("b.band_idx"), col("b.band_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftPersist
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
     val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"))

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.TextHashing
@@ -34,6 +34,36 @@ object ExprHelpers {
     var i = 0
     while (i < bytes.length) { h = h * 257L + (bytes(i) & 0xff); i += 1 }
     h
+  }
+
+  def jaccardLong(a: ArrayData, b: ArrayData): Double =
+    TextHashing.jaccard(a.toLongArray(), b.toLongArray())
+
+  // Seeded gaussian hyperplanes, built once per (dim, bits, seed) per JVM —
+  // the same scala.util.Random draw order as the UDF this replaced, so
+  // signatures (and every recall spec / pair set) are bit-identical.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
+  private def planes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, bits, seed), _ => {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    })
+
+  def planeSig(v: ArrayData, dim: Int, bits: Int, seed: Int): Int = {
+    val p = planes(dim, bits, seed)
+    val n = math.min(v.numElements(), dim)
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      val row = p(b)
+      while (i < n) { dot += row(i) * v.getFloat(i); i += 1 }
+      if (dot > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
   }
 }
 
@@ -100,6 +130,40 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact Jaccard over two long-hash set columns (array<long>, array<long>)
+  * -> double. The per-candidate-pair verify step of minhash/ngram dedup —
+  * codegen'd so the verify join stays inside WholeStageCodegen.
+  */
+case class JaccardLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ExprHelpers.jaccardLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature: array<float> -> int sign-bit pattern
+  * against `bits` seeded gaussian planes. The corpus-wide projection of
+  * embedding near-dup / LSH top-k — native so the full-corpus scan stays
+  * in codegen (the same reason simhash64/minhash_bands are native).
+  */
+case class PlaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "plane_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.planeSig(input.asInstanceOf[ArrayData], dim, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.planeSig($c, $dim, $bits, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigExpr =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -121,7 +185,13 @@ object NativeExpressions {
         case n => throw new IllegalArgumentException(s"shingle_hashes: bad arg count $n")
       }
     },
-    "rolling_hash" -> (args => RollingHashExpr(args.head)))
+    "rolling_hash" -> (args => RollingHashExpr(args.head)),
+    "jaccard_long" -> (args => JaccardLongExpr(args(0), args(1))),
+    "plane_sig" -> { args =>
+      def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
+      require(args.length == 4, s"plane_sig(vec, dim, bits, seed): bad arg count ${args.length}")
+      PlaneSigExpr(args.head, lit(1), lit(2), lit(3))
+    })
 
   /** Register the native functions in the session registry (idempotent). */
   def register(spark: SparkSession): Unit =

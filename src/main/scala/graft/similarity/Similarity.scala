@@ -139,11 +139,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int = 10,
       sigBits: Int = 16, bandBits: Int = 4, seed: Int = 42): DataFrame = {
-    val sig = Dedup.planeSigUdf(dim, sigBits, seed)
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
     val numBands = sigBits / bandBits
 
     def banded(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), sig(col(vecCol)).as("sig"))
+      df.select(col(idCol).as(id), Dedup.planeSig(vecCol, dim, sigBits, seed).as("sig"))
         .select(col(id),
           explode(array((0 until numBands).map(i =>
             struct(lit(i).as("band_idx"),

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.types.StructType
+import graft.GraftCaches.PersistOps
 
 /** File source connector (local/HDFS/S3-style paths all go through the same
   * Hadoop FileSystem API — at 100 TB this is the partitioned-scan path with
@@ -82,7 +83,7 @@ object FileSources {
     val parsed = (cfg.format.toLowerCase match {
       case "json" => r.json(cfg.path)
       case "csv" => r.option("header", cfg.options.getOrElse("header", "false")).csv(cfg.path)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).graftPersist
     val bad = parsed.where(org.apache.spark.sql.functions.col(corrupt).isNotNull)
       .select(org.apache.spark.sql.functions.col(corrupt).as("value"))
     bad.write.mode("append").text(dlqPath)

@@ -45,4 +45,65 @@ class NativeExpressionsSpec extends SparkSpec {
     val r = df.selectExpr("simhash64(t)", "minhash_bands(t)", "rolling_hash(t)").collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("jaccard_long expression matches the Scala primitive") {
+    registered
+    val a = Array(1L, 2L, 3L, 4L)
+    val b = Array(3L, 4L, 5L)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val got = df.select(expr("jaccard_long(a, b)")).collect()(0).getDouble(0)
+    assert(got == TextHashing.jaccard(a, b))
+    assert(got == 2.0 / 5.0)
+  }
+
+  test("plane_sig expression matches the seeded-udf reference computation") {
+    registered
+    val dim = 8; val bits = 6; val seed = 42
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    def ref(v: Array[Float]): Int = {
+      var sig = 0
+      for (b <- 0 until bits) {
+        val dot = (0 until math.min(v.length, dim)).map(i => planes(b)(i) * v(i)).sum
+        if (dot > 0) sig |= (1 << b)
+      }
+      sig
+    }
+    val vecs = Seq(
+      Array.tabulate(dim)(i => (i + 1).toFloat),
+      Array.tabulate(dim)(i => math.sin(i.toDouble).toFloat),
+      Array.fill(dim)(-1.0f))
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+    val got = df.select(expr(s"plane_sig(v, $dim, $bits, $seed)")).collect().map(_.getInt(0))
+    assert(got.toSeq == vecs.map(ref))
+  }
+
+  test("GraftCaches.releaseAll leaves no cached plans after a dedup query materializes") {
+    registered
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    graft.GraftCaches.releaseAll(spark) // isolate from earlier suites
+    val pairs = graft.dedup.Dedup.minHashPairs(docs, "doc_id", "text")
+    pairs.count() // materialize (populates the tracked persists)
+    assert(graft.GraftCaches.trackedCount == 3) // src, banded, shingles
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    graft.GraftCaches.releaseAll(spark)
+    assert(graft.GraftCaches.trackedCount == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("dedup and ANN hot paths contain no ScalaUDF nodes") {
+    registered
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"), (3L, "x y z w q r s"))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Seq(1.0f, 0.0f, 0.5f)), (2L, Seq(0.9f, 0.1f, 0.5f)),
+      (3L, Seq(-1.0f, 0.3f, -0.2f))).toDF("doc_id", "vec")
+    val plans = Seq(
+      graft.dedup.Dedup.minHashPairs(docs, "doc_id", "text"),
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text"),
+      graft.dedup.Dedup.embeddingNearDupPairs(vecs, "doc_id", "vec", dim = 3),
+      graft.similarity.Similarity.lshTopK(vecs, vecs.limit(1), "doc_id", "vec", dim = 3))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p => assert(!p.contains("ScalaUDF"), "expected UDF-free plan"))
+  }
 }
