@@ -559,6 +559,18 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // §2.4 orc file round-trip (Spark-native ORC datasource via
+    // FileSources/Sinks; splittable columnar files, predicate pushdown)
+    "q_src_orc" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_src/orc_${dir.replaceAll("\\W", "_")}"
+      Sinks.writeFile(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        Sinks.FileSinkConfig(tmp, "orc"))
+      FileSources.read(s, FileSources.FileSourceConfig(tmp, "orc"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2.4 excel (.xlsx) round-trip (graft.formats.ExcelFormat — OOXML
     // over JDK zip + StAX; per-file parallel read)
     "q_src_excel" -> ((s, dir) => {
@@ -1192,6 +1204,10 @@ object SparkEntry {
 
     "q_fmt_protobuf" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_src_orc" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_src_excel" ->
