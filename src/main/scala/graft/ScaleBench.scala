@@ -49,16 +49,22 @@ object ScaleBench {
         val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (tExact, nExact) = time(Dedup.exact(docs, "doc_id", "text").count())
-      val (tMin, nMin) = time(Dedup.minHashPairs(docs, "doc_id", "text").count())
-      val (tSim, nSim) = time(Dedup.simHashPairs(docs, "doc_id", "text").count())
-      val (tNg, nNg) = time(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+      def released[T](f: => T): T =
+        try f finally GraftCaches.releaseAll(spark)
+      val (tExact, nExact) = time(released(Dedup.exact(docs, "doc_id", "text").count()))
+      val (tMin, nMin) = time(released(Dedup.minHashPairs(docs, "doc_id", "text").count()))
+      val (tSim, nSim) = time(released(Dedup.simHashPairs(docs, "doc_id", "text").count()))
+      val (tNg, nNg) = time(released(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()))
+      val (tSub, nSub) = time(released(
+        Dedup.substringDedup(docs, "doc_id", "text", minLen = 30, k = 10)
+          .where(col("n_removed_tokens") > 0).count()))
       println(
         s"""{"scale":"$name","docs":$nDocs,""" +
         s""""exact":{"sec":$tExact,"rows":$nExact},""" +
         s""""minhash":{"sec":$tMin,"pairs":$nMin},""" +
         s""""simhash":{"sec":$tSim,"pairs":$nSim},""" +
-        s""""ngram":{"sec":$tNg,"pairs":$nNg}}""")
+        s""""ngram":{"sec":$tNg,"pairs":$nNg},""" +
+        s""""substring":{"sec":$tSub,"docs_cut":$nSub}}""")
     }
     spark.stop()
   }

@@ -791,6 +791,22 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("column")
     }),
 
+    // §2.6 mergeable HLL sketch columns: per-(type, day) user sketches
+    // built once, merged per type across days, estimated. 150 distinct
+    // users/type keeps the DataSketches sketch in exact coupon mode, so
+    // the merged estimate equals DuckDB's count(distinct) bit-for-bit —
+    // the oracle checks the build+merge+estimate path end to end.
+    "q_hll_sketch" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", timestamp_micros(expr("ts div 1000"))).as("day"),
+          col("user_id"))
+      val daily = Sketches.hllAgg(ev, "user_id", Seq("event_type", "day"))
+      Sketches.hllMerge(daily, "sketch", Seq("event_type"))
+        .select(col("event_type"), Sketches.estimate(col("sketch")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // §2.6 Gopher repetition filters (paragraph + n-gram char fractions);
     // pages derived with paragraph breaks at ' a ' on both engines
     "q_gopher_repetition" -> ((s, dir) => {
@@ -853,6 +869,19 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_sentences"),
           col("n_kept_sentences"), col("n_removed"),
           md5(col("clean_text")).as("clean_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 substring dedup (Lee et al. 2021 semantics via winnowing
+    // anchors + extension verify — murmur token hashes aren't
+    // SQL-expressible -> rows-only; exact semantics spec-tested with
+    // planted runs). minLen=30 so the synthetic corpus (shortish docs
+    // sharing sampled sentences) actually exhibits duplicated runs.
+    "q_substring_dedup" -> ((s, dir) => {
+      Dedup.substringDedup(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minLen = 30, k = 10)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_kept_tokens"),
+          col("n_removed_tokens"), md5(col("clean_text")).as("clean_digest"))
         .orderBy("doc_id")
     }),
 
@@ -1301,6 +1330,10 @@ object SparkEntry {
         |    min(o_orderstatus), max(o_orderstatus)
         |  FROM orders
         |) ORDER BY "column"""".stripMargin,
+
+    "q_hll_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_gopher_repetition" ->
       """WITH p AS (

@@ -390,6 +390,103 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  // ---------- substring (suffix-array-style) dedup ----------
+
+  /** Corpus-level removal of long duplicated token substrings — the
+    * suffix-array dedup of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better": drop substrings of >= minLen tokens
+    * that occur more than once), re-expressed distribution-first. A
+    * monolithic suffix array over 100 TB is not partitionable; instead
+    * candidates come from winnowing fingerprints (Schleimer et al. 2003),
+    * whose guarantee replaces the suffix array's completeness: any
+    * duplicated run of >= w + k - 1 = minLen tokens shares at least one
+    * content-defined anchor across both occurrences regardless of
+    * alignment.
+    *
+    * Stages (text never enters a wide exchange — same shape as
+    * [[c4SpanDedup]]):
+    *  1. one codegen'd pass/doc: ordered token hashes + winnow anchors
+    *     (`token_hashes` / `winnow_anchors`, ~n/w anchors per doc);
+    *  2. anchors shuffle as (doc, pos, hash8B); winner per hash = global
+    *     min (doc, pos), occurrences of duplicated anchors join back
+    *     hash-keyed (ids only). Anchor hashes duplicated across more than
+    *     `maxBucketSize` docs are degenerate boilerplate — dropped (skew
+    *     cap, same policy as the LSH families);
+    *  3. extension verify: loser/winner token-hash ARRAYS (longs, not
+    *     text) meet by id-keyed joins; the codegen'd `extend_match` grows
+    *     the anchor to the maximal common run; runs shorter than minLen
+    *     are discarded. Same-doc matches clip to remove only the
+    *     non-overlapping tail (periodic text removes the repetition, keeps
+    *     one period);
+    *  4. removal ranges aggregate to a small per-doc int-pair array that
+    *     broadcasts onto the persisted token table; docs rebuild IN PLACE
+    *     with codegen'd `filter`/`array_join`.
+    *
+    * Output is token-normalized ((lowercased, punctuation-split) tokens
+    * joined by spaces — the working representation of this dedup family),
+    * one row per input doc: (doc, n_tokens, n_removed_tokens, clean_text).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, k: Int = 10, maxBucketSize: Int = 1000): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val w = minLen - k + 1
+
+    // one tokenization pass; toks (strings, for rebuild) stay co-located
+    // with tokh (hashes, for verify) in the persisted scan partitions
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > lit(0))
+    val src = df.select(col(idCol).as("doc"), toks.as("toks"),
+      expr(s"token_hashes(`$textCol`)").as("tokh"))
+      .graftPersist
+
+    // anchors scan the source once more (narrow: text in, 12 B rows out);
+    // positions index the same token sequence as toks/tokh — both sides
+    // tokenize as lowercase-split-on-\W+
+    val anchors = df.select(col(idCol).as("doc"),
+      explode(expr(s"winnow_anchors(`$textCol`, $k, $w)")).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.hash").as("hash"))
+      .graftPersist
+
+    val winners = anchors.groupBy("hash")
+      .agg(min(struct(col("doc"), col("pos"))).as("keep"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucketSize)
+    val cand = anchors.join(winners, Seq("hash"))
+      .where(!(col("doc") === col("keep.doc") && col("pos") === col("keep.pos")))
+      .select(col("doc"), col("pos"),
+        col("keep.doc").as("w_doc"), col("keep.pos").as("w_pos"))
+
+    // id-keyed verify joins carry token-hash arrays only (8 B/token)
+    val paired = cand
+      .join(src.select(col("doc"), col("tokh").as("tok_l")), Seq("doc"))
+      .join(src.select(col("doc").as("w_doc"), col("tokh").as("tok_w")), Seq("w_doc"))
+      .withColumn("m", expr(s"extend_match(tok_l, pos, tok_w, w_pos, $k)"))
+      .select(col("doc"), col("pos"), col("w_doc"), col("w_pos"),
+        element_at(col("m"), 1).as("s0"), element_at(col("m"), 2).as("len"))
+      .where(col("len") >= minLen)
+      .withColumn("e", col("s0") + col("len"))
+      // same-doc runs: remove only past the winner occurrence's run end
+      // (rb in loser coords = e - (pos - w_pos)), so one period of a
+      // repetition always survives
+      .withColumn("s", when(col("doc") === col("w_doc"),
+        greatest(col("s0"), col("e") - (col("pos") - col("w_pos"))))
+        .otherwise(col("s0")))
+      .where(col("e") > col("s"))
+
+    val ranges = paired.groupBy("doc")
+      .agg(collect_set(struct(col("s"), col("e"))).as("cut"))
+
+    src.join(broadcast(ranges), Seq("doc"), "left")
+      .select(col("doc"), size(col("toks")).cast("int").as("n_tokens"),
+        when(col("cut").isNotNull,
+          filter(col("toks"), (_, i) =>
+            !exists(col("cut"), r => i >= r.getField("s") && i < r.getField("e"))))
+          .otherwise(col("toks")).as("kept"))
+      .select(col("doc"), col("n_tokens"),
+        size(col("kept")).cast("int").as("n_kept_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("int").as("n_removed_tokens"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Random-hyperplane LSH signature column (sign-bit of dot with seeded

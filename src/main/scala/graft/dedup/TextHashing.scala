@@ -13,7 +13,10 @@ object TextHashing {
     if (text == null) Array.empty
     else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
 
-  /** Word k-shingles hashed to Long (murmur128-ish via two murmur32 mixes). */
+  /** Word k-shingles hashed to Long (murmur128-ish via two murmur32 mixes).
+    * Returned SORTED and distinct — a set in canonical array form, so
+    * [[jaccard]] runs as a zero-allocation merge count.
+    */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     val toks = tokenize(text)
     if (toks.length < k) {
@@ -26,7 +29,15 @@ object TextHashing {
         out(i) = hash64(toks.slice(i, i + k).mkString(" "))
         i += 1
       }
-      out.distinct
+      // sort + in-place unique (no boxing, unlike Array.distinct's HashSet)
+      java.util.Arrays.sort(out)
+      var w = 0
+      i = 1
+      while (i < out.length) {
+        if (out(i) != out(w)) { w += 1; out(w) = out(i) }
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, w + 1)
     }
   }
 
@@ -88,14 +99,38 @@ object TextHashing {
     out
   }
 
-  /** Exact Jaccard over two shingle-hash sets. */
+  /** Exact Jaccard over two shingle-hash sets in canonical (sorted,
+    * distinct) array form — [[shingleHashes]] output. A two-pointer merge
+    * count: zero allocation on the per-candidate-pair dedup hot path
+    * (the previous Set-based form boxed every hash). Unsorted inputs are
+    * detected in the same pass and handled via sorted copies.
+    */
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
-    val sa = a.toSet
-    val inter = b.count(sa.contains)
-    val union = sa.size + b.distinct.length - inter
-    inter.toDouble / union
+    if (!isSortedDistinct(a) || !isSortedDistinct(b))
+      return jaccard(canonical(a), canonical(b))
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  private def isSortedDistinct(a: Array[Long]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i) <= a(i - 1)) return false; i += 1 }
+    true
+  }
+
+  private def canonical(a: Array[Long]): Array[Long] = {
+    val s = a.clone()
+    java.util.Arrays.sort(s)
+    var w = 0; var i = 1
+    while (i < s.length) { if (s(i) != s(w)) { w += 1; s(w) = s(i) }; i += 1 }
+    java.util.Arrays.copyOf(s, w + 1)
   }
 
   /** 64-bit SimHash over unigram token hashes (uniform weight). */

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.TextHashing
@@ -38,6 +38,73 @@ object ExprHelpers {
 
   def jaccardLong(a: ArrayData, b: ArrayData): Double =
     TextHashing.jaccard(a.toLongArray(), b.toLongArray())
+
+  /** Ordered (non-distinct) per-token 64-bit hashes — the token-level view
+    * substring dedup extends matches over.
+    */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val toks = TextHashing.tokenize(s.toString)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = TextHashing.hash64(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 §4 "robust
+    * winnowing"): k-token gram hashes, min per sliding window of `w`
+    * (rightmost tie-break), deduplicated. Any substring of at least
+    * w + k - 1 tokens shared by two documents yields at least one common
+    * (hash, gram) fingerprint in both — selection depends only on content,
+    * so it survives arbitrary alignment shifts. Returns
+    * array<struct<pos:int, hash:bigint>>.
+    */
+  def winnowAnchors(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val th = TextHashing.tokenize(s.toString).map(TextHashing.hash64)
+    val n = th.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // order-sensitive polynomial combine of the k token hashes per gram
+    val g = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { acc = (acc ^ th(i + j)) * 0x100000001b3L; j += 1 }
+      g(i) = acc
+      i += 1
+    }
+    // sliding-window min via monotone deque — O(n); popping on unsigned >=
+    // keeps the RIGHTMOST of equal hashes, the robust-winnowing tie-break
+    val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val dq = new java.util.ArrayDeque[Int]
+    var p = 0
+    while (p < n) {
+      while (!dq.isEmpty && java.lang.Long.compareUnsigned(g(dq.peekLast), g(p)) >= 0)
+        dq.pollLast()
+      dq.addLast(p)
+      if (p >= w - 1) {
+        while (dq.peekFirst < p - w + 1) dq.pollFirst()
+        sel += dq.peekFirst
+      }
+      p += 1
+    }
+    if (n < w) sel += dq.peekFirst // short doc: one window over all grams
+    new GenericArrayData(sel.toArray.sorted.map(q =>
+      org.apache.spark.sql.catalyst.InternalRow(q, g(q)): Any))
+  }
+
+  /** Maximal common token run around an anchor match: tokens
+    * a[pa, pa+k) == b[pb, pb+k) (same gram hash); extend left and right
+    * while token hashes agree. Returns [start, len] in a's coordinates.
+    */
+  def extendMatch(a: ArrayData, pa: Int, b: ArrayData, pb: Int, k: Int): ArrayData = {
+    var la = pa; var lb = pb
+    while (la > 0 && lb > 0 && a.getLong(la - 1) == b.getLong(lb - 1)) { la -= 1; lb -= 1 }
+    var ra = pa + k; var rb = pb + k
+    while (ra < a.numElements() && rb < b.numElements() && a.getLong(ra) == b.getLong(rb)) {
+      ra += 1; rb += 1
+    }
+    new GenericArrayData(Array(la, ra - la))
+  }
 
   // Seeded gaussian hyperplanes, built once per (dim, bits, seed) per JVM —
   // the same scala.util.Random draw order as the UDF this replaced, so
@@ -164,6 +231,57 @@ case class PlaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Ordered per-token hashes: text -> array<long> (NON-distinct, in token
+  * order — unlike shingle_hashes — so positions index into it).
+  */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints: text -> array<struct<pos:int, hash:bigint>>
+  * (see [[ExprHelpers.winnowAnchors]]). The candidate-generation pass of
+  * substring dedup — one codegen'd scan per document.
+  */
+case class WinnowAnchorsExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_anchors"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.winnowAnchors(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.winnowAnchors($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchorsExpr =
+    copy(child = newChild)
+}
+
+/** Extension verify for substring dedup:
+  * (tok_a, pos_a, tok_b, pos_b) -> [start, len] — the maximal common token
+  * run around the anchor, in a's coordinates.
+  */
+case class ExtendMatchExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, k: Int) extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "extend_match"
+  override protected def nullSafeEval(a: Any, pa: Any, b: Any, pb: Any): Any =
+    ExprHelpers.extendMatch(a.asInstanceOf[ArrayData], pa.asInstanceOf[Int],
+      b.asInstanceOf[ArrayData], pb.asInstanceOf[Int], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, pa, b, pb) =>
+      s"graft.plans.ExprHelpers.extendMatch($a, $pa, $b, $pb, $k)")
+  override protected def withNewChildrenInternal(a: Expression, pa: Expression,
+      b: Expression, pb: Expression): ExtendMatchExpr =
+    copy(first = a, second = pa, third = b, fourth = pb)
+}
+
 object NativeExpressions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -191,6 +309,17 @@ object NativeExpressions {
       def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
       require(args.length == 4, s"plane_sig(vec, dim, bits, seed): bad arg count ${args.length}")
       PlaneSigExpr(args.head, lit(1), lit(2), lit(3))
+    },
+    "token_hashes" -> (args => TokenHashesExpr(args.head)),
+    "winnow_anchors" -> { args =>
+      def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
+      require(args.length == 3, s"winnow_anchors(text, k, w): bad arg count ${args.length}")
+      WinnowAnchorsExpr(args.head, lit(1), lit(2))
+    },
+    "extend_match" -> { args =>
+      require(args.length == 5, s"extend_match(tok_a, pos_a, tok_b, pos_b, k): bad arg count ${args.length}")
+      ExtendMatchExpr(args(0), args(1), args(2), args(3),
+        args(4).eval().asInstanceOf[Number].intValue())
     })
 
   /** Register the native functions in the session registry (idempotent). */

@@ -112,6 +112,43 @@ class DedupSpec extends SparkSpec {
     assert(out2.length == 2)
   }
 
+  test("substringDedup removes planted long duplicated runs, keeps first occurrence") {
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) = (0 until n).map(_ => s"$tag${rnd.nextInt(5000)}").mkString(" ")
+    val dup = words(60, "shared") // 60-token duplicated run (minLen = 50)
+    val docA = s"${words(30, "a")} $dup ${words(25, "a")}"
+    val docB = s"${words(40, "b")} $dup" // later doc: loses the run
+    val docC = words(80, "c") // no duplication
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", minLen = 50, k = 10)
+      .orderBy("doc").collect()
+
+    val a = out(0)
+    assert(a.getAs[Int]("n_removed_tokens") == 0) // winner keeps the run
+    assert(a.getAs[Int]("n_tokens") == 115)
+    val b = out(1)
+    assert(b.getAs[Int]("n_removed_tokens") == 60)
+    assert(b.getAs[String]("clean_text") == docB.toLowerCase.split("\\W+")
+      .filter(_.nonEmpty).take(40).mkString(" "))
+    val c = out(2)
+    assert(c.getAs[Int]("n_removed_tokens") == 0)
+    assert(c.getAs[Int]("n_kept_tokens") == 80)
+
+    // runs shorter than minLen survive
+    val short = words(20, "s")
+    val df2 = Seq((1L, s"${words(40, "x")} $short"), (2L, s"${words(40, "y")} $short"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.substringDedup(df2, "doc_id", "text", minLen = 50, k = 10)
+      .orderBy("doc").collect()
+    assert(out2.forall(_.getAs[Int]("n_removed_tokens") == 0))
+
+    // same-doc periodic repetition: the later occurrence goes, one copy stays
+    val df3 = Seq((1L, s"$dup $dup ${words(10, "z")}")).toDF("doc_id", "text")
+    val out3 = Dedup.substringDedup(df3, "doc_id", "text", minLen = 50, k = 10).collect()
+    assert(out3(0).getAs[Int]("n_removed_tokens") == 60)
+    assert(out3(0).getAs[Int]("n_kept_tokens") == 70)
+  }
+
   test("TextHashing primitives are deterministic and sane") {
     val s1 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
     val s2 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)

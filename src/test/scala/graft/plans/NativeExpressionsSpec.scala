@@ -78,6 +78,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got.toSeq == vecs.map(ref))
   }
 
+  test("winnow_anchors guarantee: shared run of >= w+k-1 tokens yields a common fingerprint") {
+    registered
+    val rnd = new scala.util.Random(3)
+    def words(n: Int, tag: String) = (0 until n).map(_ => s"$tag${rnd.nextInt(900)}").mkString(" ")
+    val k = 4; val w = 5 // guarantee threshold: 8 shared tokens
+    val shared = words(8, "s")
+    // different alignments on both sides of the shared run
+    val d1 = s"${words(13, "x")} $shared ${words(7, "x")}"
+    val d2 = s"${words(4, "y")} $shared ${words(11, "y")}"
+    val df = Seq(d1, d2).toDF("t")
+    val fps = df.select(expr(s"winnow_anchors(t, $k, $w)").as("a")).collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty)
+    // determinism: same text -> same fingerprint set
+    val again = df.select(expr(s"winnow_anchors(t, $k, $w)").as("a")).collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).toSet)
+    assert(fps.toSeq == again.toSeq)
+  }
+
   test("GraftCaches.releaseAll leaves no cached plans after a dedup query materializes") {
     registered
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"), (3L, "x y z"))
