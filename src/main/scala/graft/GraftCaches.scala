@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-/** Session-scoped registry of the persisted intermediates graft operators
-  * create (dedup band/shingle tables, dead-letter parses, ...).
+/** Registry of the persisted intermediates graft operators create (dedup
+  * band/shingle tables, dead-letter parses, ...).
   *
   * The dedup family persists multi-use intermediates because Spark reuses
   * no subplans across self-joins — but those caches outlive the query that
@@ -15,28 +15,64 @@ import org.apache.spark.storage.StorageLevel
   * them once the query's results are materialized. Release is safe at any
   * point — an unpersisted intermediate degrades to a rescan, never an
   * error.
+  *
+  * Tracking is SCOPED: each pipeline run registers its intermediates in
+  * its own [[Scope]] (carried in a thread-local while the job's plan is
+  * built), so concurrent pipelines in one session cannot release each
+  * other's caches. Code outside any scope lands in the session-global
+  * default scope, which `releaseAll` drains.
   */
 object GraftCaches {
 
-  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** A releasable set of tracked intermediates (one pipeline run). */
+  final class Scope {
+    private[GraftCaches] val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` at `level` and track it for later release. */
+    private[GraftCaches] def add(df: DataFrame, level: StorageLevel): DataFrame =
+      synchronized {
+        live += df
+        df.persist(level)
+      }
+
+    /** Unpersist every intermediate tracked by THIS scope (non-blocking)
+      * and forget them; other scopes are untouched.
+      */
+    def release(): Unit = synchronized {
+      live.foreach(df => df.unpersist(blocking = false))
+      live.clear()
+    }
+
+    /** Number of tracked (not yet released) intermediates — for specs. */
+    def trackedCount: Int = synchronized(live.size)
+  }
+
+  private val global = new Scope
+  private val current = new ThreadLocal[Scope] {
+    override def initialValue(): Scope = global
+  }
+
+  /** A fresh scope; pair with [[inScope]] and `scope.release()`. */
+  def newScope(): Scope = new Scope
+
+  /** Run `f` with `scope` receiving this thread's persist registrations. */
+  def inScope[T](scope: Scope)(f: => T): T = {
+    val prev = current.get()
+    current.set(scope)
+    try f finally current.set(prev)
+  }
+
+  /** Persist `df` at `level` and track it in the current scope. */
   def persist(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = synchronized {
-    live += df
-    df.persist(level)
-  }
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    current.get().add(df, level)
 
-  /** Unpersist every tracked intermediate of `spark`'s shared cache state
-    * (non-blocking) and forget them all.
+  /** Release the session-global default scope (hosts like Verify/Bench
+    * call this between queries; scoped pipelines release their own).
     */
-  def releaseAll(spark: SparkSession): Unit = synchronized {
-    live.foreach(df => df.unpersist(blocking = false))
-    live.clear()
-  }
+  def releaseAll(spark: SparkSession): Unit = global.release()
 
-  /** Number of tracked (not yet released) intermediates — for specs. */
-  def trackedCount: Int = synchronized(live.size)
+  /** Tracked count of the session-global default scope — for specs. */
+  def trackedCount: Int = global.trackedCount
 
   /** `df.graftPersist` — persist + track in one call. */
   implicit class PersistOps(private val df: DataFrame) extends AnyVal {

@@ -960,7 +960,9 @@ object SparkEntry {
     "q_split" ->
       """SELECT p_partkey, p_name,
         |       split_part(p_name, ' ', 1) AS p_adj,
-        |       split_part(p_name, ' ', 2) AS p_noun
+        |       CASE WHEN strpos(p_name, ' ') > 0
+        |            THEN substr(p_name, strpos(p_name, ' ') + 1)
+        |            ELSE NULL END AS p_noun
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_replace" ->

@@ -127,13 +127,68 @@ object Hocon {
           require(!eof, "hocon: unterminated array")
           pos += 1
           Arr(vs.result())
-        case '"' => Scalar(parseQuoted())
+        case '"' =>
+          // may be a lone quoted string or the head of a value
+          // concatenation (HOCON adjacent-value concat)
+          val start = pos
+          val content = parseQuoted()
+          skipInlineWs()
+          if (eof || cur == ',' || cur == '\n' || cur == '}' || cur == ']') Scalar(content)
+          else Scalar(rawConcat(start))
         case _ =>
           val start = pos
-          while (!eof && cur != ',' && cur != '\n' && cur != '}' && cur != ']') pos += 1
-          val text = s.substring(start, pos).trim
-          if (text == "null") Null else Scalar(text)
+          var sawQuote = false
+          while (!eof && cur != ',' && cur != '\n' && cur != '}' && cur != ']' && cur != '"')
+            pos += 1
+          if (!eof && cur == '"') { sawQuote = true }
+          if (sawQuote) Scalar(rawConcat(start))
+          else {
+            val text = s.substring(start, pos).trim
+            if (text == "null") Null else Scalar(text)
+          }
       }
+    }
+
+    /** HOCON value concatenation, quote-preserving. The reference's e2e
+      * `string.template` lines interleave quoted and unquoted segments
+      * (`["{"data":{"c_string": "this is ...\"}}"]`); typesafe-config
+      * concatenates them and the reference's lenient json-smart parser
+      * then reads the result as JSON. Graft keeps the quote characters in
+      * place (processing only `\"` escapes) and strips one outer quote
+      * pair, which reconstructs the strict-JSON document the reference
+      * effectively sees — the form `get_json_object` can consume.
+      */
+    private def rawConcat(start: Int): String = {
+      pos = start
+      val sb = new StringBuilder
+      var inQuote = false
+      var done = false
+      while (!eof && !done) {
+        val c = cur
+        if (inQuote) {
+          if (c == '\\' && pos + 1 < s.length) {
+            pos += 1
+            sb.append(cur match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+          } else {
+            if (c == '"') inQuote = false
+            sb.append(c)
+          }
+          pos += 1
+        } else if (c == ',' || c == '\n' || c == '}' || c == ']') {
+          done = true
+        } else {
+          if (c == '"') inQuote = true
+          sb.append(c)
+          pos += 1
+        }
+      }
+      val text = sb.toString.trim
+      if (text.length >= 2 && text.head == '"' && text.last == '"')
+        text.substring(1, text.length - 1)
+      else text
     }
 
     private def parseQuoted(): String = {

@@ -131,22 +131,25 @@ object Pipeline {
 
   // ---------- execution ----------
 
+  private def fakeSchemaFields(p: Plugin): Seq[(String, Any)] =
+    p.options.get("schema") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]]("fields") match {
+          // HOCON configs arrive as insertion-ordered ListMaps (declared
+          // field order preserved, nested row maps allowed); plain JSON
+          // maps sort by name for determinism
+          case lm: scala.collection.immutable.ListMap[_, _] =>
+            lm.toSeq.map { case (k, v) => k.toString -> v }
+          case fm: Map[_, _] =>
+            fm.toSeq.map { case (k, v) => k.toString -> v }.sortBy(_._1)
+          case other => throw new IllegalArgumentException(s"FakeSource: bad fields $other")
+        }
+      case _ => Seq("id" -> "long")
+    }
+
   private def resolveSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
     case "FakeSource" =>
-      val fields: Seq[(String, Any)] = p.options.get("schema") match {
-        case Some(m: Map[_, _]) =>
-          m.asInstanceOf[Map[String, Any]]("fields") match {
-            // HOCON configs arrive as insertion-ordered ListMaps (declared
-            // field order preserved, nested row maps allowed); plain JSON
-            // maps sort by name for determinism
-            case lm: scala.collection.immutable.ListMap[_, _] =>
-              lm.toSeq.map { case (k, v) => k.toString -> v }
-            case fm: Map[_, _] =>
-              fm.toSeq.map { case (k, v) => k.toString -> v }.sortBy(_._1)
-            case other => throw new IllegalArgumentException(s"FakeSource: bad fields $other")
-          }
-        case _ => Seq("id" -> "long")
-      }
+      val fields: Seq[(String, Any)] = fakeSchemaFields(p)
       p.options.get("rows") match {
         case Some(rowsAny: Seq[_]) => literalRows(spark, fields, rowsAny)
         case _ =>
@@ -321,7 +324,10 @@ object Pipeline {
     case "Embedding" =>
       // reference embedding transform (remote models unreachable here —
       // deterministic local model, same column contract)
-      p.map("vectorization_fields").foldLeft(df) { case (acc, (src, dst)) =>
+      // vectorization_fields maps OUTPUT <- input
+      // (embedding/EmbeddingTransformConfig.java, e2e configs write
+      // `book_intro_vector = book_intro`)
+      p.map("vectorization_fields").foldLeft(df) { case (acc, (dst, src)) =>
         graft.operators.EmbeddingOp.embed(acc, src, dst, p.int("dimension", 64))
       }
     case "LLM" =>
@@ -330,8 +336,23 @@ object Pipeline {
         graft.operators.LlmOp.RuleProvider(p.list("labels")),
         p.strOpt("prompt").getOrElse(""), p.int("inference_batch_size", 32))
     case "DynamicCompile" =>
-      graft.operators.DynamicOp.applyCompiled(df,
-        DataType.fromDDL(p.str("row_schema")).asInstanceOf[StructType], p.str("source_code"))
+      // reference options (dynamiccompile/DynamicCompileTransformConfig):
+      // compile_language JAVA|GROOVY|SCALA(Graft), compile_pattern
+      // SOURCE_CODE|ABSOLUTE_PATH
+      val source = p.strOpt("compile_pattern").map(_.toUpperCase) match {
+        case Some("ABSOLUTE_PATH") =>
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p.str("absolute_path"))), "UTF-8")
+        case _ => p.str("source_code")
+      }
+      p.strOpt("compile_language").map(_.toUpperCase).getOrElse("SCALA") match {
+        case "JAVA" => graft.operators.DynamicOp.applyCompiledJava(df, source)
+        case "GROOVY" => throw new UnsupportedOperationException(
+          "DynamicCompile GROOVY needs the Groovy runtime jar (not shipped); " +
+            "use compile_language JAVA or SCALA")
+        case _ => graft.operators.DynamicOp.applyCompiled(df,
+          DataType.fromDDL(p.str("row_schema")).asInstanceOf[StructType], source)
+      }
     case other => throw new IllegalArgumentException(s"unknown transform plugin: $other")
   }
 
@@ -546,8 +567,18 @@ object Pipeline {
             }
             catalog += tableName -> (tc.get("rows") match {
               case Some(rowsAny: Seq[_]) => literalRows(spark, fields, rowsAny)
-              case _ => FakeSource.generateAny(spark, fields,
-                tc.get("row.num").map(_.toString.toLong).getOrElse(10L))
+              case _ =>
+                // per-table `<type>.template` value lists, same contract as
+                // the single-table FakeSource path
+                val templates: Map[String, Seq[Any]] = tc.collect {
+                  case (k, v: Seq[_]) if k.endsWith(".template") =>
+                    k.stripSuffix(".template").toLowerCase -> (v: Seq[Any])
+                }
+                if (templates.nonEmpty)
+                  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+                FakeSource.generateAny(spark, fields,
+                  tc.get("row.num").map(_.toString.toLong).getOrElse(10L),
+                  templates = templates)
             })
             last = Some(tableName)
           }
@@ -562,17 +593,33 @@ object Pipeline {
         // catalog-level transforms operate on the whole table map, not one
         // DataFrame (reference: transform/table package)
         case "TableRename" =>
-          val replacements = t.options.get("replacements_with_regex") match {
+          def replacementsOf(tt: Plugin) = tt.options.get("replacements_with_regex") match {
             case Some(l: Seq[_]) => l.map { r =>
               val m = r.asInstanceOf[Map[String, Any]]
               m("replace_from").toString -> m("replace_to").toString
             }
             case _ => Nil
           }
-          def newName(n: String) = graft.operators.TableOps.renameOne(n,
-            t.map("renames"), t.strOpt("prefix").getOrElse(""),
-            t.strOpt("suffix").getOrElse(""),
-            t.strOpt("convert_case").getOrElse(""), replacements)
+          def renameWith(tt: Plugin)(n: String) = graft.operators.TableOps.renameTablePath(n,
+            tt.map("renames"), tt.strOpt("prefix").getOrElse(""),
+            tt.strOpt("suffix").getOrElse(""),
+            tt.strOpt("convert_case").getOrElse(""), replacementsOf(tt))
+          // multi-table form: regex scopes the default options; per-table
+          // `table_transform` entries override them (same contract as the
+          // row-level multi-table transforms below)
+          val overrides: Map[String, Map[String, Any]] =
+            t.options.get("table_transform") match {
+              case Some(l: Seq[_]) => l.map(_.asInstanceOf[Map[String, Any]])
+                .map(m => m("table_path").toString -> (m - "table_path")).toMap
+              case _ => Map.empty
+            }
+          val re = t.strOpt("table_match_regex").map(_.r)
+          def newName(n: String): String = overrides.get(n) match {
+            case Some(ov) =>
+              renameWith(t.copy(options = t.options - "table_transform" ++ ov))(n)
+            case None if re.forall(_.pattern.matcher(n).matches()) => renameWith(t)(n)
+            case None => n
+          }
           catalog = catalog.map { case (n, df) => newName(n) -> df }
           last = last.map(newName) // keep `last` tracking its renamed table
         case "TableMerge" =>
@@ -633,23 +680,28 @@ object Pipeline {
     * so callers/tests can inspect intermediate tables.
     */
   def run(spark: SparkSession, job: Job): Map[String, DataFrame] = {
-    val (catalog, last) = buildCatalog(spark, job)
-    try {
-      job.sinks.foreach { s =>
-        if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
-        else {
-          // some reference configs label the sink's input with plugin_output
-          // (e2e func_array.conf) — accept it as the read-table alias
-          val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
-            throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-          runSink(catalog.getOrElse(in,
-            throw new IllegalArgumentException(s"unknown table $in")), s)
+    // per-run cache scope: concurrent pipelines in one session each
+    // release only their own persisted intermediates
+    val scope = graft.GraftCaches.newScope()
+    graft.GraftCaches.inScope(scope) {
+      val (catalog, last) = buildCatalog(spark, job)
+      try {
+        job.sinks.foreach { s =>
+          if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
+          else {
+            // some reference configs label the sink's input with plugin_output
+            // (e2e func_array.conf) — accept it as the read-table alias
+            val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
+              throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+            runSink(catalog.getOrElse(in,
+              throw new IllegalArgumentException(s"unknown table $in")), s)
+          }
         }
-      }
-      catalog
-      // sinks have materialized: drop the job's tracked persisted
-      // intermediates (catalog frames recompute if inspected afterwards)
-    } finally graft.GraftCaches.releaseAll(spark)
+        catalog
+        // sinks have materialized: drop the job's tracked persisted
+        // intermediates (catalog frames recompute if inspected afterwards)
+      } finally scope.release()
+    }
   }
 
   def runJson(spark: SparkSession, json: String): Map[String, DataFrame] =
@@ -658,6 +710,16 @@ object Pipeline {
   // ---------- streaming mode (env.job.mode = STREAMING) ----------
 
   private def resolveStreamingSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
+    case "FakeSource" =>
+      // STREAMING FakeSource (the reference's stream_fakesource_* e2e
+      // configs): emit row.num generated rows per second — Spark's rate
+      // source provides the unbounded monotonic index, the same
+      // deterministic generators as the batch path shape the fields
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", p.int("row.num", 10)).load()
+      graft.sources.FakeSource.generateFromIndex(spark,
+        rate.select(org.apache.spark.sql.functions.col("value").as("id")),
+        fakeSchemaFields(p))
     case "LocalFile" | "File" =>
       val fmt = p.strOpt("file_format_type").getOrElse("json")
       val schema = DataType.fromDDL(p.str("schema")).asInstanceOf[StructType]
@@ -706,18 +768,24 @@ object Pipeline {
       val in = s.input.orElse(last).getOrElse(
         throw new IllegalArgumentException(s"${s.plugin}: no input table"))
       val df = catalog(in)
+      // env.checkpoint.interval (ms) maps onto the micro-batch trigger —
+      // the closest Spark analog of the reference's checkpoint cadence
+      def triggered(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =
+        job.env.get("checkpoint.interval").fold(w)(ms =>
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms.toLong)))
       s.plugin match {
         case "Console" =>
-          df.writeStream.format("console").outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+          triggered(df.writeStream.format("console")
+            .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
         case "Memory" =>
-          df.writeStream.format("memory").queryName(s.strOpt("query_name").getOrElse(in))
-            .outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+          triggered(df.writeStream.format("memory").queryName(s.strOpt("query_name").getOrElse(in))
+            .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
         case "LocalFile" | "File" =>
-          df.writeStream.format(s.strOpt("file_format_type").getOrElse("parquet"))
+          triggered(df.writeStream.format(s.strOpt("file_format_type").getOrElse("parquet"))
             .option("path", s.str("path"))
             .option("checkpointLocation", s.strOpt("checkpoint")
               .getOrElse(s.str("path") + "/_checkpoint"))
-            .outputMode(s.strOpt("output_mode").getOrElse("append")).start()
+            .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
         case other => throw new IllegalArgumentException(s"unknown streaming sink plugin: $other")
       }
     }

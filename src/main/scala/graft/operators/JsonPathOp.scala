@@ -82,7 +82,16 @@ object JsonPathOp {
       val srcType = srcTypes.getOrElse(spec.srcField,
         throw new IllegalArgumentException(s"JsonPath: no column ${spec.srcField}"))
       val raw = rawColumn(spec, srcType)
-      val value = spec.destType.fold(raw)(raw.cast)
+      // the reference's lenient json-smart parse unquotes single-quoted
+      // values ('2023-10-29' -> 2023-10-29) before temporal conversion
+      // (JsonToRowConverters.convertToLocalDate); mirror that for casts
+      def dequoted(c: Column) = regexp_replace(c.cast(StringType), "^'(.*)'$", "$1")
+      val value = spec.destType.fold(raw) {
+        case t @ (org.apache.spark.sql.types.DateType |
+                  org.apache.spark.sql.types.TimestampType |
+                  _: org.apache.spark.sql.types.TimeType) => dequoted(raw).cast(t)
+        case t => raw.cast(t)
+      }
       val out = way(spec) match {
         case ErrorHandleWay.Fail =>
           when(col(spec.srcField).isNotNull && value.isNull,

@@ -36,7 +36,10 @@ object RowKindOps {
     * or FULL ("INSERT"), per RowKindExtractor's `transform_format`.
     */
   def extractRowKind(df: DataFrame, outputField: String, full: Boolean = false): DataFrame = {
-    val kind = col(RowKindCol)
+    // kind-less rows are implicit inserts (FakeSource emits plain rows) —
+    // same convention as filterRowKind
+    val kind =
+      if (df.columns.contains(RowKindCol)) col(RowKindCol) else lit("+I")
     val value =
       if (!full) kind
       else shortToFull.foldLeft(lit(null).cast("string")) { case (acc, (s, f)) =>

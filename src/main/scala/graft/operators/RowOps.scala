@@ -30,7 +30,11 @@ object RowOps {
       separator: String,
       splitField: String,
       outputFields: Seq[String]): DataFrame = {
-    val parts = split(col(splitField), java.util.regex.Pattern.quote(separator))
+    // limit = N gives the reference's String.split(sep, N) remainder
+    // semantics (SplitTransform.java:65-70): the last output field keeps
+    // the unsplit tail; missing positions pad with null
+    val parts = split(col(splitField).cast("string"),
+      java.util.regex.Pattern.quote(separator), outputFields.length)
     df.withColumns(
       outputFields.zipWithIndex.map { case (f, i) =>
         // try_element_at is 1-based and returns null past the end — matches

@@ -49,19 +49,67 @@ object TableOps {
       convertCase: String = "",
       replacements: Seq[(String, String)] = Nil): Map[String, DataFrame] =
     catalog.map { case (name, df) =>
-      renameOne(name, renames, prefix, suffix, convertCase, replacements) -> df
+      renameTablePath(name, renames, prefix, suffix, convertCase, replacements) -> df
     }
 
-  private[graft] def renameOne(name: String, renames: Map[String, String],
-      prefix: String, suffix: String, convertCase: String,
-      replacements: Seq[(String, String)]): String = {
-    var n = renames.getOrElse(name, name)
-    replacements.foreach { case (from, to) => n = n.replaceAll(from, to) }
-    n = s"$prefix$n$suffix"
+  private def caseOf(convertCase: String)(n: String): String =
     convertCase.toUpperCase match {
       case "UPPER" => n.toUpperCase
       case "LOWER" => n.toLowerCase
       case _ => n
+    }
+
+  /** Reference convertName (rename/TableRenameTransform.java:165 and
+    * rename/FieldRenameTransform.java:127): an explicit rename wins
+    * outright; otherwise regex match positions are found on the ORIGINAL
+    * name, case conversion applies, then the replacement text is spliced
+    * at the matched positions (so `abc` + UPPER + c->CC = `ABCC`, the
+    * replacement surviving case conversion), then prefix/suffix attach
+    * unconverted. The LAST replacement entry with any match wins.
+    */
+  private[graft] def renameOne(name: String, renames: Map[String, String],
+      prefix: String, suffix: String, convertCase: String,
+      replacements: Seq[(String, String)]): String = {
+    renames.get(name) match {
+      case Some(target) => return target
+      case None =>
+    }
+    var replaceTo: String = null
+    var ranges: Seq[(Int, Int)] = Nil
+    replacements.foreach { case (from, to) =>
+      if (from.nonEmpty) {
+        val m = java.util.regex.Pattern.compile(from).matcher(name)
+        val found = Seq.newBuilder[(Int, Int)]
+        var any = false
+        while (m.find()) { found += ((m.start, m.end)); any = true }
+        if (any) { replaceTo = to; ranges = found.result() }
+      }
+    }
+    var n = caseOf(convertCase)(name)
+    var offset = 0
+    ranges.foreach { case (s0, e0) =>
+      n = n.substring(0, s0 + offset) + replaceTo.trim + n.substring(e0 + offset)
+      offset += replaceTo.trim.length - (e0 - s0)
+    }
+    if (prefix.trim.nonEmpty) n = prefix.trim + n
+    if (suffix.trim.nonEmpty) n = n + suffix.trim
+    n
+  }
+
+  /** TableRename over a catalog path `db.table`: affixes and replacements
+    * apply to the table part only; database/schema parts get case
+    * conversion only (reference TableRenameTransform.java:79-94).
+    */
+  private[graft] def renameTablePath(path: String, renames: Map[String, String],
+      prefix: String, suffix: String, convertCase: String,
+      replacements: Seq[(String, String)]): String = {
+    val cut = path.lastIndexOf('.')
+    if (cut < 0) renameOne(path, renames, prefix, suffix, convertCase, replacements)
+    else {
+      val db = caseOf(convertCase)(path.substring(0, cut))
+      val table = renameOne(path.substring(cut + 1), renames, prefix, suffix,
+        convertCase, replacements)
+      s"$db.$table"
     }
   }
 

@@ -178,6 +178,10 @@ object Sinks {
             // zeta type spellings that aren't Spark DDL
             val ddlNorm = ddl.trim.toLowerCase match {
               case "bytes" => "binary"
+              // reference vector types (api/table/type/VectorType.java):
+              // embeddings land as float arrays
+              case "float_vector" => "array<float>"
+              case "double_vector" => "array<double>"
               case other => other
             }
             val want = org.apache.spark.sql.types.DataType.fromDDL(ddlNorm)

@@ -96,12 +96,22 @@ object FakeSource {
   /** Like [[generate]] but field specs may be nested row maps. */
   def generateAny(spark: SparkSession, fields: Seq[(String, Any)], rows: Long,
       slices: Int = 4, seed: Long = 42,
+      templates: Map[String, Seq[Any]] = Map.empty): DataFrame =
+    generateFromIndex(spark, spark.range(0, rows, 1, slices).toDF("id"),
+      fields, seed, templates)
+
+  /** Project the declared fields over any frame carrying a monotonic
+    * `id` column — shared by the batch path (spark.range) and the
+    * STREAMING FakeSource (rate source), so both generate identical
+    * deterministic values for a given index.
+    */
+  def generateFromIndex(spark: SparkSession, base: DataFrame,
+      fields: Seq[(String, Any)], seed: Long = 42,
       templates: Map[String, Seq[Any]] = Map.empty): DataFrame = {
     // Spark 4's TIME type ships behind a flag; a schema that declares a
     // time field is an explicit opt-in
     if (fields.exists { case (_, t) => declaresTime(t) })
       spark.conf.set("spark.sql.timeType.enabled", "true")
-    val base = spark.range(0, rows, 1, slices)
     base.select(fields.map { case (name, tpe) =>
       genAny(name, tpe, seed, 0, templates).as(name)
     }: _*)

@@ -86,7 +86,7 @@ class PipelineSpec extends SparkSpec {
         |              "schema": {"fields": {"body": "string"}}}],
         |  "transform": [
         |    {"plugin": "Embedding", "plugin_input": "docs", "plugin_output": "emb",
-        |     "dimension": 8, "vectorization_fields": {"body": "vec"}},
+        |     "dimension": 8, "vectorization_fields": {"vec": "body"}},
         |    {"plugin": "LLM", "plugin_input": "emb", "plugin_output": "labeled",
         |     "src_field": "body", "output_field": "label", "labels": ["body", "zz"]},
         |    {"plugin": "DynamicCompile", "plugin_input": "labeled", "plugin_output": "dyn",
@@ -137,7 +137,7 @@ class PipelineSpec extends SparkSpec {
         |    {"plugin": "TableFilter", "patterns": ["shard_.*"]},
         |    {"plugin": "TableRename", "prefix": "ods_", "convert_case": "UPPER",
         |     "replacements_with_regex": [{"replace_from": "shard", "replace_to": "tbl"}]},
-        |    {"plugin": "TableMerge", "table_match_regex": "ODS_TBL_.*",
+        |    {"plugin": "TableMerge", "table_match_regex": "ods_tbl_.*",
         |     "output_table": "merged", "tag_source_table": true}
         |  ]
         |}""".stripMargin)
@@ -145,8 +145,10 @@ class PipelineSpec extends SparkSpec {
     assert(catalog.keySet == Set("merged"))
     val merged = catalog("merged")
     assert(merged.count() == 5)
+    // reference convertName order: case converts the original name, the
+    // spliced replacement text and the affixes attach unconverted
     assert(merged.select("__meta_table").distinct().collect().map(_.getString(0)).sorted.toSeq ==
-      Seq("ODS_TBL_1", "ODS_TBL_2"))
+      Seq("ods_tbl_1", "ods_tbl_2"))
   }
 
   test("FieldRename supports convert_case, affixes, and regex replacements") {
@@ -159,7 +161,9 @@ class PipelineSpec extends SparkSpec {
         |    "replacements_with_regex": [{"replace_from": "user_", "replace_to": ""}]}]
         |}""".stripMargin
     val catalog = Pipeline.runJson(spark, config)
-    assert(catalog("out").columns.toSet == Set("C_NAME", "C_AGE"))
+    // convertCase uppercases the original name; replacement splice and
+    // prefix attach unconverted (reference FieldRenameTransform.convertName)
+    assert(catalog("out").columns.toSet == Set("c_NAME", "c_AGE"))
   }
 
   test("TableRename keeps the implicit transform chain threaded") {

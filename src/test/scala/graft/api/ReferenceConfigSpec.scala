@@ -279,6 +279,155 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(rows(1).getAs[String]("data_f2") == "v2")
   }
 
+  test("reference e2e split_transform.conf runs verbatim (split on an int field)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "split_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.count() == 100)
+    assert(Seq("f1", "f2").forall(out.columns.contains))
+  }
+
+  test("reference e2e split_transform_multi_table.conf: per-table split applies; " +
+      "the fixture's own assert is unsatisfiable under reference split semantics") {
+    // This fixture is not exercised by any reference IT (only
+    // split_transform.conf is, TestSplitIT.java:32). Its f2-NOT_NULL rule
+    // cannot hold: the reference SplitTransform pads missing positions
+    // with null (SplitTransform.java:71-75), and an int age with no '1'
+    // digit yields one split part. Graft reproduces those semantics, so
+    // the run must fail in the Assert sink with f2 nulls — which proves
+    // the multi-table Split + Assert machinery executed the config.
+    val ex = intercept[graft.sinks.Sinks.AssertionFailed] {
+      Pipeline.runHocon(spark, load(e2e1 + "split_transform_multi_table.conf"))
+    }
+    assert(ex.getMessage.matches(".*f[12] has \\d+ nulls.*"), ex.getMessage)
+  }
+
+  test("reference e2e filter_row_kind_exclude_delete.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "filter_row_kind_exclude_delete.conf"))
+    assert(catalog("fake1").count() == 100) // plain rows are implicit inserts
+  }
+
+  test("reference e2e filter_row_kind_exclude_insert_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark,
+      load(e2e1 + "filter_row_kind_exclude_insert_multi_table.conf"))
+    assert(catalog("test.abc").count() == 0)
+    assert(catalog("test.xyz").count() == 0)
+    assert(catalog("test.www").count() == 100)
+  }
+
+  test("reference e2e rowkind_extractor_transform_case1_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark,
+      load(e2e1 + "rowkind_extractor_transform_case1_multi_table.conf"))
+    assert(catalog("test.abc").columns.contains("custom_name"))
+    assert(catalog("test.xyz").columns.contains("custom_name"))
+    assert(!catalog("test.www").columns.contains("custom_name"))
+  }
+
+  test("reference e2e field_mapper_transform.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "field_mapper_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.columns.toSeq == Seq("id", "age_as", "int1_as", "name", "c_row"))
+    assert(out.count() == 100)
+  }
+
+  test("reference e2e field_mapper_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark,
+      load(e2e2 + "field_mapper_transform_multi_table.conf"))
+    assert(catalog("test.abc").columns.contains("name_a"))
+    assert(catalog("test.xyz").columns.contains("name_b"))
+    assert(catalog("test.www").columns.toSeq == Seq("id", "name", "age"))
+  }
+
+  test("reference e2e replace_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "replace_transform_multi_table.conf"))
+    assert(catalog("test.abc").select("name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+    assert(catalog("test.xyz").select("name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+    assert(catalog("test.www").select("name").distinct().count() > 1)
+  }
+
+  test("reference e2e spark_date_time_transform.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "spark_date_time_transform.conf"))
+    val out = catalog("fake1")
+    assert(out.count() == 100)
+    assert(out.schema("c_time").dataType.typeName == "timestamp")
+    assert(out.schema("c_date").dataType.typeName == "date")
+  }
+
+  test("reference e2e sql_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "sql_transform_multi_table.conf"))
+    assert(catalog("test.abc").columns.toSeq == Seq("id", "name1", "age"))
+    assert(catalog("test.xyz").columns.toSeq == Seq("id", "name2", "age"))
+    assert(catalog("test.www").columns.toSeq == Seq("id", "name", "age"))
+  }
+
+  test("reference e2e table_field_rename_multi_table.conf runs verbatim " +
+      "(TableRename + FieldRename, scoped + overridden)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e2 + "table_field_rename_multi_table.conf"))
+    assert(catalog.contains("TEST.P1_ABCC_S1"), s"catalog keys: ${catalog.keys}")
+    assert(catalog.contains("TEST.P2_XYZZ_S2"))
+    assert(catalog.contains("test.www"))
+    assert(catalog("TEST.P1_ABCC_S1").columns.toSeq == Seq("F_P1_ID_S1_F", "F_P1_NAME_1_S1_F"))
+    assert(catalog("TEST.P2_XYZZ_S2").columns.toSeq == Seq("F_P2_ID_1_S2_F", "F_P2_NAME_S2_F"))
+    assert(catalog("test.www").columns.toSeq == Seq("id", "name"))
+    assert(catalog("TEST.P1_ABCC_S1").count() == 3)
+    assert(catalog("TEST.P2_XYZZ_S2").count() == 5)
+  }
+
+  test("reference e2e json_path_basic_type_test.conf runs verbatim (template source, typed casts)") {
+    val catalog = Pipeline.runHocon(spark, load(jsonE2e + "json_path_basic_type_test.conf"))
+    val out = catalog("fake1")
+    assert(out.count() == 100)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("c1_string") == "this is a string")
+    assert(r.getAs[Boolean]("c1_boolean"))
+    assert(r.getAs[Int]("c1_integer") == 42)
+    assert(math.abs(r.getAs[Float]("c1_float") - 3.14f) < 1e-6)
+    assert(r.getAs[java.math.BigDecimal]("c1_decimal").doubleValue() == 10.55)
+    assert(r.getAs[java.sql.Date]("c1_date").toString == "2023-10-29")
+    assert(out.schema("c1_datetime").dataType.typeName.startsWith("time"))
+  }
+
+  test("reference e2e json_path_basic_type_test_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark,
+      load(jsonE2e + "json_path_basic_type_test_multi_table.conf"))
+    assert(catalog("test.abc").select("c1_string").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("this is a string"))
+    assert(catalog("test.xyz").select("c2_string").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("this is a string"))
+    assert(!catalog("test.www").columns.exists(_.startsWith("c1_")))
+  }
+
+  // ---- embedding configs: the remote providers are unreachable by
+  // design (sandbox); Graft's deterministic local embedder honors the
+  // same config surface and vector column contract, so the reference
+  // configs run verbatim — including their float_vector Assert rules.
+
+  test("reference e2e embedding_transform.conf runs verbatim (3 providers, stub embedder)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "embedding_transform.conf"))
+    Seq("embedding_output_1", "embedding_output_2", "embedding_output_3").foreach { t =>
+      val out = catalog(t)
+      assert(out.count() == 5)
+      assert(out.schema("book_intro_vector").dataType.simpleString == "array<float>")
+      assert(out.schema("author_biography_vector").dataType.simpleString == "array<float>")
+    }
+  }
+
+  test("reference e2e embedding_transform_custom.conf runs verbatim (CUSTOM provider config)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "embedding_transform_custom.conf"))
+    val out = catalog("embedding_output_1")
+    assert(out.count() == 5)
+    val v = out.orderBy("book_id").collect()(0).getSeq[Float](out.columns.indexOf("book_intro_vector"))
+    assert(v.nonEmpty && math.abs(v.map(x => x * x).sum - 1.0f) < 1e-3) // L2-normalized
+  }
+
+  test("reference e2e embedding_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "embedding_transform_multi_table.conf"))
+    assert(catalog.keys.exists(_.startsWith("test.")))
+    val withVec = catalog.filter(_._2.columns.contains("book_intro_vector"))
+    assert(withVec.nonEmpty)
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment

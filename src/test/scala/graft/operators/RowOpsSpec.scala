@@ -18,6 +18,12 @@ class RowOpsSpec extends SparkSpec {
     assert(out(1).toSeq == Seq("x", null, null))
   }
 
+  test("splitField keeps the unsplit tail in the last output field (String.split limit)") {
+    val df = Seq(Tuple1("a b c d")).toDF("s")
+    val out = RowOps.splitField(df, " ", "s", Seq("p1", "p2")).select("p1", "p2").collect()
+    assert(out(0).toSeq == Seq("a", "b c d"))
+  }
+
   test("replaceField literal replaces all occurrences, no regex interpretation") {
     val df = Seq(Tuple1("a.b.a")).toDF("s")
     val out = RowOps.replaceField(df, "s", ".", "-").collect()

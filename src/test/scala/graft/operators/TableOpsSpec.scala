@@ -26,7 +26,17 @@ class TableOpsSpec extends SparkSpec {
 
   test("renameTables and filterTables") {
     val cat = Map("a" -> Seq(1).toDF("x"), "b" -> Seq(2).toDF("x"))
-    assert(TableOps.renameTables(cat, Map("a" -> "z"), prefix = "p_").keySet == Set("p_z", "p_b"))
+    // an explicit rename wins outright (reference FieldRenameTransform
+    // specific-modify semantics); affixes only touch non-mapped names
+    assert(TableOps.renameTables(cat, Map("a" -> "z"), prefix = "p_").keySet == Set("z", "p_b"))
     assert(TableOps.filterTables(cat, Seq("a")).keySet == Set("a"))
+  }
+
+  test("renameTables follows reference convertName order (match, case, splice, affix)") {
+    val cat = Map("test.abc" -> Seq(1).toDF("x"), "test.xyz" -> Seq(2).toDF("x"))
+    val out = TableOps.renameTables(cat, prefix = "P1_", suffix = "_S1",
+      convertCase = "UPPER", replacements = Seq("c" -> "CC"))
+    // db part gets case conversion only; replacement text survives UPPER
+    assert(out.keySet == Set("TEST.P1_ABCC_S1", "TEST.P1_XYZ_S1"))
   }
 }
