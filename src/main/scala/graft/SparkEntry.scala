@@ -423,6 +423,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 fixed-token-window chunking with overlap (context-window prep)
+    "q_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 128, overlap = 32)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // §2.6 quality-threshold corpus filter (the downstream use of the
     // quality features: keep docs passing all gates)
     "q_quality_filter" -> ((s, dir) => {
@@ -1162,6 +1169,25 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         greatest(1, CAST(ceil((len(toks) - 128) / 96.0) AS INTEGER) + 1) AS n_chunks
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(range(0, CAST(n_chunks AS BIGINT))) AS i
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |       CAST(i AS INTEGER) AS chunk_idx,
+        |       array_to_string(toks[i * 96 + 1 : i * 96 + 128], ' ') AS chunk_text,
+        |       CAST(len(toks[i * 96 + 1 : i * 96 + 128]) AS INTEGER) AS n_chunk_tokens
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,

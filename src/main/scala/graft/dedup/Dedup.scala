@@ -300,7 +300,17 @@ object Dedup {
         .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
 
+      // PPJoin length filter: jaccard(a,b) <= min|a|,|b| / max|a|,|b|, so
+      // size-mismatched candidates are pruned on a narrow (doc, size)
+      // table BEFORE the multi-KB shingle arrays join in — the array
+      // joins are the expensive step at scale
+      val sizes = src.select(col("doc"), size(col("hashes")).cast("long").as("__sz"))
       candidates
+        .join(sizes.select(col("doc").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+        .join(sizes.select(col("doc").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+        .where(least(col("__sa"), col("__sb")) >=
+          lit(threshold) * greatest(col("__sa"), col("__sb")))
+        .select("id_a", "id_b")
         .join(src.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
         .join(src.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
         .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))

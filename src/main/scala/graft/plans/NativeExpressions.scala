@@ -36,8 +36,46 @@ object ExprHelpers {
     h
   }
 
-  def jaccardLong(a: ArrayData, b: ArrayData): Double =
-    TextHashing.jaccard(a.toLongArray(), b.toLongArray())
+  /** Exact Jaccard over two sorted-distinct long arrays, reading the
+    * ArrayData in place — no `toLongArray` copies. The verify joins call
+    * this once per candidate pair with multi-KB shingle arrays; per-call
+    * copying measurably turns into GC pressure at 10x scale. Falls back
+    * to the copying canonicalization path only for unsorted inputs.
+    */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    if (!isSortedDistinct(a, na) || !isSortedDistinct(b, nb))
+      return TextHashing.jaccard(a.toLongArray(), b.toLongArray())
+    var i = 0; var j = 0; var inter = 0
+    var av = a.getLong(0); var bv = b.getLong(0)
+    while (i < na && j < nb) {
+      if (av == bv) {
+        inter += 1; i += 1; j += 1
+        if (i < na) av = a.getLong(i)
+        if (j < nb) bv = b.getLong(j)
+      } else if (av < bv) {
+        i += 1; if (i < na) av = a.getLong(i)
+      } else {
+        j += 1; if (j < nb) bv = b.getLong(j)
+      }
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  private def isSortedDistinct(a: ArrayData, n: Int): Boolean = {
+    var i = 1
+    var prev = if (n > 0) a.getLong(0) else Long.MinValue
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v <= prev) return false
+      prev = v
+      i += 1
+    }
+    true
+  }
 
   /** Ordered (non-distinct) per-token 64-bit hashes — the token-level view
     * substring dedup extends matches over.

@@ -221,4 +221,31 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(trim(textCol)), "\\s+", " ")), 1, 16)
+
+  /** Fixed-token-window document chunking with overlap — context-window
+    * preparation for LLM training/RAG corpora: each document becomes
+    * ceil((n - chunkSize) / stride) + 1 windows of `chunkSize` whitespace
+    * tokens, consecutive windows sharing `overlap` tokens (stride =
+    * chunkSize - overlap; the common fixed-size chunking recipe, e.g.
+    * RAG ingestion pipelines and Rae et al. 2021-style sequence prep).
+    *
+    * Scale shape: one codegen'd projection (split + sequence + explode +
+    * slice) — no shuffle, no UDF; output rows stay co-partitioned with
+    * their documents. At 100 TB this is embarrassingly parallel.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val nChunks = greatest(lit(1),
+      ceil((col("__n") - lit(chunkSize)).cast("double") / lit(stride)).cast("int") + lit(1))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - lit(1))))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .cast("int").as("n_chunk_tokens"))
+  }
 }

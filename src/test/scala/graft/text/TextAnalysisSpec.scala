@@ -123,6 +123,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe_tokens") == 6)
   }
 
+  test("chunkDocuments windows tokens with overlap, last chunk ragged") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: 5 tokens, stride 2 -> ceil((5-4)/2)+1 = 2 chunks
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t3 t4 t5", 3), // overlap t3 t4; ragged tail
+      (2L, 0, "a b", 2))) // short doc -> one chunk
+    // every token of doc 1 appears in some chunk
+    val covered = out.filter(_.getLong(0) == 1L).flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == Set("t1", "t2", "t3", "t4", "t5"))
+  }
+
   test("fingerprint is normalization-invariant and 16 hex chars") {
     val df = Seq((1, "  Hello   World "), (2, "hello world")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
