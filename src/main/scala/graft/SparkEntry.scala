@@ -430,6 +430,31 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // §2.6 corpus vocabulary (word-frequency table, top-k)
+    "q_vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.load(s, dir, "documents"), "text", topK = 1000)
+    }),
+
+    // §2.6 corpus bigram count table (LM statistics)
+    "q_ngram_counts" -> ((s, dir) => {
+      TextAnalysis.ngramCounts(Tables.load(s, dir, "documents"), "text", n = 2, topK = 500)
+    }),
+
+    // §2.6 per-(source, lang) corpus composition stats
+    "q_source_stats" -> ((s, dir) => {
+      TextAnalysis.groupedStats(Tables.load(s, dir, "documents"),
+        Seq("source", "lang"), "text", "n_chars")
+        .orderBy("source", "lang")
+    }),
+
+    // §2.6 data-mixture re-weighting: per-source deterministic fractions
+    "q_mixture_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.25), defaultFraction = 1.0,
+        salt = "mix")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // §2.6 quality-threshold corpus filter (the downstream use of the
     // quality features: keep docs passing all gates)
     "q_quality_filter" -> ((s, dir) => {
@@ -1427,6 +1452,36 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR || 'graft'), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 1000""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), e AS (
+        |  SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT toks[i] || ' ' || toks[i + 1] AS gram, count(*) AS n
+        |FROM e GROUP BY gram ORDER BY n DESC, gram LIMIT 500""".stripMargin,
+
+    "q_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "q_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || 'mix'), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '1999999a'
+        |              WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '40000000'
+        |              ELSE 'ffffffff' END
         |ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->

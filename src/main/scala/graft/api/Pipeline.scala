@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.operators._
@@ -331,10 +332,27 @@ object Pipeline {
         graft.operators.EmbeddingOp.embed(acc, src, dst, p.int("dimension", 64))
       }
     case "LLM" =>
-      graft.operators.LlmOp.transform(df, p.str("src_field"),
-        p.strOpt("output_field").getOrElse("llm_output"),
-        graft.operators.LlmOp.RuleProvider(p.list("labels")),
-        p.strOpt("prompt").getOrElse(""), p.int("inference_batch_size", 32))
+      // reference LLMTransform options: the model sees the serialized
+      // inference columns (all columns unless inference_columns narrows
+      // them, or Graft's src_field names one); output_column_name
+      // (default llm_output) + optional output_data_type cast
+      val inferenceCols: Seq[String] = p.strOpt("src_field").map(Seq(_))
+        .orElse(Some(p.list("inference_columns")).filter(_.nonEmpty))
+        .getOrElse(df.columns.toSeq)
+      val outName = p.strOpt("output_field")
+        .orElse(p.strOpt("output_column_name")).getOrElse("llm_output")
+      val provider =
+        if (p.list("labels").nonEmpty) graft.operators.LlmOp.RuleProvider(p.list("labels"))
+        else graft.operators.LlmOp.DigestProvider
+      val pre =
+        if (inferenceCols.size == 1) df.withColumn("__llm_input", col(inferenceCols.head))
+        else df.withColumn("__llm_input",
+          to_json(struct(inferenceCols.map(col): _*)))
+      val res = graft.operators.LlmOp.transform(pre, "__llm_input", outName,
+        provider, p.strOpt("prompt").getOrElse(""), p.int("inference_batch_size", 32))
+        .drop("__llm_input")
+      p.strOpt("output_data_type").fold(res)(t =>
+        res.withColumn(outName, col(outName).cast(t.toLowerCase)))
     case "DynamicCompile" =>
       // reference options (dynamiccompile/DynamicCompileTransformConfig):
       // compile_language JAVA|GROOVY|SCALA(Graft), compile_pattern

@@ -41,6 +41,23 @@ object LlmOp {
       }
   }
 
+  /** Deterministic offline provider for label-less configs (the reference
+    * e2e LLM jobs assert only that a model answered): md5-parity
+    * "true"/"false", so the answer is stable, non-null, and castable to
+    * the reference's `output_data_type = boolean` variant.
+    */
+  case object DigestProvider extends LlmProvider {
+    override def complete(prompts: Seq[String]): Seq[String] =
+      prompts.map { p =>
+        if (p == null) null
+        else {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(p.getBytes("UTF-8"))
+          if ((d(0) & 1) == 0) "true" else "false"
+        }
+      }
+  }
+
   /** Append `outputField` = provider(promptTemplate + srcField), batching
     * `batchSize` rows per provider call (mirrors the reference's
     * inference_batch_size).

@@ -33,6 +33,23 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.where(hashBucket(col(keyCol), salt) < lit(fractionToHex(fraction)))
 
+  /** Data-mixture re-weighting: keep a per-group deterministic fraction
+    * (e.g. up-weight books, down-weight common-crawl when composing a
+    * training mix). Same md5-threshold scheme as [[hashSample]], so the
+    * kept set is stable under reprocessing and a larger fraction yields a
+    * superset per group. Groups absent from `fractions` keep
+    * `defaultFraction`. Pure codegen'd predicate — pushes to the scan.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val h = hashBucket(col(keyCol), salt)
+    val thr = fractions.foldLeft(lit(fractionToHex(defaultFraction)): Column) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(fractionToHex(f))).otherwise(acc)
+    }
+    df.where(h < thr)
+  }
+
   /** Assign every row to a named split by cumulative hash ranges, e.g.
     * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). Weights must sum
     * to ~1; the last split absorbs rounding so every row lands somewhere.

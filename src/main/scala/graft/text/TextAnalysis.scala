@@ -222,6 +222,45 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(trim(textCol)), "\\s+", " ")), 1, 16)
 
+  /** Corpus vocabulary: lowercase whitespace tokens ranked by frequency
+    * (count desc, word asc — a total order, so top-k is deterministic).
+    * Scale shape: textbook word count — partial aggregation (map-side
+    * combine) into one hash exchange on the token, then
+    * TakeOrderedAndProject for the top-k (no global sort materialized).
+    */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word")).limit(topK)
+
+  /** Corpus n-gram frequency table (token n-grams over the lowercase
+    * whitespace tokenization) — LM count statistics / contamination
+    * analysis. Same partial-agg + top-k shape as [[vocabulary]]; the
+    * n-gram expansion is one codegen'd transform/explode projection.
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int = 2, topK: Int = 500): DataFrame = {
+    require(n >= 2, "ngramCounts: n >= 2 (use vocabulary for unigrams)")
+    val gramExpr = (0 until n).map(j => s"element_at(__toks, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.select(split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), i -> $gramExpr)")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram")).limit(topK)
+  }
+
+  /** Per-group corpus composition stats (docs / chars / whitespace
+    * tokens) — the mixture report a data curator reads before weighting
+    * sources. One partial-agg exchange on the (small) group key.
+    */
+  def groupedStats(df: DataFrame, groupCols: Seq[String], textCol: String,
+      charsCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(charsCol).cast("long")).as("sum_chars"),
+      sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("sum_tokens"))
+
   /** Fixed-token-window document chunking with overlap — context-window
     * preparation for LLM training/RAG corpora: each document becomes
     * ceil((n - chunkSize) / stride) + 1 windows of `chunkSize` whitespace

@@ -428,6 +428,51 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(withVec.nonEmpty)
   }
 
+  // ---- LLM configs: remote chat endpoints are unreachable by design;
+  // the deterministic stub provider honors the same config surface
+  // (prompt, inference_columns, output_column_name, output_data_type),
+  // so the reference configs run verbatim incl. their Assert rules.
+
+  test("reference e2e llm_openai_transform.conf runs verbatim (stub provider)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_openai_transform.conf"))
+    val out = catalog("llm_output")
+    assert(out.count() == 5)
+    assert(out.select("llm_output").collect().forall(!_.isNullAt(0)))
+  }
+
+  test("reference e2e llm_openai_transform_boolean.conf runs verbatim (boolean output cast)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_openai_transform_boolean.conf"))
+    assert(catalog("llm_output").schema("llm_output").dataType.typeName == "boolean")
+  }
+
+  test("reference e2e llm_openai_transform_custom_output_name.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark,
+      load(e2e1 + "llm_openai_transform_custom_output_name.conf"))
+    assert(catalog("llm_output").columns.contains("nationality"))
+  }
+
+  test("reference e2e llm_openai_transform_columns.conf runs verbatim (inference_columns)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_openai_transform_columns.conf"))
+    assert(catalog("llm_output").select("llm_output").collect().forall(!_.isNullAt(0)))
+  }
+
+  test("reference e2e llm_transform_custom.conf runs verbatim (CUSTOM provider config)") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_transform_custom.conf"))
+    assert(catalog("llm_output").select("llm_output").collect().forall(!_.isNullAt(0)))
+  }
+
+  test("reference e2e llm_kimiai/_microsoft transform configs run verbatim") {
+    Seq("llm_kimiai_transform.conf", "llm_microsoft_transform.conf").foreach { f =>
+      val catalog = Pipeline.runHocon(spark, load(e2e1 + f))
+      assert(catalog("llm_output").select("llm_output").collect().forall(!_.isNullAt(0)))
+    }
+  }
+
+  test("reference e2e llm_openai_transform_multi_table.conf runs verbatim") {
+    val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_openai_transform_multi_table.conf"))
+    assert(catalog.keys.exists(_.startsWith("test.")))
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment

@@ -41,4 +41,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("stratifiedSample keeps per-group fractions deterministically, superset-stable") {
+    val df = spark.range(0, 2000).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'heavy' ELSE 'light' END AS grp")
+    val kept = Sampling.stratifiedSample(df, "k", "grp",
+      Map("light" -> 0.2), defaultFraction = 1.0)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("heavy") == 1000) // default fraction 1.0 keeps all
+    assert(byGrp("light") > 100 && byGrp("light") < 300) // ~20%
+    // a larger fraction yields a superset for the same salt
+    val more = Sampling.stratifiedSample(df, "k", "grp", Map("light" -> 0.5))
+    val keptLight = kept.where("grp = 'light'").select("k").collect().map(_.getLong(0)).toSet
+    val moreLight = more.where("grp = 'light'").select("k").collect().map(_.getLong(0)).toSet
+    assert(keptLight.subsetOf(moreLight))
+  }
 }

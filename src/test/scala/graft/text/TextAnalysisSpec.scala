@@ -137,6 +137,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == Set("t1", "t2", "t3", "t4", "t5"))
   }
 
+  test("vocabulary ranks tokens by count desc then word asc") {
+    val df = Seq((1, "b a a"), (2, "B c a")).toDF("id", "text")
+    val out = TextAnalysis.vocabulary(df, "text", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 3L), ("b", 2L))) // lowercased; c cut by top-k
+  }
+
+  test("ngramCounts emits token bigrams, skips short docs") {
+    val df = Seq((1, "x y z"), (2, "x y"), (3, "solo")).toDF("id", "text")
+    val out = TextAnalysis.ngramCounts(df, "text", n = 2, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("x y", 2L), ("y z", 1L)))
+  }
+
+  test("groupedStats sums docs/chars/tokens per group") {
+    val df = Seq(("s1", "en", "a b", 3), ("s1", "en", "c", 1), ("s2", "de", "d e f", 5))
+      .toDF("source", "lang", "text", "n_chars")
+    val out = TextAnalysis.groupedStats(df, Seq("source", "lang"), "text", "n_chars")
+      .orderBy("source").collect()
+    assert(out(0).toSeq == Seq("s1", "en", 2L, 4L, 3L))
+    assert(out(1).toSeq == Seq("s2", "de", 1L, 5L, 3L))
+  }
+
   test("fingerprint is normalization-invariant and 16 hex chars") {
     val df = Seq((1, "  Hello   World "), (2, "hello world")).toDF("id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
