@@ -367,6 +367,26 @@ object SparkEntry {
       Dedup.dropNearDups(emb, "vec_id", pairs).select("vec_id").orderBy("vec_id")
     }),
 
+    // §2.6 cluster-resolved dedup: minhash pairs -> connected components
+    // -> one survivor (min id) per duplicate group (rows-only; planted
+    // component semantics spec-verified)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      Dedup.dropByComponents(docs, "doc_id", pairs)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // §2.6 semantic dedup (SemDeDup-style): embedding-cosine pair graph
+    // resolved into components, one survivor per semantic cluster
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.9)
+      Dedup.dropByComponents(emb, "vec_id", pairs)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // §2.6 exact brute-force cosine top-k ANN (oracle-checked: DuckDB list
     // lambdas reproduce the double-precision fold bit-exactly)
     "q_ann_bruteforce" -> ((s, dir) => {

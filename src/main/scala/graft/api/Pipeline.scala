@@ -74,8 +74,12 @@ object Pipeline {
     def block(name: String): Seq[Plugin] = root.get(name) match {
       case Some(l: Seq[_]) => l.map { p =>
         val m = p.asInstanceOf[Map[String, Any]]
-        Plugin(m("plugin").toString,
-          m - "plugin" - "plugin_input" - "plugin_output",
+        // the reference's JSON job format names the key plugin_name
+        // (e2e filter_row_to_next_transform.json); Graft's is plugin
+        val name = m.get("plugin").orElse(m.get("plugin_name")).map(_.toString)
+          .getOrElse(throw new IllegalArgumentException(s"plugin block without plugin name: $m"))
+        Plugin(canonicalPlugins.getOrElse(name.toLowerCase, name),
+          m - "plugin" - "plugin_name" - "plugin_input" - "plugin_output",
           m.get("plugin_input").map(_.toString),
           m.get("plugin_output").map(_.toString))
       }

@@ -130,6 +130,54 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair graph: (node, label) with
+    * label = min node id in the component. Pairwise output alone
+    * over-deletes under greedy rules (a~b, b~c but a!~c still forms one
+    * duplicate GROUP that must keep exactly one survivor) — production
+    * dedup resolves pairs into components first.
+    *
+    * Distributed min-label propagation: per iteration one edge⋈label join
+    * + one min-aggregate (labels only ever decrease; convergence when no
+    * label changed). Near-dup components are star-like (tiny diameter),
+    * so 3-5 iterations typically converge; `maxIter` bounds adversarial
+    * chains. Shuffles carry only (long, long) rows — no text, no arrays.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().graftPersist
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).graftPersist
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val nbr = sym.join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.unionAll(nbr)
+        .groupBy("node").agg(min("label").as("label")).graftPersist
+      val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .where(col("label") < col("__old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-resolved dedup: keep exactly one document (the min id) per
+    * connected duplicate component; singletons pass through untouched.
+    */
+  def dropByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val doomed = connectedComponents(pairs, aCol, bCol)
+      .where(col("node") =!= col("label"))
+      .select(col("node").cast("long").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ---------- simhash ----------
 
   /** Near-duplicate pairs via 64-bit SimHash with 16-bit band blocking.

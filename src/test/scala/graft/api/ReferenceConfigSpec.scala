@@ -473,6 +473,13 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(catalog.keys.exists(_.startsWith("test.")))
   }
 
+  test("reference e2e filter_row_to_next_transform.json runs verbatim (JSON job format)") {
+    val catalog = Pipeline.runJson(spark, load(e2e1 + "filter_row_to_next_transform.json"))
+    // FilterRowKind excludes the implicit INSERTs, Copy chains on the result
+    assert(catalog("fake2").count() == 0)
+    assert(Seq("name1", "age1", "card1").forall(catalog("fake2").columns.contains))
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment

@@ -149,6 +149,23 @@ class DedupSpec extends SparkSpec {
     assert(out3(0).getAs[Int]("n_kept_tokens") == 70)
   }
 
+  test("connectedComponents resolves transitive groups; dropByComponents keeps min per group") {
+    import spark.implicits._
+    // a 3-chain, a 2-pair, and a 4-chain (diameter exercises iteration)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
+    val docs = (1L to 12L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropByComponents(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly one survivor (the min id) per component; singletons untouched
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L, 12L))
+    graft.GraftCaches.releaseAll(spark)
+  }
+
   test("TextHashing primitives are deterministic and sane") {
     val s1 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
     val s2 = TextHashing.minHashSignature(TextHashing.shingleHashes("a b c d e f", 3), 64)
