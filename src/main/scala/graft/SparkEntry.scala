@@ -947,6 +947,16 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // §2.6 Bloom-filter decontamination (broadcast filter bytes instead of
+    // the exact gram set — the very-large-benchmark scale path)
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
+      graft.text.Decontamination.decontaminateBloom(docs, bench, "doc_id", "text", "question",
+        expectedGrams = 100000L)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // §2.6 PII redaction over a deterministic synthetic suffix (the raw
     // corpus has no planted PII, so append one derived from doc_id)
     "q_pii_redact" -> ((s, dir) => {

@@ -358,6 +358,25 @@ object NativeExpressions {
       require(args.length == 5, s"extend_match(tok_a, pos_a, tok_b, pos_b, k): bad arg count ${args.length}")
       ExtendMatchExpr(args(0), args(1), args(2), args(3),
         args(4).eval().asInstanceOf[Number].intValue())
+    },
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime row-group filters but does not expose them in the public
+    // registry; graft surfaces them for Bloom-based decontamination
+    // (codegen'd probe, mergeable binary aggregate)
+    "bloom_filter_agg" -> { args =>
+      args.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0))
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1))
+        case 3 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))
+        case n => throw new IllegalArgumentException(s"bloom_filter_agg: bad arg count $n")
+      }
+    },
+    "might_contain" -> { args =>
+      require(args.length == 2, s"might_contain(bloom, value): bad arg count ${args.length}")
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
     })
 
   /** Register the native functions in the session registry (idempotent). */

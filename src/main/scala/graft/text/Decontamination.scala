@@ -46,6 +46,45 @@ object Decontamination {
         ngram, minMatches)),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter decontamination: when the benchmark gram set itself is
+    * too large to broadcast as an exact set (many benchmark suites ×
+    * paraphrase expansions), aggregate it into ONE Bloom filter binary
+    * with Spark's codegen'd `bloom_filter_agg` and broadcast just the
+    * filter bytes; corpus grams probe with `might_contain`. False
+    * positives (rate `fpp`) only over-delete — contamination never
+    * escapes — and the corpus side still never shuffles.
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13, expectedGrams: Long = 10000000L,
+      fpp: Double = 0.001): DataFrame = {
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val bits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // the filter builds distributed (mergeable binary aggregate); only the
+    // final bytes (numBits/8, driver-bounded by construction) collect, to
+    // satisfy might_contain's constant-bloom contract — the same shape
+    // Spark's own runtime filters produce via scalar subquery
+    val bloomBytes = benchmark
+      .select(explode(expr(s"shingle_hashes(`$benchTextCol`, $ngram)")).as("gram"))
+      .agg(expr(s"bloom_filter_agg(gram, ${expectedGrams}L, ${bits}L)").as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val corpusGrams = corpus.select(col(idCol),
+      explode(expr(s"shingle_hashes(`$textCol`, $ngram)")).as("gram"))
+    corpusGrams
+      .where(call_function("might_contain", lit(bloomBytes), col("gram")))
+      .select(idCol).distinct()
+  }
+
+  /** Drop corpus docs flagged by the Bloom decontamination pass. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13, expectedGrams: Long = 10000000L,
+      fpp: Double = 0.001): DataFrame =
+    corpus.join(
+      broadcast(contaminatedIdsBloom(corpus, benchmark, idCol, textCol,
+        benchTextCol, ngram, expectedGrams, fpp)),
+      Seq(idCol), "left_anti")
+
   // ---------- PII redaction ----------
 
   /** Built-in PII patterns (regex, applied in order — longest digit runs

@@ -43,6 +43,23 @@ class DecontaminationSpec extends SparkSpec {
     assert(clean <= n - 5)
   }
 
+  test("bloom decontamination flags a superset of the exact pass (planted overlap)") {
+    val w = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, w), (2L, "completely different other words here entirely"),
+      (3L, w + " trailing extra")).toDF("doc_id", "text")
+    val bench = Seq(w).toDF("question")
+    val exact = Decontamination.contaminatedIds(corpus, bench, "doc_id", "text", "question")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontamination.contaminatedIdsBloom(corpus, bench, "doc_id", "text",
+      "question", expectedGrams = 1000L).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom)) // contamination never escapes
+    assert(exact == Set(1L, 3L))
+    assert(bloom == Set(1L, 3L)) // at this fpp and size, no false positives
+    val clean = Decontamination.decontaminateBloom(corpus, bench, "doc_id", "text",
+      "question", expectedGrams = 1000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
   test("redactPii replaces the documented classes and keeps other text") {
     val df = Seq(
       ("contact john.doe+x@example.org or call 555-123-4567 now",
