@@ -147,15 +147,22 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().graftPersist
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).graftPersist
+    // seed with the one-hop minimum (saves a full propagation round)
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), col("u")).as("label")).graftPersist
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+      // min over (self, neighbors' labels, label-of-label): the neighbor
+      // term walks the graph, the pointer-jump term halves the remaining
+      // propagation depth each round — O(log diameter) rounds for chains
+      // instead of O(diameter)
       val nbr = sym.join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .select(col("u").as("node"), col("label"))
-      val next = labels.unionAll(nbr)
+      val jump = labels.select(col("node"), col("label").as("__l"))
+        .join(labels.select(col("node").as("__l"), col("label").as("__ll")), Seq("__l"))
+        .select(col("node"), col("__ll").as("label"))
+      val next = labels.unionAll(nbr).unionAll(jump)
         .groupBy("node").agg(min("label").as("label")).graftPersist
       val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
         .where(col("label") < col("__old")).count()
