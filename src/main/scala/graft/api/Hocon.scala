@@ -35,6 +35,22 @@ object Hocon {
     o
   }
 
+  private val VarRe = """\$\{([A-Za-z0-9_.-]+)(?::([^}]*))?\}""".r
+
+  /** The reference's CLI job variables (`-i name=value`, docs
+    * "variable substitution"): `${name}` placeholders in the config text
+    * resolve from `vars`, `${name:default}` falls back to the default.
+    * Textual pre-pass, exactly like the reference applies it before
+    * config parse.
+    */
+  def substituteVariables(text: String, vars: Map[String, String]): String =
+    VarRe.replaceAllIn(text, m => {
+      val value = vars.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"hocon: unbound variable $${${m.group(1)}} (no -i value, no default)"))
+      java.util.regex.Matcher.quoteReplacement(value)
+    })
+
   /** Remove comments (outside quotes) while preserving newlines. Triple-
     * quoted `"""..."""` blocks (HOCON multiline strings, used by the
     * reference's sql_transform e2e configs) pass through verbatim.
@@ -149,17 +165,24 @@ object Hocon {
       }
     }
 
-    /** HOCON value concatenation, quote-preserving. The reference's e2e
-      * `string.template` lines interleave quoted and unquoted segments
-      * (`["{"data":{"c_string": "this is ...\"}}"]`); typesafe-config
-      * concatenates them and the reference's lenient json-smart parser
-      * then reads the result as JSON. Graft keeps the quote characters in
-      * place (processing only `\"` escapes) and strips one outer quote
-      * pair, which reconstructs the strict-JSON document the reference
-      * effectively sees — the form `get_json_object` can consume.
+    /** HOCON value concatenation. Two config idioms meet here:
+      *
+      *  - typesafe content-concat (the general rule): adjacent quoted and
+      *    unquoted segments join by CONTENT — `"select * from "tbl" ..."`
+      *    (the reference's CLI-variables configs after substitution)
+      *    becomes one SQL string with the quote delimiters consumed;
+      *  - the e2e `string.template` JSON-document idiom
+      *    (`["{"data":{"c_string": ...\"}}"]`): the reference parses the
+      *    content-concat result with a LENIENT json parser. Graft instead
+      *    keeps the quote characters in place (stripping one outer pair),
+      *    reconstructing the strict-JSON document — the form
+      *    `get_json_object` can consume, with the same observable values.
+      *    Detected by the concatenation opening with `"{`.
       */
     private def rawConcat(start: Int): String = {
       pos = start
+      val jsonMode = s.charAt(start) == '"' &&
+        start + 1 < s.length && s.charAt(start + 1) == '{'
       val sb = new StringBuilder
       var inQuote = false
       var done = false
@@ -173,20 +196,20 @@ object Hocon {
               case other => other
             })
           } else {
-            if (c == '"') inQuote = false
-            sb.append(c)
+            if (c == '"') { inQuote = false; if (jsonMode) sb.append(c) }
+            else sb.append(c)
           }
           pos += 1
         } else if (c == ',' || c == '\n' || c == '}' || c == ']') {
           done = true
         } else {
-          if (c == '"') inQuote = true
-          sb.append(c)
+          if (c == '"') { inQuote = true; if (jsonMode) sb.append(c) }
+          else sb.append(c)
           pos += 1
         }
       }
       val text = sb.toString.trim
-      if (text.length >= 2 && text.head == '"' && text.last == '"')
+      if (jsonMode && text.length >= 2 && text.head == '"' && text.last == '"')
         text.substring(1, text.length - 1)
       else text
     }

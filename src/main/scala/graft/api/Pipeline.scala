@@ -134,6 +134,13 @@ object Pipeline {
   def runHocon(spark: SparkSession, text: String): Map[String, DataFrame] =
     run(spark, parseHocon(text))
 
+  /** Parse and run a HOCON job config with CLI job variables (the
+    * reference's `-i name=value` substitution).
+    */
+  def runHocon(spark: SparkSession, text: String,
+      variables: Map[String, String]): Map[String, DataFrame] =
+    run(spark, parseHocon(Hocon.substituteVariables(text, variables)))
+
   // ---------- execution ----------
 
   private def fakeSchemaFields(p: Plugin): Seq[(String, Any)] =

@@ -23,8 +23,21 @@ class HoconConcatSpec extends AnyFunSuite {
     assert(o.get("d").contains(Hocon.Arr(Seq(Hocon.Scalar("x"), Hocon.Scalar("y")))))
   }
 
-  test("unquoted-then-quoted concatenation keeps source text") {
+  test("general value concatenation joins segment CONTENT (typesafe semantics)") {
     val o = Hocon.parse("""v = ab"cd ef"gh""" + "\n")
-    assert(o.get("v").contains(Hocon.Scalar("""ab"cd ef"gh""")))
+    assert(o.get("v").contains(Hocon.Scalar("abcd efgh")))
+    // the reference's variables idiom: quoted SQL fragments around an
+    // unquoted substituted identifier
+    val q = Hocon.parse("""query = "select * from "tbl1" where name = '"abc"' """ + "\"\n")
+    assert(q.get("query").contains(Hocon.Scalar("select * from tbl1 where name = 'abc'")))
+  }
+
+  test("substituteVariables resolves ${name} and ${name:default}") {
+    val text = "a = ${x}\nb = \"${y:fallback}_t\"\nc = ${z:10}\n"
+    val out = Hocon.substituteVariables(text, Map("x" -> "[1,2]", "z" -> "42"))
+    assert(out == "a = [1,2]\nb = \"fallback_t\"\nc = 42\n")
+    intercept[IllegalArgumentException] {
+      Hocon.substituteVariables("v = ${missing}", Map.empty)
+    }
   }
 }

@@ -480,6 +480,46 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(Seq("name1", "age1", "card1").forall(catalog("fake2").columns.contains))
   }
 
+  private val engineE2e = "/root/reference/seatunnel-e2e/seatunnel-engine-e2e/" +
+    "connector-seatunnel-e2e-base/src/test/resources/"
+
+  test("reference e2e fake_to_console.variables.conf runs verbatim (CLI job variables)") {
+    // same variable bindings as the reference's UserVariableIT.java:36-43
+    // (their resName embeds a shell $(date); any opaque identifier is
+    // equivalent after the shell resolves it)
+    val vars = Map(
+      "resName" -> "a20260813", "rowNum" -> "10", "strTemplate" -> "[abc,def]",
+      "nameType" -> "string", "nameVal" -> "abc", "pluginInputIdentifier" -> "sql")
+    val catalog = Pipeline.runHocon(spark,
+      load(engineE2e + "fake_to_console.variables.conf"), vars)
+    val out = catalog("sql")
+    val names = out.select("name").collect().map(_.getString(0))
+    assert(names.nonEmpty && names.forall(_ == "abc"))
+    assert(catalog("a20260813").count() == 10)
+  }
+
+  test("reference e2e fake_to_console_with_default_value.variables.conf runs verbatim") {
+    // reference UserVariableIT.java:51-56 binds only these four; the rest
+    // fall back to the config's ${name:default} values
+    val vars = Map("strTemplate" -> "[abc,def]", "ageType" -> "int",
+      "nameVal" -> "abc", "pluginInputIdentifier" -> "sql")
+    val catalog = Pipeline.runHocon(spark,
+      load(engineE2e + "fake_to_console_with_default_value.variables.conf"), vars)
+    assert(catalog("fake_test_table").count() == 50) // rowNum default
+    val ages = catalog("fake_test_table").select("age").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ages.subsetOf(Set(20, 21))) // int.template
+    assert(catalog("sql").select("name").collect().forall(_.getString(0) == "abc"))
+  }
+
+  test("reference e2e batch_fake_multi_table_to_console.conf runs verbatim " +
+      "(literal rows with row kinds, two sources, two console sinks)") {
+    val catalog = Pipeline.runHocon(spark,
+      load(engineE2e + "batch_fake_multi_table_to_console.conf"))
+    assert(catalog("fake1").count() == 10) // 6 inserts + U-/U+ + delete + insert
+    assert(catalog("fake2").count() == 5)
+  }
+
   test("hocon parser handles comments, commas, arrays, quoted strings, repeats") {
     val o = Hocon.parse(
       """# leading comment
