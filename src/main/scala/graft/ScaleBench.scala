@@ -11,7 +11,10 @@ import graft.dedup.Dedup
   * replication happens inside the plan, so the timing still exercises the
   * real shuffle shapes at 10x volume). Prints one JSON line per scale.
   *
-  * Usage: runMain graft.ScaleBench [testdataRoot]
+  * Usage: runMain graft.ScaleBench [testdataRoot] [scaleCsv] [opCsv]
+  * e.g. `runMain graft.ScaleBench /root/testdata sf0.1x10 ngram` times a
+  * single point — the shape used to chase one variant's regression
+  * without paying for the full matrix.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
@@ -36,10 +39,15 @@ object ScaleBench {
           concat(col("text"), lit(s" replica_salt_$i")).as("text"))
       }.reduce(_.unionAll(_))
 
+    val scaleFilter = args.lift(1).map(_.split(",").toSet)
+    val opFilter = args.lift(2).map(_.split(",").toSet)
+    def wanted(op: String): Boolean = opFilter.forall(_.contains(op))
+
     val scales: Seq[(String, DataFrame)] = Seq(
       "sf0.01" -> docsAt("sf0.01"),
       "sf0.1" -> docsAt("sf0.1"),
       "sf0.1x10" -> replicate(docsAt("sf0.1"), 10))
+      .filter { case (name, _) => scaleFilter.forall(_.contains(name)) }
 
     scales.foreach { case (name, docs0 ) =>
       val docs = docs0
@@ -51,20 +59,23 @@ object ScaleBench {
       }
       def released[T](f: => T): T =
         try f finally GraftCaches.releaseAll(spark)
-      val (tExact, nExact) = time(released(Dedup.exact(docs, "doc_id", "text").count()))
-      val (tMin, nMin) = time(released(Dedup.minHashPairs(docs, "doc_id", "text").count()))
-      val (tSim, nSim) = time(released(Dedup.simHashPairs(docs, "doc_id", "text").count()))
-      val (tNg, nNg) = time(released(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()))
-      val (tSub, nSub) = time(released(
+      def point(op: String)(f: => Long): Option[(Double, Long)] =
+        if (wanted(op)) Some(time(released(f))) else None
+      val exact = point("exact")(Dedup.exact(docs, "doc_id", "text").count())
+      val min = point("minhash")(Dedup.minHashPairs(docs, "doc_id", "text").count())
+      val sim = point("simhash")(Dedup.simHashPairs(docs, "doc_id", "text").count())
+      val ng = point("ngram")(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+      val sub = point("substring")(
         Dedup.substringDedup(docs, "doc_id", "text", minLen = 30, k = 10)
-          .where(col("n_removed_tokens") > 0).count()))
+          .where(col("n_removed_tokens") > 0).count())
+      val parts = Seq(
+        exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
+        min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
+        sim.map { case (t, n) => s""""simhash":{"sec":$t,"pairs":$n}""" },
+        ng.map { case (t, n) => s""""ngram":{"sec":$t,"pairs":$n}""" },
+        sub.map { case (t, n) => s""""substring":{"sec":$t,"docs_cut":$n}""" }).flatten
       println(
-        s"""{"scale":"$name","docs":$nDocs,""" +
-        s""""exact":{"sec":$tExact,"rows":$nExact},""" +
-        s""""minhash":{"sec":$tMin,"pairs":$nMin},""" +
-        s""""simhash":{"sec":$tSim,"pairs":$nSim},""" +
-        s""""ngram":{"sec":$tNg,"pairs":$nNg},""" +
-        s""""substring":{"sec":$tSub,"docs_cut":$nSub}}""")
+        s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }
     spark.stop()
   }

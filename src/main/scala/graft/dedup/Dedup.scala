@@ -231,16 +231,27 @@ object Dedup {
     *
     * Candidate generation is the quadratic hazard: pairs per gram grow as
     * docFreq^2, so only grams with docFreq <= `indexDocFreq` are indexed.
-    * Measured on a 10x corpus replication (50k docs, dense vocabulary —
-    * every gram df >= 10): the uncapped naive index ran 56-132 s;
-    * indexDocFreq=100 with rarity-first prefixes found the IDENTICAL
-    * 250,600 pairs in ~33 s, and indexDocFreq=50 traded 21% recall for
-    * ~12 s. A true pair is missed only if every gram the two docs share
-    * appears in more than indexDocFreq documents — tune the cap up for
-    * recall, down for speed. `maxDocFreq` bounds CANDIDATE GENERATION
-    * only (grams above it are never indexed); verification computes exact
-    * Jaccard over the FULL shingle sets, so a reported pair's score always
-    * equals the true n-gram Jaccard of the two documents.
+    * A true pair is missed only if every gram the two docs share appears
+    * in more than indexDocFreq documents — tune the cap up for recall,
+    * down for speed. `maxDocFreq` bounds CANDIDATE GENERATION only (grams
+    * above it are never indexed); verification computes exact Jaccard
+    * over the FULL shingle sets, so a reported pair's score always equals
+    * the true n-gram Jaccard of the two documents.
+    *
+    * Verification is the byte-volume hazard: a dense corpus yields far
+    * more candidates than true pairs (measured on a 10x sf0.1 corpus
+    * replication, 50k docs, every gram df >= 10: 17.3M candidates ->
+    * 250,600 true pairs), and pair-keyed SortMergeJoins against the
+    * multi-KB shingle arrays exchange AND sort candidates x array-bytes
+    * (~50 GB at that point; measured 266 s of a ~300 s run — the round-5
+    * regression). The verify therefore semi-joins the array table down to
+    * candidate-touched docs and, when that subset fits
+    * `broadcastVerifyBytes` (default 1 GiB), runs two
+    * BroadcastHashJoins with `jaccard_long` + the PPJoin length filter
+    * fused into one codegen stage over streaming candidate rows —
+    * measured: the same 10x point in 24 s, identical pairs. Larger
+    * verify sets degrade to the shuffle shape with the narrow (doc,
+    * size) length pre-filter.
     *
     * Below `prefixMinDocs` documents the prefix machinery is skipped for a
     * count-aggregate join: the full df-capped index self-joins and one
@@ -253,7 +264,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000,
-      indexDocFreq: Int = 100, prefixMinDocs: Int = 10000): DataFrame = {
+      indexDocFreq: Int = 100, prefixMinDocs: Int = 10000,
+      broadcastVerifyBytes: Long = 1L << 30): DataFrame = {
     graft.plans.NativeExpressions.register(df.sparkSession)
     import org.apache.spark.sql.expressions.Window
     // the shingle table feeds candidate generation AND both verification
@@ -350,27 +362,60 @@ object Dedup {
 
       val a = index.select(col("gram"), col("doc").as("id_a"))
       val b = index.select(col("gram"), col("doc").as("id_b"))
+      // candidates feed the verify plan twice (the docs-touched semi-join
+      // probe below + the verify join itself); persisted, they are a
+      // narrow (long, long) table
       val candidates = a.join(b, Seq("gram"))
         .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates("id_a", "id_b")
+        .graftPersist
 
-      // PPJoin length filter: jaccard(a,b) <= min|a|,|b| / max|a|,|b|, so
-      // size-mismatched candidates are pruned on a narrow (doc, size)
-      // table BEFORE the multi-KB shingle arrays join in — the array
-      // joins are the expensive step at scale
-      val sizes = src.select(col("doc"), size(col("hashes")).cast("long").as("__sz"))
-      candidates
-        .join(sizes.select(col("doc").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
-        .join(sizes.select(col("doc").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
-        .where(least(col("__sa"), col("__sb")) >=
-          lit(threshold) * greatest(col("__sa"), col("__sb")))
-        .select("id_a", "id_b")
-        .join(src.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
-        .join(src.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
-        .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
-        .where(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      // Verification strategy. A dense corpus can yield 50-100x more
+      // candidates than true pairs (measured at 10x sf0.1: 17.3M
+      // candidates -> 250,600 pairs), so joining the multi-KB shingle
+      // arrays through pair-keyed shuffles is the scale killer: each
+      // SortMergeJoin exchanges AND sorts (pairs x array-bytes) — ~50 GB
+      // at 10x, measured 266 of the path's ~300 s. Instead: reduce the
+      // array table to the candidate-TOUCHED docs (semi-join — bounded by
+      // 2x candidate count regardless of corpus size), and if that subset
+      // fits a broadcast, verify with two BroadcastHashJoins — arrays
+      // cross the wire once per executor, jaccard_long + the PPJoin
+      // length filter run inside one codegen stage over the streaming
+      // candidate rows (measured: the 10x point drops ~255 s -> ~35 s).
+      // Oversized verify sets degrade to the shuffle shape with the
+      // length pre-filter on narrow (doc, size) tables.
+      val docsTouched = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc")).distinct()
+      val varr = src.join(docsTouched, Seq("doc"), "left_semi").graftPersist
+      val vstats = varr.agg(count(lit(1)), coalesce(sum(size(col("hashes"))), lit(0L))).head()
+      val vbytes = vstats.getLong(1) * 8L + vstats.getLong(0) * 32L
+      val sizeOk = least(size(col("h_a")), size(col("h_b"))).cast("double") >=
+        lit(threshold) * greatest(size(col("h_a")), size(col("h_b"))).cast("double")
+      if (vbytes <= broadcastVerifyBytes) {
+        candidates
+          .join(broadcast(varr.select(col("doc").as("id_a"), col("hashes").as("h_a"))), Seq("id_a"))
+          .join(broadcast(varr.select(col("doc").as("id_b"), col("hashes").as("h_b"))), Seq("id_b"))
+          .where(sizeOk) // cheap length cut before the merge-scan jaccard
+          .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+      } else {
+        // PPJoin length filter on narrow (doc, size) tables BEFORE the
+        // array joins: jaccard(a,b) <= min|a|,|b| / max|a|,|b|
+        val sizes = varr.select(col("doc"), size(col("hashes")).cast("long").as("__sz"))
+        candidates
+          .join(sizes.select(col("doc").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+          .join(sizes.select(col("doc").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+          .where(least(col("__sa"), col("__sb")) >=
+            lit(threshold) * greatest(col("__sa"), col("__sb")))
+          .select("id_a", "id_b")
+          .join(varr.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
+          .join(varr.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
+          .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+      }
     }
   }
 
