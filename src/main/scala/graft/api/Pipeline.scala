@@ -134,6 +134,50 @@ object Pipeline {
   def runHocon(spark: SparkSession, text: String): Map[String, DataFrame] =
     run(spark, parseHocon(text))
 
+  /** Rebase absolute `path` options onto `root` — the local analog of the
+    * reference e2e's container mounts (its configs address a container
+    * filesystem that ContainerUtil.copyFileIntoContainers populates; a
+    * host running those configs verbatim maps that filesystem to a
+    * directory, which is exactly this).
+    */
+  def rebasePaths(job: Job, root: String): Job = {
+    val r = root.stripSuffix("/")
+    def remapOpts(opts: Map[String, Any]): Map[String, Any] = {
+      val withPath = opts.get("path") match {
+        case Some(path: String) if path.startsWith("/") =>
+          opts.updated("path", r + path)
+        case _ => opts
+      }
+      withPath.get("tables_configs") match {
+        case Some(tcs: Seq[_]) => withPath.updated("tables_configs", tcs.map {
+          case m: Map[_, _] => remapOpts(m.asInstanceOf[Map[String, Any]])
+          case other => other
+        })
+        case _ => withPath
+      }
+    }
+    def remap(p: Plugin): Plugin = p.copy(options = remapOpts(p.options))
+    job.copy(sources = job.sources.map(remap), sinks = job.sinks.map(remap))
+  }
+
+  /** Rewrite endpoint authorities inside string options — the local
+    * analog of the reference e2e's container DNS (its configs address
+    * `mockserver:1080` on the test network; a host running them verbatim
+    * maps that name to wherever the mock actually listens).
+    */
+  def rebaseEndpoints(job: Job, hostMap: Map[String, String]): Job = {
+    def remapVal(v: Any): Any = v match {
+      case s: String => hostMap.foldLeft(s) { case (acc, (from, to)) => acc.replace(from, to) }
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (k, x) => k -> remapVal(x) }
+      case xs: Seq[_] => xs.map(remapVal)
+      case other => other
+    }
+    def remap(p: Plugin): Plugin =
+      p.copy(options = p.options.map { case (k, v) => k -> remapVal(v) })
+    job.copy(sources = job.sources.map(remap), transforms = job.transforms.map(remap),
+      sinks = job.sinks.map(remap))
+  }
+
   /** Parse and run a HOCON job config with CLI job variables (the
     * reference's `-i name=value` substitution).
     */
@@ -146,20 +190,47 @@ object Pipeline {
   private def fakeSchemaFields(p: Plugin): Seq[(String, Any)] =
     p.options.get("schema") match {
       case Some(m: Map[_, _]) =>
-        m.asInstanceOf[Map[String, Any]]("fields") match {
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm.get("fields") match {
           // HOCON configs arrive as insertion-ordered ListMaps (declared
           // field order preserved, nested row maps allowed); plain JSON
           // maps sort by name for determinism
-          case lm: scala.collection.immutable.ListMap[_, _] =>
+          case Some(lm: scala.collection.immutable.ListMap[_, _]) =>
             lm.toSeq.map { case (k, v) => k.toString -> v }
-          case fm: Map[_, _] =>
+          case Some(fm: Map[_, _]) =>
             fm.toSeq.map { case (k, v) => k.toString -> v }.sortBy(_._1)
-          case other => throw new IllegalArgumentException(s"FakeSource: bad fields $other")
+          case None => mm.get("columns") match {
+            // catalog-table form: columns = [{name, type, ...}] (+
+            // primaryKey/constraintKeys metadata, schema-irrelevant here)
+            case Some(cols: Seq[_]) => cols.map(_.asInstanceOf[Map[String, Any]])
+              .map(c => c("name").toString -> c("type"))
+            case None => throw new IllegalArgumentException(
+              s"FakeSource: schema needs fields or columns: $mm")
+          }
+          case Some(other) =>
+            throw new IllegalArgumentException(s"FakeSource: bad fields $other")
         }
       case _ => Seq("id" -> "long")
     }
 
-  private def resolveSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
+  /** Reference FakeOption `<type>.min`/`<type>.max` bounds — either side
+    * may be omitted (FakeOption defaults: min 0, max = the type's MAX).
+    */
+  private def fakeRanges(opts: Map[String, Any]): Map[String, (Double, Double)] = {
+    val mins = opts.collect { case (k, v) if k.endsWith(".min") =>
+      k.stripSuffix(".min").toLowerCase -> v.toString.toDouble }
+    val maxs = opts.collect { case (k, v) if k.endsWith(".max") =>
+      k.stripSuffix(".max").toLowerCase -> v.toString.toDouble }
+    val typeMax: Map[String, Double] = Map(
+      "tinyint" -> Byte.MaxValue.toDouble, "smallint" -> Short.MaxValue.toDouble,
+      "int" -> Int.MaxValue.toDouble, "bigint" -> Long.MaxValue.toDouble,
+      "float" -> Float.MaxValue.toDouble, "double" -> Double.MaxValue)
+    (mins.keySet ++ maxs.keySet).map(t =>
+      t -> ((mins.getOrElse(t, 0d), maxs.getOrElse(t, typeMax.getOrElse(t, 1000000d))))).toMap
+  }
+
+  private def resolveSource(spark: SparkSession, p: Plugin,
+      parallelism: Int = 1): DataFrame = p.plugin match {
     case "FakeSource" =>
       val fields: Seq[(String, Any)] = fakeSchemaFields(p)
       p.options.get("rows") match {
@@ -174,14 +245,45 @@ object Pipeline {
             // templated keys may collide (that's how the reference gets
             // single-entry maps from one-element templates)
             spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-          FakeSource.generateAny(spark, fields, p.int("row.num", 10).toLong,
-            templates = templates)
+          // reference ROW_NUM (default 5) counts rows PER degree of
+          // parallelism ("total number of data generated per degree of
+          // parallelism"); a source-level `parallelism` option overrides
+          // the env one (spark.batch.conf declares it on the source)
+          FakeSource.generateAny(spark, fields,
+            p.int("row.num", 5).toLong * p.int("parallelism", parallelism),
+            templates = templates, ranges = fakeRanges(p.options))
       }
     case "LocalFile" | "File" =>
-      FileSources.read(spark, FileSources.FileSourceConfig(
+      // schema may be a DDL string or the reference's nested
+      // `schema = { fields { ... } }` object; reader options arrive both
+      // under `options` and as top-level plugin keys (the reference's
+      // flat config surface: skip_header_row_number, delimiter, encoding,
+      // archive_compress_codec, sheet_name, ...)
+      val topLevel = p.options.collect {
+        case (k, v) if !Set("path", "file_format_type", "schema", "options",
+          "tables_configs").contains(k) && !v.isInstanceOf[Map[_, _]] &&
+          !v.isInstanceOf[Seq[_]] => k -> v.toString
+      }
+      // Spark 4's TIME type ships behind a flag; a schema declaring one
+      // is the opt-in (same contract as FakeSource)
+      if (p.options.get("schema").exists(_.toString.toLowerCase.contains("time")))
+        spark.conf.set("spark.sql.timeType.enabled", "true")
+      val schema = p.options.get("schema").map(ZetaSchema.fromSchemaOption)
+        .filter(_.nonEmpty) // multi-table entries may declare only a table name
+      val df = FileSources.read(spark, FileSources.FileSourceConfig(
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
-        p.strOpt("schema").map(s => DataType.fromDDL(s).asInstanceOf[StructType]),
-        p.map("options")))
+        schema, topLevel ++ p.map("options")))
+      // reference `read_columns`: projection pushed into the scan —
+      // partition-dir fields (columns outside the file schema) still
+      // surface, as the reference read strategies do
+      p.list("read_columns") match {
+        case Nil => df
+        case cols =>
+          val declared = schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+          val extras = df.columns.filter(c => !declared.contains(c) && !cols.contains(c))
+            .filter(_ => declared.nonEmpty)
+          df.select((cols ++ extras).map(col): _*)
+      }
     case "Jdbc" | "JDBC" =>
       graft.sources.Jdbc.read(spark, graft.sources.Jdbc.JdbcSourceConfig(
         p.str("url"),
@@ -222,25 +324,56 @@ object Pipeline {
       rowsAny: Seq[_]): DataFrame = {
     val kinds = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
       "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
-    // zeta type spellings -> Spark DDL
-    def ddlOf(t: Any): String = t.toString.trim match {
-      case b if b.equalsIgnoreCase("bytes") => "binary"
-      case other => other
+    def isArrayType(t: Any): Boolean = t match {
+      case s: String => s.trim.toLowerCase.startsWith("array<")
+      case _ => false
     }
-    def isArrayType(t: Any): Boolean =
-      t.toString.trim.toLowerCase.startsWith("array<")
+    def isComplexType(t: Any): Boolean = t match {
+      case _: Map[_, _] => true
+      case s: String =>
+        val l = s.trim.toLowerCase
+        l.startsWith("map<") || l.startsWith("{")
+      case _ => false
+    }
+    // complex literal values (maps / nested rows) carry through as JSON
+    // text, typed against the declared schema so from_json reads them
+    // back exactly: struct literals may arrive as positional HOCON arrays
+    // ([v1, v2, ...] zipped with the row's field names), numeric/boolean
+    // leaves emit unquoted
+    import org.apache.spark.sql.types._
+    def jsonFor(v: Any, dt: org.apache.spark.sql.types.DataType): String = (v, dt) match {
+      case (null, _) => "null"
+      case (m: Map[_, _], MapType(_, vt, _)) => m.map { case (k, x) =>
+        mapper.writeValueAsString(k.toString) + ":" + jsonFor(x, vt) }
+        .mkString("{", ",", "}")
+      case (xs: Seq[_], ArrayType(et, _)) =>
+        xs.map(jsonFor(_, et)).mkString("[", ",", "]")
+      case (xs: Seq[_], st: StructType) =>
+        st.fields.zip(xs).map { case (f, x) =>
+          mapper.writeValueAsString(f.name) + ":" + jsonFor(x, f.dataType) }
+        .mkString("{", ",", "}")
+      case (m: Map[_, _], st: StructType) => m.map { case (k, x) =>
+        mapper.writeValueAsString(k.toString) +
+          ":" + jsonFor(x, st.find(_.name == k.toString).map(_.dataType)
+            .getOrElse(StringType)) }
+        .mkString("{", ",", "}")
+      case (x, ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | BooleanType | _: DecimalType) => x.toString
+      case (x, _) => mapper.writeValueAsString(x.toString)
+    }
     val strRows = rowsAny.map(_.asInstanceOf[Map[String, Any]]).map { rs =>
-      val vals = rs("fields").asInstanceOf[Seq[Any]].map {
-        case null => null
-        case xs: Seq[_] => xs.map(x => if (x == null) null else x.toString)
-        case v => v.toString
+      val vals = rs("fields").asInstanceOf[Seq[Any]].zip(fields).map {
+        case (null, _) => null
+        case (v, (_, t)) if isComplexType(t) => jsonFor(v, ZetaSchema.dataTypeOf(t))
+        case (xs: Seq[_], _) => xs.map(x => if (x == null) null else x.toString)
+        case (v, _) => v.toString
       }
       org.apache.spark.sql.Row.fromSeq(vals :+ kinds.getOrElse(
         rs.getOrElse("kind", "INSERT").toString.toUpperCase, "+I"))
     }
     val strSchema = StructType(fields.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n,
-        if (isArrayType(t))
+        if (isArrayType(t) && !isComplexType(t))
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
         else org.apache.spark.sql.types.StringType) } :+
       org.apache.spark.sql.types.StructField(RowKindOps.RowKindCol,
@@ -249,10 +382,32 @@ object Pipeline {
       spark.sparkContext.parallelize(strRows, 1), strSchema)
     raw.select(fields.map { case (n, t) =>
       val c = org.apache.spark.sql.functions.col(n)
-      val typed =
-        if (ddlOf(t) == "binary") // reference fixture bytes are base64
-          org.apache.spark.sql.functions.unbase64(c)
-        else c.cast(ddlOf(t))
+      val target = ZetaSchema.dataTypeOf(t)
+      val typed = target match {
+        case org.apache.spark.sql.types.BinaryType =>
+          org.apache.spark.sql.functions.unbase64(c) // fixture bytes are base64
+        case _ if isComplexType(t) =>
+          // from_json limitations: map keys must be strings, TIME is not
+          // a JSON type — parse a JSON-safe shadow of the declared type,
+          // then cast to the real one
+          def jsonSafe(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+            case st: org.apache.spark.sql.types.StructType =>
+              org.apache.spark.sql.types.StructType(
+                st.fields.map(f => f.copy(dataType = jsonSafe(f.dataType))))
+            case org.apache.spark.sql.types.ArrayType(et, n) =>
+              org.apache.spark.sql.types.ArrayType(jsonSafe(et), n)
+            case org.apache.spark.sql.types.MapType(_, vt, n) =>
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType, jsonSafe(vt), n)
+            case _: org.apache.spark.sql.types.TimeType =>
+              org.apache.spark.sql.types.StringType
+            case o => o
+          }
+          val jt = jsonSafe(target)
+          val parsed = org.apache.spark.sql.functions.from_json(c, jt)
+          if (jt == target) parsed else parsed.cast(target)
+        case _ => c.cast(target)
+      }
       typed.as(n)
     } :+ org.apache.spark.sql.functions.col(RowKindOps.RowKindCol): _*)
   }
@@ -334,13 +489,33 @@ object Pipeline {
       MetadataOp.inject(df, p.map("metadata_fields"), MetadataOp.MetaConfig(
         p.strOpt("database"), p.strOpt("table"), p.strOpt("event_time_field")))
     case "Embedding" =>
-      // reference embedding transform (remote models unreachable here —
-      // deterministic local model, same column contract)
-      // vectorization_fields maps OUTPUT <- input
-      // (embedding/EmbeddingTransformConfig.java, e2e configs write
-      // `book_intro_vector = book_intro`)
+      // reference embedding transform. vectorization_fields maps OUTPUT <-
+      // input (embedding/EmbeddingTransformConfig.java, e2e configs write
+      // `book_intro_vector = book_intro`). When the configured api_path is
+      // connectable, the REAL HTTP provider runs (request shaping per
+      // model_provider — NlpHttp); otherwise the deterministic local
+      // model keeps the same column contract (sandbox-honest fallback).
+      val httpProvider: Option[graft.operators.NlpHttp.EmbeddingProvider] =
+        p.strOpt("api_path")
+          .filter(graft.operators.NlpHttp.reachable(_))
+          .flatMap { path =>
+            val key = p.strOpt("api_key").getOrElse("")
+            val model = p.strOpt("model").getOrElse("")
+            p.strOpt("model_provider").map(_.toUpperCase) match {
+              case Some("QIANFAN") => Some(graft.operators.NlpHttp.QianfanEmbedding(
+                path, p.strOpt("oauth_path").getOrElse(path), key,
+                p.strOpt("secret_key").getOrElse(""), model))
+              case Some("DOUBAO") => Some(graft.operators.NlpHttp.DoubaoEmbedding(path, key, model))
+              case Some("OPENAI") => Some(graft.operators.NlpHttp.OpenAiEmbedding(path, key, model))
+              case _ => None // CUSTOM keeps the deterministic local model
+            }
+          }
       p.map("vectorization_fields").foldLeft(df) { case (acc, (dst, src)) =>
-        graft.operators.EmbeddingOp.embed(acc, src, dst, p.int("dimension", 64))
+        httpProvider match {
+          case Some(pr) => graft.operators.EmbeddingOp.embedWithProvider(acc, src, dst,
+            pr, p.int("single_vectorized_input_number", 1))
+          case None => graft.operators.EmbeddingOp.embed(acc, src, dst, p.int("dimension", 64))
+        }
       }
     case "LLM" =>
       // reference LLMTransform options: the model sees the serialized
@@ -352,15 +527,35 @@ object Pipeline {
         .getOrElse(df.columns.toSeq)
       val outName = p.strOpt("output_field")
         .orElse(p.strOpt("output_column_name")).getOrElse("llm_output")
-      val provider =
+      // a connectable api_path selects the REAL chat-completion provider
+      // (reference llm/remote shapes via NlpHttp: one request per batch,
+      // system prompt + array protocol); otherwise deterministic stubs
+      val apiPath = p.strOpt("api_path").orElse(p.strOpt("openai.api_path"))
+      val httpProvider: Option[graft.operators.LlmOp.LlmProvider] =
+        apiPath.filter(graft.operators.NlpHttp.reachable(_)).map { path =>
+          val key = p.strOpt("api_key").getOrElse("")
+          val model = p.strOpt("model").getOrElse("")
+          val sys = graft.operators.NlpHttp.promptWithRules(
+            p.strOpt("prompt").getOrElse(""),
+            p.strOpt("output_data_type").getOrElse("STRING"))
+          p.strOpt("model_provider").map(_.toUpperCase) match {
+            case Some("MICROSOFT") => graft.operators.NlpHttp.MicrosoftChat(path, key, model, sys)
+            case _ => graft.operators.NlpHttp.OpenAiChat(path, key, model, sys)
+          }
+        }
+      val provider = httpProvider.getOrElse {
         if (p.list("labels").nonEmpty) graft.operators.LlmOp.RuleProvider(p.list("labels"))
         else graft.operators.LlmOp.DigestProvider
+      }
       val pre =
         if (inferenceCols.size == 1) df.withColumn("__llm_input", col(inferenceCols.head))
         else df.withColumn("__llm_input",
           to_json(struct(inferenceCols.map(col): _*)))
       val res = graft.operators.LlmOp.transform(pre, "__llm_input", outName,
-        provider, p.strOpt("prompt").getOrElse(""), p.int("inference_batch_size", 32))
+        provider,
+        // the HTTP provider carries the prompt in its system message
+        if (httpProvider.isDefined) "" else p.strOpt("prompt").getOrElse(""),
+        p.int("inference_batch_size", 32))
         .drop("__llm_input")
       p.strOpt("output_data_type").fold(res)(t =>
         res.withColumn(outName, col(outName).cast(t.toLowerCase)))
@@ -447,9 +642,8 @@ object Pipeline {
     }
     val fieldRules = seqOf("field_rules").flatMap { fr =>
       val fname = fr("field_name").toString
-      val typeRule = fr.get("field_type").collect {
-        case s: String => Sinks.FieldType(fname, s)
-      }
+      // field_type is a zeta type string or a nested row object
+      val typeRule = fr.get("field_type").map(t => Sinks.FieldType(fname, t))
       val valueRules = fr.get("field_value").map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil)
         .map(_.asInstanceOf[Map[String, Any]]).map { vr =>
           val v = vr.get("rule_value").map(_.toString.toDouble)
@@ -579,6 +773,7 @@ object Pipeline {
   private def buildCatalog(spark: SparkSession, job: Job): (Map[String, DataFrame], Option[String]) = {
     // env.parallelism maps onto the shuffle-partition count for this job
     job.env.get("parallelism").foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    val parallelism = job.env.get("parallelism").map(_.toInt).getOrElse(1)
     var catalog = Map.empty[String, DataFrame]
     var last: Option[String] = None
     job.sources.foreach { s =>
@@ -606,14 +801,33 @@ object Pipeline {
                 if (templates.nonEmpty)
                   spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
                 FakeSource.generateAny(spark, fields,
-                  tc.get("row.num").map(_.toString.toLong).getOrElse(10L),
-                  templates = templates)
+                  tc.get("row.num").map(_.toString.toLong).getOrElse(5L) *
+                    tc.get("parallelism").map(_.toString.toInt).getOrElse(parallelism),
+                  templates = templates, ranges = fakeRanges(tc))
             })
             last = Some(tableName)
           }
+        // multi-table file sources (local_file_*_with_multipletable): each
+        // tables_configs entry is a standalone source spec whose catalog
+        // name comes from its schema.table
+        case Some(tcs: Seq[_]) =>
+          tcs.map(_.asInstanceOf[Map[String, Any]]).foreach { tc =>
+            val tableName = tc.get("schema")
+              .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+              .flatMap(_.get("table")).map(_.toString)
+              .getOrElse(s.output.getOrElse(s.plugin))
+            catalog += tableName -> resolveSource(spark,
+              Plugin(s.plugin, tc, None, None), parallelism)
+            last = Some(tableName)
+          }
         case _ =>
-          val name = s.output.getOrElse(s.plugin)
-          catalog += name -> resolveSource(spark, s)
+          // a catalog-table schema names the table (fake_to_assert_with_
+          // catalogtable: schema.table)
+          val schemaTable = s.options.get("schema")
+            .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+            .flatMap(_.get("table")).map(_.toString)
+          val name = s.output.orElse(schemaTable).getOrElse(s.plugin)
+          catalog += name -> resolveSource(spark, s, parallelism)
           last = Some(name)
       }
     }
@@ -717,7 +931,25 @@ object Pipeline {
       try {
         job.sinks.foreach { s =>
           if (isMultiTableAssert(s)) runAssertMultiTable(catalog, s)
-          else {
+          // multi-table sink fan-out: an inputless sink whose path carries
+          // the reference's ${table_name} placeholder writes EVERY table
+          // the multi-table source declared, placeholder substituted per
+          // table (LocalFileWithMultipleTableIT semantics)
+          else if (s.input.isEmpty &&
+              s.options.get("path").exists(_.toString.contains("${table_name}"))) {
+            val declared = job.sources.flatMap(_.options.get("tables_configs") match {
+              case Some(tcs: Seq[_]) => tcs.map(_.asInstanceOf[Map[String, Any]])
+                .flatMap(_.get("schema"))
+                .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+                .flatMap(_.get("table")).map(_.toString)
+              case _ => Nil
+            })
+            val tables = if (declared.nonEmpty) declared else catalog.keys.toSeq.sorted
+            tables.foreach { t =>
+              runSink(catalog(t), s.copy(options = s.options.updated("path",
+                s.str("path").replace("${table_name}", t))))
+            }
+          } else {
             // some reference configs label the sink's input with plugin_output
             // (e2e func_array.conf) — accept it as the read-table alias
             val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * are not splittable, so the read parallelizes per file
   * (`binaryFiles`), which is the honest scale story for .xlsx inputs.
   */
-object ExcelFormat {
+// Serializable: read-path lambdas call local parse helpers that compile to
+// instance methods of this (stateless) module, so tasks serialize it
+object ExcelFormat extends Serializable {
 
   // ---------- write ----------
 
@@ -129,13 +131,18 @@ object ExcelFormat {
 
   // ---------- read ----------
 
-  /** Parse one .xlsx byte blob into raw string rows (first sheet). */
-  private[formats] def parseXlsx(bytes: Array[Byte]): Seq[Seq[String]] = {
+  /** Parse one .xlsx byte blob into raw string rows (first sheet, or the
+    * named sheet when `sheet` is set — resolved through workbook.xml +
+    * its rels, the OOXML name->part indirection).
+    */
+  private[formats] def parseXlsx(bytes: Array[Byte],
+      sheet: Option[String] = None): Seq[Seq[String]] = {
     val parts = mutable.Map[String, Array[Byte]]()
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var e = zin.getNextEntry
     while (e != null) {
-      if (e.getName == "xl/sharedStrings.xml" ||
+      if (e.getName == "xl/sharedStrings.xml" || e.getName == "xl/workbook.xml" ||
+          e.getName == "xl/_rels/workbook.xml.rels" ||
           e.getName.matches("xl/worksheets/sheet\\d+\\.xml")) {
         val bos = new ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -147,9 +154,48 @@ object ExcelFormat {
     }
     zin.close()
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-    val sheetName = parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq.sorted.headOption
+    val sheetPart: Option[String] = sheet.flatMap { want =>
+      for {
+        wb <- parts.get("xl/workbook.xml")
+        rels <- parts.get("xl/_rels/workbook.xml.rels")
+        rid <- sheetRelId(wb, want)
+        target <- relTarget(rels, rid)
+      } yield if (target.startsWith("/")) target.stripPrefix("/") else "xl/" + target
+    }
+    val sheetName = sheetPart
+      .orElse(parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq.sorted.headOption)
       .getOrElse(throw new IllegalArgumentException("xlsx: no worksheet found"))
     parseSheet(parts(sheetName), shared)
+  }
+
+  /** workbook.xml: `<sheet name=".." r:id="rIdN"/>` for the named sheet. */
+  private def sheetRelId(wb: Array[Byte], name: String): Option[String] = {
+    val r = xmlReader(wb)
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet" &&
+            Option(r.getAttributeValue(null, "name")).contains(name)) {
+          (0 until r.getAttributeCount).find(i => r.getAttributeLocalName(i) == "id")
+            .foreach(i => return Some(r.getAttributeValue(i)))
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** workbook.xml.rels: rId -> worksheet part target. */
+  private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
+    val r = xmlReader(rels)
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            Option(r.getAttributeValue(null, "Id")).contains(rid))
+          return Option(r.getAttributeValue(null, "Target"))
+      }
+      None
+    } finally r.close()
   }
 
   private def xmlReader(bytes: Array[Byte]) = {
@@ -250,38 +296,75 @@ object ExcelFormat {
     * integral targets are cast via DECIMAL to avoid "1.0" parse failures).
     */
   def read(spark: SparkSession, path: String, schema: Option[StructType] = None,
-      header: Boolean = true): DataFrame = {
-    val files = spark.sparkContext.binaryFiles(path)
-      .filter(_._1.endsWith(".xlsx"))
-    val raw = files.flatMap { case (_, stream) =>
-      val rows = parseXlsx(stream.toArray())
-      if (header) rows.drop(1) else rows
+      header: Boolean = true): DataFrame =
+    readWithOptions(spark, path, schema, skipRows = if (header) 1 else 0)
+
+  /** Reference ExcelReadStrategy option surface: `skip_header_row_number`
+    * rows dropped per file, `sheet_name` selects the worksheet, archive
+    * `entries` feed decompressed members (e2e stages .xlsx.gz / zipped
+    * workbooks), and complex-typed cells (map/array/row) hold JSON text.
+    */
+  def readWithOptions(spark: SparkSession, path: String,
+      schema: Option[StructType] = None, skipRows: Int = 1,
+      sheetName: Option[String] = None,
+      namePattern: Option[String] = None,
+      entries: Option[org.apache.spark.sql.Dataset[graft.sources.Archives.Entry]] = None): DataFrame = {
+    val nameRe = namePattern.map(_.r)
+    // legacy BIFF .xls members are skipped (no POI on this classpath);
+    // OOXML .xlsx parses natively
+    def wanted(n: String) = {
+      val base = n.split('/').last
+      base.endsWith(".xlsx") && nameRe.forall(_.pattern.matcher(base).matches())
+    }
+    // (name, bytes, partition-dir values) — Hive-style `k=v` directory
+    // fields surface as row fields, like the other file formats
+    val (files, partNames) = entries match {
+      case Some(ds) =>
+        (ds.rdd.map(e => (e.entry, e.content, Seq.empty[String]))
+          .filter(f => wanted(f._1)), Seq.empty[String])
+      case None =>
+        val base = spark.read.format("binaryFile").load(path)
+        val parts = base.columns.filterNot(
+          Set("path", "modificationTime", "length", "content")).toSeq
+        val rdd = base.select((Seq(col("path"), col("content")) ++ parts.map(col)): _*)
+          .rdd.map(r => (r.getString(0), r.getAs[Array[Byte]](1),
+            parts.indices.map(i => Option(r.get(i + 2)).map(_.toString).orNull)))
+          .filter(f => wanted(f._1))
+        (rdd, parts)
+    }
+    val raw = files.flatMap { case (_, bytes, parts) =>
+      parseXlsx(bytes, sheetName).drop(skipRows).map(cells => (cells, parts))
     }
     val names: Seq[String] = schema.map(_.fieldNames.toSeq).getOrElse {
-      val first = files.map(_._2.toArray()).take(1).headOption
-        .map(parseXlsx).getOrElse(Seq.empty)
-      if (header && first.nonEmpty) first.head.map(Option(_).getOrElse("_c"))
+      val first = files.map(_._2).take(1).headOption
+        .map(b => parseXlsx(b, sheetName)).getOrElse(Seq.empty)
+      if (skipRows > 0 && first.nonEmpty) first.head.map(Option(_).getOrElse("_c"))
       else first.headOption.map(r => r.indices.map(i => s"_c$i")).getOrElse(Seq.empty)
     }
     val width = names.length
-    val rowRdd = raw.map { cells =>
-      Row.fromSeq((0 until width).map(i => if (i < cells.length) cells(i) else null))
+    val rowRdd = raw.map { case (cells, parts) =>
+      Row.fromSeq((0 until width).map(i =>
+        if (i < cells.length) cells(i) else null) ++ parts)
     }
     val strDf = spark.createDataFrame(rowRdd,
-      StructType(names.map(n => StructField(n, StringType))))
+      StructType((names ++ partNames).map(n => StructField(n, StringType))))
     schema match {
       case None => strDf
       case Some(st) =>
-        strDf.select(st.fields.map { f =>
+        strDf.select(st.fields.toSeq.map { f =>
           val c = col(f.name)
           f.dataType match {
             // Excel numbers serialize as doubles ("1.0"); direct string->
             // long cast would null out, so go through decimal
             case ByteType | ShortType | IntegerType | LongType =>
               c.cast(DecimalType(38, 9)).cast(f.dataType).as(f.name)
+            // complex cells carry JSON (reference ExcelReadStrategy
+            // convert(): map/array parse via JsonUtils)
+            case _: MapType | _: ArrayType | _: StructType =>
+              from_json(c, f.dataType).as(f.name)
             case _ => c.cast(f.dataType).as(f.name)
           }
-        }.toIndexedSeq: _*)
+        } ++ partNames.map(col): _*)
     }
   }
 }

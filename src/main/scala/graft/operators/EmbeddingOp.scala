@@ -56,6 +56,29 @@ object EmbeddingOp {
   def embed(df: DataFrame, srcField: String, outputField: String, dim: Int = 64): DataFrame =
     df.withColumn(outputField, embedUdf(dim)(col(srcField)))
 
+  /** Provider-batched variant — the reference EmbeddingTransform shape:
+    * `single_vectorized_input_number` rows per provider call inside
+    * `mapPartitions` (one client per executor, no driver funnel). Used
+    * with [[NlpHttp.EmbeddingProvider]] for the real remote path.
+    */
+  def embedWithProvider(df: DataFrame, srcField: String, outputField: String,
+      provider: NlpHttp.EmbeddingProvider, batchSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputField, ArrayType(FloatType, containsNull = false)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(srcField)
+    df.mapPartitions { rows =>
+      rows.grouped(math.max(1, batchSize)).flatMap { batch =>
+        val texts = batch.map(r => Option(r.get(idx)).map(_.toString).orNull)
+        val vecs = provider.embed(texts)
+        batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v) }
+      }
+    }
+  }
+
   /** Cosine similarity between two Array[Float] vector columns, computed
     * with codegen'd higher-order functions (no UDF).
     */

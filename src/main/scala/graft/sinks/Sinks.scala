@@ -34,7 +34,26 @@ object Sinks {
       case "parquet" => w.parquet(cfg.path)
       case "orc" => w.orc(cfg.path)
       case "json" => w.json(cfg.path)
-      case "csv" => w.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
+      case "csv" =>
+        // Spark's csv writer rejects map/array/struct/binary columns; the
+        // reference serializes complex values as JSON text and bytes as
+        // their utf-8 string (TextDeserializationSchema BYTES round-trip)
+        import org.apache.spark.sql.functions.{col => fcol, to_json}
+        val csvSafe = df.select(df.schema.fields.toSeq.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.StructType =>
+              to_json(fcol(f.name)).as(f.name)
+            case org.apache.spark.sql.types.BinaryType =>
+              fcol(f.name).cast("string").as(f.name)
+            case _ => fcol(f.name)
+          }
+        }: _*)
+        var cw: DataFrameWriter[Row] = csvSafe.write.mode(cfg.mode).options(opts)
+        if (cfg.partitionBy.nonEmpty) cw = cw.partitionBy(cfg.partitionBy: _*)
+        cfg.options.get("field_delimiter").foreach(d => cw = cw.option("delimiter", d))
+        cw.option("header", cfg.options.getOrElse("header", "true")).csv(cfg.path)
       // multi-column frames (or an explicit field_delimiter) write the
       // reference's delimited text format; single-column frames go through
       // Spark's raw text writer
@@ -152,10 +171,12 @@ object Sinks {
   final case class EqualsValue(field: String, value: Any) extends AssertRule
   /** Every row's value must be NULL (reference rule_type NULL). */
   final case class IsNull(field: String) extends AssertRule
-  /** Schema-level check: field exists with the given DDL type (reference
-    * AssertFieldRule.fieldType). Evaluated without scanning data.
+  /** Schema-level check: field exists with the given type (reference
+    * AssertFieldRule.fieldType) — a zeta type string (`bytes`,
+    * `map<string, string>`, `timestamp_tz`, ...) or a nested row object.
+    * Evaluated without scanning data.
     */
-  final case class FieldType(field: String, ddlType: String) extends AssertRule
+  final case class FieldType(field: String, ddlType: Any) extends AssertRule
 
   final class AssertionFailed(msg: String) extends RuntimeException(msg)
 
@@ -165,26 +186,26 @@ object Sinks {
   def assertRules(df: DataFrame, rules: Seq[AssertRule]): Unit = {
     // schema rules first: free, and failing fast beats scanning
     val schemaFailures = rules.collect {
-      case FieldType(f, ddl) =>
+      case FieldType(f, spec) =>
         df.schema.find(_.name == f) match {
           case None => Some(s"field $f missing")
-          case Some(_) if ddl.trim.equalsIgnoreCase("null") =>
+          case Some(_) if spec.toString.trim.equalsIgnoreCase("null") =>
             // zeta types statically-null expressions as NULL; Spark may
             // give them a concrete type (e.g. a missing map key is typed
             // by the map's value type) — accept any type here and let the
             // companion NULL data rule enforce all-null values
             None
           case Some(sf) =>
-            // zeta type spellings that aren't Spark DDL
-            val ddlNorm = ddl.trim.toLowerCase match {
-              case "bytes" => "binary"
-              // reference vector types (api/table/type/VectorType.java):
-              // embeddings land as float arrays
-              case "float_vector" => "array<float>"
-              case "double_vector" => "array<double>"
-              case other => other
+            // zeta spellings + nested row objects resolve via ZetaSchema;
+            // the reference vector types (api/table/type/VectorType.java)
+            // land as float/double arrays
+            val want = spec match {
+              case s: String if s.trim.equalsIgnoreCase("float_vector") =>
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+              case s: String if s.trim.equalsIgnoreCase("double_vector") =>
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+              case other => graft.api.ZetaSchema.dataTypeOf(other)
             }
-            val want = org.apache.spark.sql.types.DataType.fromDDL(ddlNorm)
             // normalize nullability flags on both sides: config DDL can't
             // express containsNull/valueContainsNull
             def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
@@ -207,6 +228,15 @@ object Sinks {
     // "differs from expected" predicate; arrays compare natively, maps
     // entry-wise (no native map equality in Spark)
     def mismatch(f: String, v: Any): org.apache.spark.sql.Column = v match {
+      // a ROW expectation arrives as a positional list: build a struct
+      // literal with each element cast to its field's type
+      case s: Seq[_] if df.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        val st = df.schema(f).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        val expected = org.apache.spark.sql.functions.struct(
+          st.fields.toSeq.zip(s).map { case (fld, x) =>
+            lit(if (x == null) null else x.toString).cast(fld.dataType).as(fld.name)
+          }: _*)
+        col(f).isNull || col(f) =!= expected
       case s: Seq[_] =>
         // literal elements arrive as strings (HOCON scalars); Spark does
         // not implicitly coerce array-to-array comparisons, so cast the

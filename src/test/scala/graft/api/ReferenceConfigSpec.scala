@@ -22,7 +22,7 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(job.sinks.head.plugin == "Console")
     val catalog = Pipeline.run(spark, job)
     val fake = catalog("fake")
-    assert(fake.count() == 10) // reference row.num default
+    assert(fake.count() == 5) // reference row.num default (5 x parallelism 1)
     assert(fake.columns.sorted.toSeq == Seq("age", "name"))
   }
 
@@ -33,7 +33,8 @@ class ReferenceConfigSpec extends SparkSpec {
     assert(job.sources.head.options.contains("schema"))
     val catalog = Pipeline.run(spark, job)
     val out = catalog("sql")
-    assert(out.count() == 16) // row.num = 16
+    // row.num=16 PER degree of parallelism (FakeOption), parallelism=2
+    assert(out.count() == 32)
     // the sql transform's FROM dual projection binds to the fake input
     assert(out.columns.toSeq == Seq("c_map", "c_array", "c_string", "c_boolean",
       "c_tinyint", "c_smallint", "c_int", "c_bigint", "c_float", "c_double",
@@ -495,7 +496,7 @@ class ReferenceConfigSpec extends SparkSpec {
     val out = catalog("sql")
     val names = out.select("name").collect().map(_.getString(0))
     assert(names.nonEmpty && names.forall(_ == "abc"))
-    assert(catalog("a20260813").count() == 10)
+    assert(catalog("a20260813").count() == 20) // rowNum 10 x parallelism 2
   }
 
   test("reference e2e fake_to_console_with_default_value.variables.conf runs verbatim") {
@@ -505,7 +506,7 @@ class ReferenceConfigSpec extends SparkSpec {
       "nameVal" -> "abc", "pluginInputIdentifier" -> "sql")
     val catalog = Pipeline.runHocon(spark,
       load(engineE2e + "fake_to_console_with_default_value.variables.conf"), vars)
-    assert(catalog("fake_test_table").count() == 50) // rowNum default
+    assert(catalog("fake_test_table").count() == 100) // rowNum default 50 x parallelism 2
     val ages = catalog("fake_test_table").select("age").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(ages.subsetOf(Set(20, 21))) // int.template

@@ -37,7 +37,9 @@ class DelimitedTextFormatSpec extends SparkSpec {
       spark.sparkContext.parallelize(Seq(Row(1, "x"), Row(null, "NULLISH?"), Row(3, null)), 1),
       schema)
     val path = tmp("delim")
-    val cfg = DelimitedTextFormat.Config(fieldDelimiter = "|", nullFormat = "\\N")
+    // the read delimiter is a REGEX (reference String.split semantics),
+    // so the pipe needs escaping; writes unwrap it to the literal char
+    val cfg = DelimitedTextFormat.Config(fieldDelimiter = "\\|", nullFormat = "\\N")
     DelimitedTextFormat.write(df, path, cfg)
     val lines = spark.read.text(path).collect().map(_.getString(0)).sorted
     assert(lines.contains("1|x") && lines.contains("\\N|NULLISH?") && lines.contains("3|\\N"))
@@ -70,7 +72,7 @@ class DelimitedTextFormatSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("n", IntegerType), StructField("s", StringType)))
     val back = DelimitedTextFormat.read(spark, dir, schema,
-      DelimitedTextFormat.Config(fieldDelimiter = "|"))
+      DelimitedTextFormat.Config(fieldDelimiter = "\\|")) // regex, like the reference
     val rows = back.orderBy($"s").collect()
     assert(rows.map(r => (Option(r.get(0)), r.getString(1))).toSet ==
       Set((Some(1), "ok"), (None, "still_read")))
