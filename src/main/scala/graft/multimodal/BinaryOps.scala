@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   *
   * Media payloads travel as opaque `binary` columns next to a typed
   * metadata struct — the schema, partition sizing, and per-partition batch
-  * decode shape are the real, scale-tested parts. The decode itself is a
-  * STUB (no image/audio libraries ship in this container): a deterministic
-  * fake decoder parses Graft's test header instead of pixels. Swap
-  * `decodeStub` for an actual codec call; everything around it is
-  * production-shaped (batched mapPartitions, one decoder instance per
-  * partition, bounded batch memory).
+  * decode shape are the scale-tested parts. Header metadata (PNG/JPEG/
+  * GIF/BMP/WAV) parses from the raw byte layouts, and PNG pixel decode is
+  * REAL ([[decodePng]]: JDK Inflater + spec unfiltering — no codec
+  * library needed, PNG is zlib + byte filters). JPEG/audio/video sample
+  * decode remains a deterministic STUB (`decodeStub` — those codecs
+  * genuinely need native libraries this container doesn't ship); swap it
+  * for a codec call and everything around it is production-shaped
+  * (batched mapPartitions, one decoder instance per partition, bounded
+  * batch memory).
   */
 object BinaryOps {
 
@@ -140,6 +143,132 @@ object BinaryOps {
       }
     }
     df.withColumn(binCol, resizeUdf(col(binCol)))
+  }
+
+  // ---------- real PNG pixel decode (JDK Inflater, no codec library) ----------
+
+  /** REAL PNG decode to raw interleaved RGB888: IDAT zlib streams inflate
+    * with `java.util.zip.Inflater`, scanlines un-filter per the PNG spec
+    * (None/Sub/Up/Average/Paeth), and 8-bit gray / gray+alpha / RGB /
+    * RGBA / palette images normalize to the w*h*3 buffer the raw-RGB
+    * operators consume. Interlaced (Adam7) and 16-bit images return null
+    * (rare in training corpora; the metadata path still covers them).
+    * This closes the decode stub for PNG — the format's container IS
+    * zlib + byte filters, both fully available in the JDK.
+    */
+  private[graft] def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 33 || (b(0) & 0xff) != 0x89 ||
+        b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return None
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0; var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (i + 8 <= b.length) {
+      val len = u32be(b, i)
+      val name = new String(b, i + 4, 4, "US-ASCII")
+      val data = i + 8
+      name match {
+        case "IHDR" =>
+          width = u32be(b, data); height = u32be(b, data + 4)
+          bitDepth = b(data + 8) & 0xff; colorType = b(data + 9) & 0xff
+          interlace = b(data + 12) & 0xff
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(b, data, data + len)
+        case "IDAT" => idat.write(b, data, math.min(len, b.length - data))
+        case _ =>
+      }
+      if (name == "IEND") i = b.length else i = data + len + 4 // skip CRC
+    }
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // rgba
+      case _ => return None
+    }
+    // inflate the concatenated IDAT payload
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (off < raw.length) return None
+
+    // per-scanline unfilter (PNG spec 9. Filtering)
+    val img = new Array[Byte](stride * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawV = raw(src + x) & 0xff
+        val a = if (x >= bpp) img(dst + x - bpp) & 0xff else 0 // left
+        val up = if (y > 0) img(dst - stride + x) & 0xff else 0 // above
+        val c = if (x >= bpp && y > 0) img(dst - stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rawV
+          case 1 => rawV + a
+          case 2 => rawV + up
+          case 3 => rawV + ((a + up) / 2)
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            rawV + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        img(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    // normalize to RGB888
+    val rgb = new Array[Byte](width * height * 3)
+    var p = 0
+    while (p < width * height) {
+      colorType match {
+        case 0 =>
+          val g = img(p)
+          rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+        case 2 =>
+          rgb(p * 3) = img(p * 3); rgb(p * 3 + 1) = img(p * 3 + 1); rgb(p * 3 + 2) = img(p * 3 + 2)
+        case 3 =>
+          if (palette == null) return None
+          val idx = (img(p) & 0xff) * 3
+          if (idx + 2 >= palette.length) return None
+          rgb(p * 3) = palette(idx); rgb(p * 3 + 1) = palette(idx + 1); rgb(p * 3 + 2) = palette(idx + 2)
+        case 4 =>
+          val g = img(p * 2)
+          rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+        case 6 =>
+          rgb(p * 3) = img(p * 4); rgb(p * 3 + 1) = img(p * 4 + 1); rgb(p * 3 + 2) = img(p * 4 + 2)
+      }
+      p += 1
+    }
+    Some((width, height, rgb))
+  }
+
+  /** Decode PNG binary columns to raw RGB888 pixel buffers (+ null for
+    * non-PNG / undecodable payloads) — the real end-to-end bridge from
+    * container bytes to the raw-RGB operator family below.
+    */
+  def decodePngRgb(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodePng(bytes).map(_._3).orNull
+    }
+    df.withColumn(outCol, f(col(binCol)))
   }
 
   // ---------- raw RGB888 pixel operators (REAL math, no codec) ----------
