@@ -371,10 +371,23 @@ object SparkEntry {
     // -> one survivor (min id) per duplicate group (rows-only; planted
     // component semantics spec-verified)
     "q_dedup_clusters" -> ((s, dir) => {
+      // duplicate-cluster resolution, driven through its WORST case: a
+      // per-source consecutive-doc chain graph has maximal diameter, so
+      // the min-label + pointer-jumping iteration does real multi-round
+      // work, and the component labels are exactly checkable (each
+      // source chain's label = its min doc_id — the closed form the
+      // DuckDB oracle computes)
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
-      Dedup.dropByComponents(docs, "doc_id", pairs)
-        .select("doc_id", "source").orderBy("doc_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs
+        .withColumn("next_id", lead("doc_id", 1).over(w))
+        .where(col("next_id").isNotNull)
+        .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("node").cast("bigint").as("doc_id"),
+          col("label").cast("bigint").as("component"))
+        .orderBy("doc_id")
     }),
 
     // §2.6 semantic dedup (SemDeDup-style): embedding-cosine pair graph
@@ -589,13 +602,15 @@ object SparkEntry {
     // split/try_cast projection over spark.read.text)
     "q_src_text_delim" -> ((s, dir) => {
       val tmp = s"/tmp/graft_src/textd_${dir.replaceAll("\\W", "_")}"
+      // the read delimiter is a REGEX (reference String.split semantics),
+      // hence the escaped pipe; writes unwrap it to the literal char
       Sinks.writeFile(
         Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
-        Sinks.FileSinkConfig(tmp, "text", options = Map("field_delimiter" -> "|")))
+        Sinks.FileSinkConfig(tmp, "text", options = Map("field_delimiter" -> "\\|")))
       FileSources.read(s, FileSources.FileSourceConfig(tmp, "text",
           Some(StructType(Seq(StructField("s_suppkey", LongType),
             StructField("s_name", StringType), StructField("s_acctbal", DoubleType)))),
-          Map("field_delimiter" -> "|")))
+          Map("field_delimiter" -> "\\|")))
         .orderBy("s_suppkey")
     }),
 
@@ -988,6 +1003,18 @@ object SparkEntry {
     * same ORDER BY). Omitted keys (q_embedding) get a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // the chain pair graph links consecutive doc_ids per source, so each
+    // source with >= 2 docs is one component labeled by its min doc_id —
+    // the closed form of what the distributed min-label/pointer-jumping
+    // iteration computes
+    "q_dedup_clusters" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(MIN(doc_id) OVER (PARTITION BY source) AS BIGINT) AS component
+        |FROM documents
+        |WHERE source IN (SELECT source FROM documents
+        |                 GROUP BY source HAVING COUNT(*) >= 2)
+        |ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

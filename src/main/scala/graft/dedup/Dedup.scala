@@ -147,9 +147,18 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().graftPersist
+    // Per-iteration localCheckpoint, not persist: each round references
+    // the previous labels THREE times (self, neighbor join, pointer-jump
+    // self-join), so the logical plan would otherwise grow ~4x per round
+    // — caching dedups execution but not the plan tree, and planning/
+    // plan-stringification over the exponential lineage dominates wall
+    // time within a few rounds (measured: a 6-hop chain graph at sf0.01
+    // ran minutes of pure TreeNode formatting). Checkpointing truncates
+    // lineage to the materialized result each round — the standard
+    // iterative-graph shape (GraphX/ALS do the same).
     // seed with the one-hop minimum (saves a full propagation round)
     var labels = sym.groupBy(col("u").as("node"))
-      .agg(least(min(col("v")), col("u")).as("label")).graftPersist
+      .agg(least(min(col("v")), col("u")).as("label")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -163,7 +172,7 @@ object Dedup {
         .join(labels.select(col("node").as("__l"), col("label").as("__ll")), Seq("__l"))
         .select(col("node"), col("__ll").as("label"))
       val next = labels.unionAll(nbr).unionAll(jump)
-        .groupBy("node").agg(min("label").as("label")).graftPersist
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
         .where(col("label") < col("__old")).count()
       labels.unpersist(blocking = false)

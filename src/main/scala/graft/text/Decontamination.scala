@@ -46,43 +46,66 @@ object Decontamination {
         ngram, minMatches)),
       Seq(idCol), "left_anti")
 
+  private val bloomViewCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Bloom-filter decontamination: when the benchmark gram set itself is
     * too large to broadcast as an exact set (many benchmark suites ×
     * paraphrase expansions), aggregate it into ONE Bloom filter binary
-    * with Spark's codegen'd `bloom_filter_agg` and broadcast just the
-    * filter bytes; corpus grams probe with `might_contain`. False
-    * positives (rate `fpp`) only over-delete — contamination never
-    * escapes — and the corpus side still never shuffles.
+    * with Spark's codegen'd `bloom_filter_agg`; corpus grams probe with
+    * `might_contain`. The filter rides into the probe plan as a SCALAR
+    * SUBQUERY — the same injection shape as Spark's own runtime bloom
+    * filters — so the plan stays KB-sized at production filter sizes
+    * instead of embedding multi-MB literal bytes in the expression tree.
+    * The corpus side still never shuffles.
+    *
+    * Sizing: `bloom_filter_agg` silently CLAMPS its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M / 64M), which would quietly degrade fpp far past the
+    * requested value — this method raises both caps to the computed
+    * requirement instead. Mind the per-document false-positive rate: a
+    * doc is flagged if ANY of its ~n grams probes positive, so doc-level
+    * FP ≈ 1-(1-fpp)^n. Size `fpp` for the corpus's total gram probes
+    * (e.g. 1e-9) or set `minMatches` >= 2 — both exposed here.
     */
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
       ngram: Int = 13, expectedGrams: Long = 10000000L,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 1e-9, minMatches: Int = 1): DataFrame = {
     graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
     val bits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    // the filter builds distributed (mergeable binary aggregate); only the
-    // final bytes (numBits/8, driver-bounded by construction) collect, to
-    // satisfy might_contain's constant-bloom contract — the same shape
-    // Spark's own runtime filters produce via scalar subquery
-    val bloomBytes = benchmark
+    // bloom_filter_agg clamps via Math.min against these session caps —
+    // raise them or the requested size silently shrinks
+    def raiseCap(key: String, needed: Long): Unit = {
+      val current = spark.conf.getOption(key).map(_.toLong).getOrElse(0L)
+      if (current < needed) spark.conf.set(key, needed.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedGrams)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+    // the filter builds distributed (mergeable binary aggregate) and is
+    // injected as a one-row scalar subquery, never a literal
+    val bloomDf = benchmark
       .select(explode(expr(s"shingle_hashes(`$benchTextCol`, $ngram)")).as("gram"))
       .agg(expr(s"bloom_filter_agg(gram, ${expectedGrams}L, ${bits}L)").as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    val view = s"graft_bloom_${bloomViewCounter.incrementAndGet()}"
+    bloomDf.createOrReplaceTempView(view)
     val corpusGrams = corpus.select(col(idCol),
       explode(expr(s"shingle_hashes(`$textCol`, $ngram)")).as("gram"))
-    corpusGrams
-      .where(call_function("might_contain", lit(bloomBytes), col("gram")))
-      .select(idCol).distinct()
+    val matched = corpusGrams
+      .where(expr(s"might_contain((SELECT bloom FROM $view), gram)"))
+    if (minMatches <= 1) matched.select(idCol).distinct()
+    else matched.groupBy(idCol).agg(count(lit(1)).as("__m"))
+      .where(col("__m") >= minMatches).select(idCol)
   }
 
   /** Drop corpus docs flagged by the Bloom decontamination pass. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
       ngram: Int = 13, expectedGrams: Long = 10000000L,
-      fpp: Double = 0.001): DataFrame =
+      fpp: Double = 1e-9, minMatches: Int = 1): DataFrame =
     corpus.join(
       broadcast(contaminatedIdsBloom(corpus, benchmark, idCol, textCol,
-        benchTextCol, ngram, expectedGrams, fpp)),
+        benchTextCol, ngram, expectedGrams, fpp, minMatches)),
       Seq(idCol), "left_anti")
 
   // ---------- PII redaction ----------

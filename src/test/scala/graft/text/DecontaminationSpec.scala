@@ -60,6 +60,36 @@ class DecontaminationSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("bloom filter rides the plan as a scalar subquery, not literal bytes") {
+    val w = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, w)).toDF("doc_id", "text")
+    val bench = Seq(w).toDF("question")
+    // a production-sized filter: ~10M items at 1e-9 would be ~60 MB of
+    // literal if embedded — the plan text must stay KB-sized
+    val flagged = Decontamination.contaminatedIdsBloom(corpus, bench,
+      "doc_id", "text", "question", expectedGrams = 10000000L, fpp = 1e-9)
+    val plan = flagged.queryExecution.analyzed.toString
+    assert(plan.contains("scalar-subquery"), plan.take(2000))
+    assert(plan.length < 100000, s"plan blew up to ${plan.length} chars")
+    // the session caps were raised past the defaults so the requested
+    // size is not silently clamped (ADVICE r5: Math.min degradation)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= 10000000L)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong > 64L * 1024 * 1024)
+    assert(flagged.collect().map(_.getLong(0)).toSet == Set(1L)) // still correct
+  }
+
+  test("bloom minMatches threshold damps per-document false-positive accumulation") {
+    val w = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, w), (2L, "different words entirely unrelated to anything")).toDF("doc_id", "text")
+    val bench = Seq(w).toDF("question")
+    // doc 1 shares dozens of grams -> stays flagged at minMatches=5;
+    // an FP-only doc would need 5 independent hits (p^5)
+    val flagged = Decontamination.contaminatedIdsBloom(corpus, bench,
+      "doc_id", "text", "question", expectedGrams = 1000L, minMatches = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
   test("redactPii replaces the documented classes and keeps other text") {
     val df = Seq(
       ("contact john.doe+x@example.org or call 555-123-4567 now",
