@@ -88,6 +88,42 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** The `take` nearest centroid indexes of `v` by L2 distance —
+    * the IVF coarse-quantizer assignment, evaluated per row over a small
+    * constant centroid table (nLists x dim floats).
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]], take: Int): ArrayData = {
+    val k = math.min(take, centroids.length)
+    val bestIdx = new Array[Int](k)
+    val bestDist = new Array[Double](k)
+    var filled = 0
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0
+      var j = 0
+      val n = math.min(c.length, v.numElements())
+      while (j < n) { val t = c(j) - v.getFloat(j); d += t * t; j += 1 }
+      // insertion into the running top-k (k is tiny: nProbe)
+      if (filled < k) {
+        var p = filled
+        while (p > 0 && bestDist(p - 1) > d) {
+          bestDist(p) = bestDist(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestDist(p) = d; bestIdx(p) = i
+        filled += 1
+      } else if (d < bestDist(k - 1)) {
+        var p = k - 1
+        while (p > 0 && bestDist(p - 1) > d) {
+          bestDist(p) = bestDist(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestDist(p) = d; bestIdx(p) = i
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 §4 "robust
     * winnowing"): k-token gram hashes, min per sliding window of `w`
     * (rightmost tie-break), deduplicated. Any substring of at least
@@ -266,6 +302,28 @@ case class PlaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.planeSig($c, $dim, $bits, $seed)")
   override protected def withNewChildInternal(newChild: Expression): PlaneSigExpr =
+    copy(child = newChild)
+}
+
+/** IVF coarse-quantizer assignment: array<float> -> array<int> of the
+  * `take` nearest centroid indexes by L2. Centroids are a CONSTANT
+  * (nLists x dim — trained driver-side on a bounded sample) embedded as
+  * a codegen reference object, so the full-corpus assign scan stays in
+  * WholeStageCodegen — the same reason plane_sig is native rather than a
+  * closure UDF.
+  */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Double]], take: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.nearestCentroids(input.asInstanceOf[ArrayData], centroids, take)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ExprHelpers.nearestCentroids($c, $ref, $take)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
     copy(child = newChild)
 }
 

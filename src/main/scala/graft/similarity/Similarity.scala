@@ -56,21 +56,20 @@ object Similarity {
     val idx = index.getOrElse(IvfIndex.cached(corpus, vecCol, nLists, seed = seed))
     val centroids = idx.centroids
 
-    // centroids are tiny (nLists x dim): closed over into the assign /
-    // probe UDFs — the corpus-side assignment is a narrow codegen'd map,
-    // no MLlib vector conversion and no shuffle.
-    def nearestUdf(take: Int) = udf { (v: Seq[Float]) =>
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        val n = math.min(c.length, v.length)
-        while (j < n) { val t = c(j) - v(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(take).map(_._2)
-    }
+    // centroids are tiny (nLists x dim) CONSTANTS: the assignment is a
+    // native codegen'd expression (codegen reference object, no closure
+    // UDF), so the full-corpus assign scan stays inside WholeStageCodegen
+    // — same rationale as plane_sig. Float arrays cast in for exactness.
+    def nearest(vec: org.apache.spark.sql.Column, take: Int): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.NearestCentroidsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            vec.cast("array<float>")),
+          centroids, take))
     val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .withColumn("cell", nearestUdf(1)(col("n_vec"))(0))
+      .withColumn("cell", nearest(col("n_vec"), 1)(0))
     val probes = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(nearestUdf(nProbe)(col("q_vec")))))
+      .withColumn("cell", explode(nearest(col("q_vec"), nProbe))))
 
     assigned.join(probes, Seq("cell"))
       .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))

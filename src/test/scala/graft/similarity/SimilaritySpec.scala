@@ -35,6 +35,14 @@ class SimilaritySpec extends SparkSpec {
     (0L until 10L).foreach(q0 => assert(ivf.contains((q0, q0))))
   }
 
+  test("ivfTopK centroid assignment is a native expression, no ScalaUDF in the plan") {
+    val q = emb.where(col("vec_id") < 3)
+    val plan = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    assert(plan.contains("nearest_centroids"), plan.take(2000))
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val q = emb.where(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
