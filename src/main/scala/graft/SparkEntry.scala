@@ -1532,13 +1532,15 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    // a full default fraction compares against 'g' (above any hex
+    // bucket), mirroring fractionToHex's keeps-everything contract
     "q_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR || 'mix'), 1, 8) <
         |  CASE source WHEN 'src0' THEN '1999999a'
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN '40000000'
-        |              ELSE 'ffffffff' END
+        |              ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->

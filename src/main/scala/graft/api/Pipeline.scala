@@ -757,17 +757,25 @@ object Pipeline {
     * only the rows actually fetched.
     */
   def runWithMetrics(spark: SparkSession, job: Job): (Map[String, DataFrame], Map[String, Long]) = {
-    val (catalog, last) = buildCatalog(spark, job)
-    val metrics = job.sinks.zipWithIndex.map { case (s, i) =>
-      val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
-        throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-      val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
-      val obs = new org.apache.spark.sql.Observation(s"graft_sink_$i")
-      runSink(df.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows")), s)
-      s"${s.plugin}[$in]" -> obs.get("rows").asInstanceOf[Long]
-    }.toMap
-    (catalog, metrics)
+    // same per-run cache scope as run(): persisted intermediates this job
+    // creates release when its sinks have materialized, instead of
+    // accumulating in the global scope across repeated calls
+    val scope = graft.GraftCaches.newScope()
+    graft.GraftCaches.inScope(scope) {
+      try {
+        val (catalog, last) = buildCatalog(spark, job)
+        val metrics = job.sinks.zipWithIndex.map { case (s, i) =>
+          val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
+            throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+          val df = catalog.getOrElse(in, throw new IllegalArgumentException(s"unknown table $in"))
+          val obs = new org.apache.spark.sql.Observation(s"graft_sink_$i")
+          runSink(df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows")), s)
+          s"${s.plugin}[$in]" -> obs.get("rows").asInstanceOf[Long]
+        }.toMap
+        (catalog, metrics)
+      } finally scope.release()
+    }
   }
 
   private def buildCatalog(spark: SparkSession, job: Job): (Map[String, DataFrame], Option[String]) = {

@@ -72,7 +72,11 @@ object DynamicOp {
       .asInstanceOf[Array[StColumn]]
     val newFields = outCols.map(c => StructField(c.getName,
       DataType.fromDDL(c.getDataType.typeName), c.isNullable))
-    val keep = df.schema.fields.filterNot(f => newFields.exists(_.name == f.name))
+    // case-INSENSITIVE replacement match: Spark resolution is
+    // case-insensitive by default, so a case-variant output name would
+    // otherwise produce ambiguous duplicate columns
+    val keep = df.schema.fields.filterNot(f =>
+      newFields.exists(_.name.equalsIgnoreCase(f.name)))
     val keepIdx = keep.map(f => df.schema.fieldIndex(f.name)).toSeq
     val outSchema = StructType(keep ++ newFields)
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
@@ -98,10 +102,28 @@ object DynamicOp {
   * against the current classpath, and loaded in a child classloader.
   */
 object JavaCompiled {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Class[_]]()
+  // bounded: long-lived executors running many DISTINCT dynamic sources
+  // would otherwise accumulate loaded classes + scratch dirs without limit
+  private val MaxCached = 256
+  private val cache =
+    new java.util.LinkedHashMap[String, Class[_]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Class[_]]): Boolean =
+        size() > MaxCached
+    }
 
-  def classFor(source: String): Class[_] =
-    cache.computeIfAbsent(source, compile(_))
+  def classFor(source: String): Class[_] = cache.synchronized {
+    val hit = cache.get(source)
+    if (hit != null) hit
+    else { val c = compile(source); cache.put(source, c); c }
+  }
+
+  /** Delete a scratch dir tree on JVM exit (deleteOnExit is per-file and
+    * LIFO, so register children after the dir).
+    */
+  private def deleteOnExit(dir: java.nio.file.Path): Unit = {
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.walk(dir).forEach(p => p.toFile.deleteOnExit())
+  }
 
   private def hash(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -125,6 +147,7 @@ object JavaCompiled {
     val rc = compiler.run(null, null, err,
       "-classpath", classpath, "-d", dir.toString, file.toString)
     require(rc == 0, s"JAVA DynamicCompile: javac failed:\n${new String(err.toByteArray, "UTF-8")}")
+    deleteOnExit(dir) // scratch .java/.class files go with the JVM
     val loader = new java.net.URLClassLoader(Array(dir.toUri.toURL), getClass.getClassLoader)
     loader.loadClass(clsName)
   }

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Map a fraction in [0,1] to its 8-hex-digit threshold. */
+  /** Map a fraction in [0,1] to its 8-hex-digit threshold. A full
+    * fraction maps to "g" — lexicographically above every 8-hex bucket —
+    * so `bucket < threshold` keeps ALL keys: the strict compare against
+    * "ffffffff" would deterministically drop any key whose md5 bucket is
+    * exactly that value (~2^-32 per key, but a guaranteed loss at corpus
+    * scale), violating the fraction-1.0 "keeps everything" contract.
+    */
   private[graft] def fractionToHex(fraction: Double): String = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
-    f"${math.round(fraction * 0xffffffffL)}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${math.round(fraction * 0xffffffffL)}%08x"
   }
 
   /** The 8-hex-char bucket of a key (lowercase, uniform over keys). */
