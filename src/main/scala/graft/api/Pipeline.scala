@@ -114,10 +114,19 @@ object Pipeline {
     def plugins(block: String): Seq[Plugin] = root.get(block) match {
       case Some(o: Hocon.Obj) => o.entries.map { case (name, v) =>
         val opts = Hocon.toPlain(v).asInstanceOf[Map[String, Any]]
+        // plugin_input may be a LIST (multi-input sinks, e.g. the
+        // streaming complex config) — carried as plugin_inputs
+        val (input, multiInputs) =
+          opts.get("plugin_input").orElse(opts.get("source_table_name")) match {
+            case Some(xs: Seq[_]) => (None, Map("plugin_inputs" -> xs.map(_.toString)))
+            case Some(s) => (Some(s.toString), Map.empty[String, Any])
+            case None => (None, Map.empty[String, Any])
+          }
         Plugin(
           canonicalPlugins.getOrElse(name.toLowerCase, name),
-          opts - "plugin_input" - "plugin_output" - "source_table_name" - "result_table_name",
-          opts.get("plugin_input").orElse(opts.get("source_table_name")).map(_.toString),
+          opts - "plugin_input" - "plugin_output" - "source_table_name" -
+            "result_table_name" ++ multiInputs,
+          input,
           opts.get("plugin_output").orElse(opts.get("result_table_name")).map(_.toString))
       }
       case _ => Nil
@@ -1034,9 +1043,17 @@ object Pipeline {
       last = Some(name)
     }
     job.sinks.map { s =>
-      val in = s.input.orElse(last).getOrElse(
+      // multi-input sinks (plugin_input = [a, b]) union their tables
+      val multiIn = s.options.get("plugin_inputs") match {
+        case Some(xs: Seq[_]) => xs.map(_.toString)
+        case _ => Nil
+      }
+      val in = s.input.orElse(multiIn.headOption).orElse(last).getOrElse(
         throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-      val df = catalog(in)
+      val df =
+        if (multiIn.nonEmpty)
+          multiIn.map(catalog(_)).reduce(_.unionByName(_, allowMissingColumns = true))
+        else catalog(in)
       // env.checkpoint.interval (ms) maps onto the micro-batch trigger —
       // the closest Spark analog of the reference's checkpoint cadence
       def triggered(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =
@@ -1050,11 +1067,27 @@ object Pipeline {
           triggered(df.writeStream.format("memory").queryName(s.strOpt("query_name").getOrElse(in))
             .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
         case "LocalFile" | "File" =>
-          triggered(df.writeStream.format(s.strOpt("file_format_type").getOrElse("parquet"))
+          val fmt = s.strOpt("file_format_type").getOrElse("parquet").toLowerCase
+          val partitionBy = s.list("partition_by")
+          // multi-column text streams through the delimited-text line
+          // projection (writeStream text takes one column; partition
+          // columns ride along for partitionBy)
+          val (outDf, outFmt) = fmt match {
+            case "text" if df.columns.length > 1 || s.options.contains("field_delimiter") =>
+              (graft.formats.DelimitedTextFormat.toLines(df,
+                graft.formats.DelimitedTextFormat.configFrom(
+                  s.options.collect { case (k, v) if !v.isInstanceOf[Map[_, _]] &&
+                    !v.isInstanceOf[Seq[_]] => k -> v.toString }),
+                keep = partitionBy), "text")
+            case other => (df, other)
+          }
+          var w = outDf.writeStream.format(outFmt)
             .option("path", s.str("path"))
             .option("checkpointLocation", s.strOpt("checkpoint")
               .getOrElse(s.str("path") + "/_checkpoint"))
-            .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
+            .outputMode(s.strOpt("output_mode").getOrElse("append"))
+          if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+          triggered(w).start()
         case other => throw new IllegalArgumentException(s"unknown streaming sink plugin: $other")
       }
     }

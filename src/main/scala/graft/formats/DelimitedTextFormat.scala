@@ -134,13 +134,21 @@ object DelimitedTextFormat {
     case _ => c.cast(StringType)
   }
 
-  def write(df: DataFrame, path: String, cfg: Config = Config(),
-      mode: String = "overwrite"): Unit = {
+  /** Serialize a frame to its one-column `value` line form — shared by
+    * the batch writer and streaming file sinks (writeStream text takes a
+    * single column). `keep` columns (partitioning) ride along untouched.
+    */
+  def toLines(df: DataFrame, cfg: Config = Config(),
+      keep: Seq[String] = Nil): DataFrame = {
     val line = concat_ws(cfg.writeSep(0),
-      df.schema.fields.map(f =>
+      df.schema.fields.filterNot(f => keep.contains(f.name)).map(f =>
         coalesce(serField(col(f.name), f.dataType, 0, cfg), lit(cfg.nullFormat))).toSeq: _*)
-    df.select(line.as("value")).write.mode(mode).text(path)
+    df.select(line.as("value") +: keep.map(col): _*)
   }
+
+  def write(df: DataFrame, path: String, cfg: Config = Config(),
+      mode: String = "overwrite"): Unit =
+    toLines(df, cfg).write.mode(mode).text(path)
 
   /** Build a Config from reference-style sink/source option names
     * (`delimiter` is the LocalFile source's legacy alias for

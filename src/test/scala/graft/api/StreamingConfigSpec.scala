@@ -33,6 +33,45 @@ class StreamingConfigSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  private def runFileStreamConfig(rel: String, expectTables: Int = 1): Unit = {
+    val root = Files.createTempDirectory("graft-stream-e2e").toString
+    val job = Pipeline.rebasePaths(Pipeline.parseHocon(load(engineE2e + rel)), root)
+    assert(job.isStreaming)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val q = queries.head
+      val deadline = System.currentTimeMillis() + 45000
+      var committed = 0L
+      while (committed == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        committed = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(committed > 0, s"no rows flowed for $rel within 45s")
+    } finally queries.foreach(_.stop())
+    // rows landed as text files under the rebased sink path
+    val sinkDir = new java.io.File(root + "/tmp")
+    def textFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(textFiles)
+      else if (f.getName.startsWith("part-")) Seq(f) else Nil
+    assert(textFiles(sinkDir).nonEmpty, s"no sink files under $sinkDir")
+  }
+
+  test("reference e2e stream_fakesource_to_file.conf runs verbatim " +
+      "(STREAMING fake -> partitioned delimited-text LocalFile)") {
+    runFileStreamConfig("stream_fakesource_to_file.conf")
+  }
+
+  test("reference e2e streaming_fakesource_to_file_complex.conf runs verbatim " +
+      "(two streaming sources union into one multi-input text sink)") {
+    runFileStreamConfig("streaming_fakesource_to_file_complex.conf")
+  }
+
+  test("reference e2e checkpoint stream_fakesource_to_localfile.conf runs verbatim") {
+    runFileStreamConfig("checkpoint-streaming-enable-test-resources/" +
+      "stream_fakesource_to_localfile.conf")
+  }
+
   test("STREAMING FakeSource feeds a Memory sink with deterministic generated fields") {
     val conf =
       """env { job.mode = "STREAMING" }
