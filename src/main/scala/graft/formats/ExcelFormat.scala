@@ -310,12 +310,16 @@ object ExcelFormat extends Serializable {
       namePattern: Option[String] = None,
       entries: Option[org.apache.spark.sql.Dataset[graft.sources.Archives.Entry]] = None): DataFrame = {
     val nameRe = namePattern.map(_.r)
-    // legacy BIFF .xls members are skipped (no POI on this classpath);
-    // OOXML .xlsx parses natively
+    // OOXML .xlsx parses via JDK zip + StAX; legacy BIFF .xls via the
+    // direct OLE2/BIFF8 reader (graft.formats.BiffFormat)
     def wanted(n: String) = {
       val base = n.split('/').last
-      base.endsWith(".xlsx") && nameRe.forall(_.pattern.matcher(base).matches())
+      (base.endsWith(".xlsx") || base.endsWith(".xls")) &&
+        nameRe.forall(_.pattern.matcher(base).matches())
     }
+    def parseAny(name: String, bytes: Array[Byte]): Seq[Seq[String]] =
+      if (name.endsWith(".xls")) BiffFormat.parseXls(bytes)
+      else parseXlsx(bytes, sheetName)
     // (name, bytes, partition-dir values) — Hive-style `k=v` directory
     // fields surface as row fields, like the other file formats
     val (files, partNames) = entries match {
@@ -332,12 +336,12 @@ object ExcelFormat extends Serializable {
           .filter(f => wanted(f._1))
         (rdd, parts)
     }
-    val raw = files.flatMap { case (_, bytes, parts) =>
-      parseXlsx(bytes, sheetName).drop(skipRows).map(cells => (cells, parts))
+    val raw = files.flatMap { case (name, bytes, parts) =>
+      parseAny(name, bytes).drop(skipRows).map(cells => (cells, parts))
     }
     val names: Seq[String] = schema.map(_.fieldNames.toSeq).getOrElse {
-      val first = files.map(_._2).take(1).headOption
-        .map(b => parseXlsx(b, sheetName)).getOrElse(Seq.empty)
+      val first = files.map(f => (f._1, f._2)).take(1).headOption
+        .map { case (n, b) => parseAny(n, b) }.getOrElse(Seq.empty)
       if (skipRows > 0 && first.nonEmpty) first.head.map(Option(_).getOrElse("_c"))
       else first.headOption.map(r => r.indices.map(i => s"_c$i")).getOrElse(Seq.empty)
     }

@@ -21,9 +21,8 @@ import graft.SparkSpec
   * later read configs consume, and the multi-table writer reuses a
   * directory the single-table pass reads while empty).
   *
-  * Excluded (1 of 57 file-local configs):
-  * `excel/local_excel_xls_gz_to_assert.conf` — legacy BIFF .xls needs
-  * POI, which is not on this classpath.
+  * All 57 file-local configs run (legacy BIFF .xls included — parsed by
+  * graft.formats.BiffFormat, no POI needed).
   */
 class ConnectorConfigSpec extends SparkSpec {
 
@@ -89,6 +88,7 @@ class ConnectorConfigSpec extends SparkSpec {
     "xml/local_file_gz_xml_to_assert.conf",
     "excel/local_excel_zip_to_assert.conf",
     "excel/local_excel_multi_zip_to_assert.conf",
+    "excel/local_excel_xls_gz_to_assert.conf",
     "excel/local_excel_xlsx_gz_to_assert.conf",
     "json/fake_to_local_file_json_save_mode.conf")
 
