@@ -1532,6 +1532,35 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    // 13-token shingle overlap recomputed as STRINGS in DuckDB (graft
+    // compares murmur hashes of the same grams — equal modulo hash
+    // collisions); same tokenizer semantics (lower, split \W+, drop
+    // empties), same short-doc whole-text gram rule
+    "q_decontaminate" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |gramt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)]
+        |    END AS grams
+        |  FROM toks
+        |),
+        |bench_grams AS (
+        |  SELECT DISTINCT unnest(grams) AS g FROM gramt WHERE doc_id % 50 = 0
+        |),
+        |contaminated AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM (SELECT doc_id, unnest(grams) AS g FROM gramt) d
+        |  JOIN bench_grams b USING (g)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
     // a full default fraction compares against 'g' (above any hex
     // bucket), mirroring fractionToHex's keeps-everything contract
     "q_mixture_sample" ->
