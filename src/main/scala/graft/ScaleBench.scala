@@ -68,12 +68,25 @@ object ScaleBench {
       val sub = point("substring")(
         Dedup.substringDedup(docs, "doc_id", "text", minLen = 30, k = 10)
           .where(col("n_removed_tokens") > 0).count())
+      // connected components over the per-source consecutive-doc chain
+      // graph — maximal diameter, so rounds scale O(log chain-length):
+      // the pointer-jumping claim, measured
+      val cc = point("clusters") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val pairs = docs
+          .withColumn("next_id", lead("doc_id", 1).over(w))
+          .where(col("next_id").isNotNull)
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Dedup.connectedComponents(pairs).select("label").distinct().count()
+      }
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
         sim.map { case (t, n) => s""""simhash":{"sec":$t,"pairs":$n}""" },
         ng.map { case (t, n) => s""""ngram":{"sec":$t,"pairs":$n}""" },
-        sub.map { case (t, n) => s""""substring":{"sec":$t,"docs_cut":$n}""" }).flatten
+        sub.map { case (t, n) => s""""substring":{"sec":$t,"docs_cut":$n}""" },
+        cc.map { case (t, n) => s""""clusters":{"sec":$t,"components":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }

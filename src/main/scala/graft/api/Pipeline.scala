@@ -987,16 +987,22 @@ object Pipeline {
 
   // ---------- streaming mode (env.job.mode = STREAMING) ----------
 
-  private def resolveStreamingSource(spark: SparkSession, p: Plugin): DataFrame = p.plugin match {
+  private def resolveStreamingSource(spark: SparkSession, p: Plugin,
+      parallelism: Int = 1): DataFrame = p.plugin match {
     case "FakeSource" =>
       // STREAMING FakeSource (the reference's stream_fakesource_* e2e
-      // configs): emit row.num generated rows per second — Spark's rate
-      // source provides the unbounded monotonic index, the same
-      // deterministic generators as the batch path shape the fields
+      // configs): the reference emits row.num rows PER degree of
+      // parallelism and then idles with the job running (its checkpoint
+      // IT counts on exactly that total landing in the sink) — Spark's
+      // rate source provides the monotonic index, a bound caps it, and
+      // the same deterministic generators as the batch path shape the
+      // fields
+      val bound = p.int("row.num", 5).toLong * p.int("parallelism", parallelism)
       val rate = spark.readStream.format("rate")
-        .option("rowsPerSecond", p.int("row.num", 10)).load()
+        .option("rowsPerSecond", math.min(bound, 1000L)).load()
       graft.sources.FakeSource.generateFromIndex(spark,
-        rate.select(org.apache.spark.sql.functions.col("value").as("id")),
+        rate.select(org.apache.spark.sql.functions.col("value").as("id"))
+          .where(org.apache.spark.sql.functions.col("id") < bound),
         fakeSchemaFields(p))
     case "LocalFile" | "File" =>
       val fmt = p.strOpt("file_format_type").getOrElse("json")
@@ -1028,11 +1034,12 @@ object Pipeline {
   def runStreaming(spark: SparkSession, job: Job): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     require(job.isStreaming, "runStreaming requires env.job.mode = STREAMING")
     job.env.get("parallelism").foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    val parallelism = job.env.get("parallelism").map(_.toInt).getOrElse(1)
     var catalog = Map.empty[String, DataFrame]
     var last: Option[String] = None
     job.sources.foreach { s =>
       val name = s.output.getOrElse(s.plugin)
-      catalog += name -> resolveStreamingSource(spark, s)
+      catalog += name -> resolveStreamingSource(spark, s, parallelism)
       last = Some(name)
     }
     job.transforms.foreach { t =>

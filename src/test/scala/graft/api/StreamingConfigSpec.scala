@@ -67,9 +67,34 @@ class StreamingConfigSpec extends SparkSpec {
     runFileStreamConfig("streaming_fakesource_to_file_complex.conf")
   }
 
-  test("reference e2e checkpoint stream_fakesource_to_localfile.conf runs verbatim") {
-    runFileStreamConfig("checkpoint-streaming-enable-test-resources/" +
-      "stream_fakesource_to_localfile.conf")
+  test("reference e2e checkpoint pair runs verbatim: stream_fakesource_to_localfile " +
+      "emits its bounded 100 rows, then sink_file_text_to_assert checks them (BATCH)") {
+    // the reference's checkpoint IT contract: the STREAMING FakeSource
+    // emits exactly row.num rows and idles; after the stream drains, the
+    // companion BATCH config reads the sink dir back and asserts
+    // MIN_ROW = MAX_ROW = 100
+    val root = Files.createTempDirectory("graft-stream-ckpt").toString
+    val dir = "checkpoint-streaming-enable-test-resources/"
+    val streamJob = Pipeline.rebasePaths(
+      Pipeline.parseHocon(load(engineE2e + dir + "stream_fakesource_to_localfile.conf")), root)
+    val queries = Pipeline.runStreaming(spark, streamJob)
+    try {
+      val q = queries.head
+      val deadline = System.currentTimeMillis() + 60000
+      var total = 0L
+      while (total < 100 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        total = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(total == 100, s"bounded streaming FakeSource produced $total rows, wanted 100")
+      // one idle progress round ensures the last micro-batch committed
+      q.processAllAvailable()
+    } finally queries.foreach(_.stop())
+    val assertJob = Pipeline.rebasePaths(
+      Pipeline.parseHocon(load(engineE2e + dir + "sink_file_text_to_assert.conf")), root)
+    val catalog = Pipeline.run(spark, assertJob) // its Assert enforces exactly 100
+    assert(catalog("fake").count() == 100)
   }
 
   test("STREAMING FakeSource feeds a Memory sink with deterministic generated fields") {
