@@ -68,12 +68,14 @@ object ScaleBench {
       val sub = point("substring")(
         Dedup.substringDedup(docs, "doc_id", "text", minLen = 30, k = 10)
           .where(col("n_removed_tokens") > 0).count())
-      // connected components over the per-source consecutive-doc chain
-      // graph — maximal diameter, so rounds scale O(log chain-length):
-      // the pointer-jumping claim, measured
+      // connected components over 20 consecutive-doc chains (keyed by
+      // doc_id % 20 — present at every scale, unlike `source` on the
+      // replicated corpus) — maximal diameter grows with corpus size, so
+      // rounds scale O(log chain-length): the pointer-jumping claim,
+      // measured
       val cc = point("clusters") {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("doc_id")
+        val w = Window.partitionBy(pmod(col("doc_id"), lit(20))).orderBy("doc_id")
         val pairs = docs
           .withColumn("next_id", lead("doc_id", 1).over(w))
           .where(col("next_id").isNotNull)

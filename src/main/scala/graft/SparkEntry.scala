@@ -1532,6 +1532,49 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    // C4 three-sentence-span dedup recomputed over span STRINGS in
+    // DuckDB (graft groups the same spans by xxhash64 — equal modulo
+    // collisions). RE2 has no lookbehind, so the sentence split
+    // `(?<=[.!?])\s+` is emulated by marking boundaries with \x01; Java
+    // split drops trailing empties, hence the empty-string filter.
+    "q_c4_span_dedup" ->
+      raw"""WITH sents AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(regexp_replace(replace(text, ' a ', '. '), '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> x <> '') AS s
+        |  FROM documents
+        |),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS span_idx, s[i] || s[i+1] || s[i+2] AS span
+        |  FROM sents, unnest(range(1, len(s) - 1)) AS t(i)
+        |  WHERE len(s) >= 3
+        |),
+        |marked AS (
+        |  SELECT doc_id, span_idx,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn,
+        |         count(*) OVER (PARTITION BY span) AS n
+        |  FROM spans
+        |),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, span_idx + k AS sent_idx
+        |  FROM marked, unnest([0,1,2]) AS u(k)
+        |  WHERE n > 1 AND rn > 1
+        |),
+        |rem_lists AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT sent_idx)) AS removed
+        |  FROM removed GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(d.s) AS INTEGER) AS n_sentences,
+        |  CAST(len(CASE WHEN r.removed IS NULL THEN d.s
+        |       ELSE list_filter(d.s, (x, i) -> NOT list_contains(r.removed, i - 1)) END) AS INTEGER) AS n_kept_sentences,
+        |  CAST(coalesce(len(r.removed), 0) AS INTEGER) AS n_removed,
+        |  md5(array_to_string(CASE WHEN r.removed IS NULL THEN d.s
+        |       ELSE list_filter(d.s, (x, i) -> NOT list_contains(r.removed, i - 1)) END, ' ')) AS clean_digest
+        |FROM sents d LEFT JOIN rem_lists r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // 13-token shingle overlap recomputed as STRINGS in DuckDB (graft
     // compares murmur hashes of the same grams — equal modulo hash
     // collisions); same tokenizer semantics (lower, split \W+, drop
