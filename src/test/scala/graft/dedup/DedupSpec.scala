@@ -70,6 +70,34 @@ class DedupSpec extends SparkSpec {
     assert(run(0) == run(10000))
   }
 
+  test("ngram large-path verify runs as BroadcastHashJoins, not pair-keyed array sorts") {
+    // the r5 10x regression shape: SortMergeJoins exchanging+sorting the
+    // multi-KB shingle arrays per candidate pair. The verify must attach
+    // arrays via broadcast joins when the candidate-touched set fits.
+    val plan = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, prefixMinDocs = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("jaccard_long"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // no sort anywhere downstream of an array-carrying join: the only
+    // SortMergeJoin-eligible joins in this path are the narrow candidate
+    // self-join, which never carries `hashes`
+    val sortingArrays = plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("h_a"))
+    assert(!sortingArrays, "array verify went through a SortMergeJoin")
+  }
+
+  test("ngram large-path oversized verify sets degrade to the shuffle shape") {
+    // a 1-byte budget can never fit the arrays: the fallback join must
+    // produce identical pairs/scores
+    val broadcastPath = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, prefixMinDocs = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shufflePath = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, prefixMinDocs = 0, broadcastVerifyBytes = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(broadcastPath == shufflePath && broadcastPath.nonEmpty)
+  }
+
   test("embeddingNearDupPairs finds planted near-identical vectors") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val nearly = base.clone(); nearly(0) = base(0) + 0.001f
