@@ -1532,6 +1532,51 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    // n-gram Jaccard dedup recomputed over gram STRINGS in DuckDB (graft
+    // hashes the same grams — equal modulo collisions), with the same
+    // recall contract: candidate pairs share >= 1 gram with doc-frequency
+    // <= indexDocFreq(100), verification is exact Jaccard over the FULL
+    // distinct gram sets, survivors drop every id_b of a qualifying pair
+    "q_dedup_ngram" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |gramt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+        |    END AS grams
+        |  FROM toks
+        |),
+        |doc_grams AS (SELECT doc_id, unnest(grams) AS g FROM gramt),
+        |sizes AS (SELECT doc_id, len(grams) AS n FROM gramt),
+        |df AS (SELECT g, count(*) AS d FROM doc_grams GROUP BY g),
+        |indexable AS (SELECT g FROM df WHERE d <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM doc_grams a JOIN indexable USING (g) JOIN doc_grams b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM doc_grams a JOIN doc_grams b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT cand.id_a, cand.id_b
+        |  FROM cand
+        |  JOIN common ON common.id_a = cand.id_a AND common.id_b = cand.id_b
+        |  JOIN sizes sa ON sa.doc_id = cand.id_a
+        |  JOIN sizes sb ON sb.doc_id = cand.id_b
+        |  WHERE CAST(common.c AS DOUBLE) / (sa.n + sb.n - common.c) >= 0.5
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
+
     // C4 three-sentence-span dedup recomputed over span STRINGS in
     // DuckDB (graft groups the same spans by xxhash64 — equal modulo
     // collisions). RE2 has no lookbehind, so the sentence split
