@@ -967,12 +967,25 @@ object Pipeline {
                 s.str("path").replace("${table_name}", t))))
             }
           } else {
-            // some reference configs label the sink's input with plugin_output
-            // (e2e func_array.conf) — accept it as the read-table alias
-            val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
-              throw new IllegalArgumentException(s"${s.plugin}: no input table"))
-            runSink(catalog.getOrElse(in,
-              throw new IllegalArgumentException(s"unknown table $in")), s)
+            // a list plugin_input unions its tables (same contract as the
+            // streaming runner)
+            val multiIn = s.options.get("plugin_inputs") match {
+              case Some(xs: Seq[_]) => xs.map(_.toString)
+              case _ => Nil
+            }
+            if (multiIn.nonEmpty) {
+              runSink(multiIn.map(t => catalog.getOrElse(t,
+                throw new IllegalArgumentException(s"unknown table $t")))
+                .reduce(_.unionByName(_, allowMissingColumns = true)), s)
+            } else {
+              // some reference configs label the sink's input with
+              // plugin_output (e2e func_array.conf) — accept it as the
+              // read-table alias
+              val in = s.input.orElse(s.output.filter(catalog.contains)).orElse(last).getOrElse(
+                throw new IllegalArgumentException(s"${s.plugin}: no input table"))
+              runSink(catalog.getOrElse(in,
+                throw new IllegalArgumentException(s"unknown table $in")), s)
+            }
           }
         }
         catalog
