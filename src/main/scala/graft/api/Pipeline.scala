@@ -96,6 +96,8 @@ object Pipeline {
 
   private val canonicalPlugins: Map[String, String] = Seq(
     "FakeSource", "LocalFile", "File", "Jdbc", "Http", "Kafka", "Rate",
+    "Github", "Gitlab", "Jira", "Klaviyo", "Lemlist", "Notion",
+    "OneSignal", "PersistIQ",
     "Console", "Assert", "Memory",
     "Copy", "FieldMapper", "FieldRename", "Filter", "FilterRowKind",
     "RowKindExtractor", "Replace", "Split", "Sql", "JsonPath", "Metadata",
@@ -306,11 +308,13 @@ object Pipeline {
         upperBound = p.strOpt("partition_upper_bound").map(_.toLong),
         fetchSize = p.strOpt("fetch_size").map(_.toInt),
         options = p.map("options")))
-    case "Http" | "HTTP" =>
-      // config shell for the reference connector-http source (url, method,
-      // format, schema, headers/params). This sandbox has no network
-      // egress, so — like the Kafka shell — the testable surface is that
-      // the config parses and validates; the fetch itself reports clearly.
+    case "Http" | "HTTP" | "Github" | "Gitlab" | "Jira" | "Klaviyo" |
+         "Lemlist" | "Notion" | "OneSignal" | "PersistIQ" =>
+      // REAL HTTP source (reference connector-http + its SaaS wrappers):
+      // when the endpoint is connectable the fetch/parse path runs
+      // (graft.sources.HttpSource); otherwise this sandbox has no egress
+      // and the config-validation shell reports clearly (same
+      // reachability gate as the Embedding/LLM providers).
       val url = p.strOpt("url").getOrElse(
         throw new IllegalArgumentException("Http source: url required"))
       val method = p.strOpt("method").getOrElse("GET").toUpperCase
@@ -318,9 +322,14 @@ object Pipeline {
         s"Http source: unsupported method $method")
       p.strOpt("format").foreach(f => require(Set("json", "text").contains(f.toLowerCase),
         s"Http source: unsupported format $f"))
-      throw new UnsupportedOperationException(
-        s"Http source: network egress is unavailable in this environment " +
-          s"(validated config: url=$url, method=$method)")
+      if (graft.operators.NlpHttp.reachable(url)) {
+        val schema = p.options.get("schema").map(ZetaSchema.fromSchemaOption)
+          .filter(_.nonEmpty)
+        graft.sources.HttpSource.read(spark,
+          graft.sources.HttpSource.configFrom(url, p.options, schema))
+      } else throw new UnsupportedOperationException(
+        s"Http source: endpoint unreachable and this environment has no " +
+          s"egress (validated config: url=$url, method=$method)")
     case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
   }
 
@@ -630,6 +639,19 @@ object Pipeline {
         case _ => runAssertLegacy(df, p)
       }
     case "Jdbc" | "JDBC" => runJdbcSink(df, p)
+    case "Http" | "HTTP" =>
+      // reference connector-http sink: each row POSTs as a JSON object of
+      // its columns (HttpSinkWriter); headers ride along. Distributed:
+      // one client per executor via the shared NlpHttp client.
+      val url = p.str("url")
+      val headers = p.map("headers")
+      if (!graft.operators.NlpHttp.reachable(url))
+        throw new UnsupportedOperationException(
+          s"Http sink: endpoint unreachable and this environment has no egress (url=$url)")
+      df.select(to_json(struct(df.columns.map(col): _*)).as("payload"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach(r => graft.operators.NlpHttp.postJson(url, r.getString(0), headers))
+        }
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 

@@ -43,12 +43,27 @@ object NlpHttp {
     resp.body()
   }
 
-  def getJson(url: String): String = {
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofSeconds(20)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
+  def getJson(url: String): String = getJsonWithHeaders(url, Map.empty)
+
+  def getJsonWithHeaders(url: String, headers: Map[String, String]): String = {
+    var b = HttpRequest.newBuilder(URI.create(url)).timeout(Duration.ofSeconds(20)).GET()
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+    resp.body()
+  }
+
+  /** POST an application/x-www-form-urlencoded body. */
+  def postForm(url: String, formBody: String, headers: Map[String, String]): String = {
+    var b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(20))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(formBody, StandardCharsets.UTF_8))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(300)}")
     resp.body()
   }
 
