@@ -22,12 +22,51 @@ object Sinks {
       partitionBy: Seq[String] = Nil,
       options: Map[String, String] = Map.empty)
 
+  /** Charset-aware line writer (reference sink option `encoding`): Spark's
+    * text/json writers are UTF-8 only, so non-UTF8 charsets (GBK, ...)
+    * write per-partition files through JVM charsets — still one file per
+    * partition, no driver funnel.
+    */
+  private def writeLinesWithCharset(lines: DataFrame, path: String,
+      charset: String, mode: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      if (mode == "overwrite") { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dir) }
+      else if (mode != "append")
+        throw new IllegalArgumentException(s"charset text sink: path exists and mode=$mode")
+    }
+    dir.mkdirs()
+    val cs = charset
+    lines.select(org.apache.spark.sql.functions.col("value")).foreachPartition {
+      rows: Iterator[Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(path, f"part-$pid%05d-${java.util.UUID.randomUUID()}.txt")
+        val out = new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(f), cs)
+        try rows.foreach { r => out.write(r.getString(0)); out.write("\n") }
+        finally out.close()
+    }
+  }
+
   def writeFile(df: DataFrame, cfg: FileSinkConfig): Unit = {
     // reference option compress_codec (lzo/snappy/gzip/zstd/none) maps to
     // Spark's per-format "compression" writer option.
     val opts = cfg.options.get("compress_codec")
       .map(c => cfg.options - "compress_codec" + ("compression" -> c))
       .getOrElse(cfg.options)
+    // reference sink `encoding`: non-UTF8 text/json lines go through the
+    // charset-aware writer (Spark's own writers are UTF-8 only)
+    val nonUtf8 = cfg.options.get("encoding").map(_.trim)
+      .filter(e => e.nonEmpty && !e.equalsIgnoreCase("utf-8"))
+    if (nonUtf8.isDefined && Set("text", "json").contains(cfg.format.toLowerCase)) {
+      val lines = cfg.format.toLowerCase match {
+        case "json" => df.toJSON.toDF("value")
+        case _ => graft.formats.DelimitedTextFormat.toLines(df,
+          graft.formats.DelimitedTextFormat.configFrom(opts))
+      }
+      return writeLinesWithCharset(lines, cfg.path, nonUtf8.get, cfg.mode)
+    }
     var w: DataFrameWriter[Row] = df.write.mode(cfg.mode).options(opts)
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
     cfg.format.toLowerCase match {

@@ -1,0 +1,45 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.FileSources
+
+/** Charset-aware sink writes (reference `encoding` option): non-UTF8
+  * text/json lines must land in the configured charset and round-trip
+  * through the matching source-side decode.
+  */
+class SinksEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text sink with encoding=gbk writes real GBK bytes; source reads them back") {
+    val dir = Files.createTempDirectory("graft-gbk").toString + "/out"
+    val df = Seq((1L, "你好，世界"), (2L, "海底隧道ABC")).toDF("id", "s")
+    Sinks.writeFile(df, Sinks.FileSinkConfig(dir, "text",
+      options = Map("encoding" -> "gbk", "field_delimiter" -> ",")))
+    // the bytes on disk are GBK, not UTF-8
+    val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    val gbkText = new String(bytes, "GBK")
+    assert(gbkText.contains("你好，世界"))
+    assert(!new String(bytes, "UTF-8").contains("你好")) // really not UTF-8
+    // round trip through the source-side charset decode
+    val back = FileSources.read(spark, FileSources.FileSourceConfig(dir, "text",
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))),
+      Map("encoding" -> "gbk", "field_delimiter" -> ",")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == Seq((1L, "你好，世界"), (2L, "海底隧道ABC")))
+  }
+
+  test("json sink with encoding=gbk round-trips") {
+    val dir = Files.createTempDirectory("graft-gbkj").toString + "/out"
+    val df = Seq((1L, "测试")).toDF("id", "s")
+    Sinks.writeFile(df, Sinks.FileSinkConfig(dir, "json",
+      options = Map("encoding" -> "gbk")))
+    val back = FileSources.read(spark, FileSources.FileSourceConfig(dir, "json",
+      None, Map("encoding" -> "gbk"))).collect()
+    assert(back.length == 1 && back(0).getAs[String]("s") == "测试")
+  }
+}
