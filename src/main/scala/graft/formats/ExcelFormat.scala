@@ -162,6 +162,12 @@ object ExcelFormat extends Serializable {
         target <- relTarget(rels, rid)
       } yield if (target.startsWith("/")) target.stripPrefix("/") else "xl/" + target
     }
+    // a configured sheet that doesn't exist fails loudly like the
+    // reference ExcelReadStrategy — falling back to the first sheet would
+    // silently return the wrong data (ADVICE r6)
+    if (sheet.isDefined && sheetPart.isEmpty)
+      throw new IllegalArgumentException(
+        s"xlsx: sheet_name '${sheet.get}' not found in workbook")
     val sheetName = sheetPart
       .orElse(parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq.sorted.headOption)
       .getOrElse(throw new IllegalArgumentException("xlsx: no worksheet found"))

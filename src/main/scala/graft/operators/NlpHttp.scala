@@ -103,10 +103,16 @@ object NlpHttp {
       while (i < arr.length) { arr(i) = emb.get(i).floatValue(); i += 1 }
       out += arr
     }
-    // a provider answering one vector for a batched request (the e2e
-    // mock's fixed response) cycles over the batch
+    // ONLY a single-element response (the e2e mock's fixed reply) fans out
+    // over the batch; any other size mismatch is a misaligned provider and
+    // must error rather than silently assign wrong vectors (ADVICE r6)
     if (out.isEmpty) Seq.fill(n)(Array.empty[Float])
-    else Seq.tabulate(n)(i => out(i % out.size))
+    else if (out.size == 1) Seq.fill(n)(out.head)
+    else {
+      require(out.size == n,
+        s"embedding response has ${out.size} vectors for a batch of $n")
+      out.toSeq
+    }
   }
 
   private def jsonArray(texts: Seq[String]): String =
@@ -186,7 +192,7 @@ object NlpHttp {
     else t
   }
 
-  private def parseChatContent(responseStr: String, n: Int): Seq[String] = {
+  private[operators] def parseChatContent(responseStr: String, n: Int): Seq[String] = {
     val content = mapper.readTree(responseStr)
       .get("choices").get(0).get("message").get("content").asText()
     val node = mapper.readTree(convertData(content))
@@ -195,9 +201,16 @@ object NlpHttp {
       node.forEach(x => b += (if (x.isNull) null else x.asText()))
       b.toSeq
     } else Seq(node.asText())
-    // fixed mock responses answer a 1-element array for any batch: cycle
+    // ONLY a single-element response (fixed mock reply) fans out over the
+    // batch; other size mismatches error instead of assigning answers to
+    // the wrong rows (ADVICE r6)
     if (results.isEmpty) Seq.fill(n)(null)
-    else Seq.tabulate(n)(i => results(i % results.size))
+    else if (results.size == 1) Seq.fill(n)(results.head)
+    else {
+      require(results.size == n,
+        s"chat response has ${results.size} answers for a batch of $n")
+      results
+    }
   }
 
   /** OpenAI-shape chat completion (llm/remote/openai/OpenAIModel.java,

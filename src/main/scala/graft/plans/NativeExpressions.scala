@@ -378,6 +378,59 @@ case class ExtendMatchExpr(first: Expression, second: Expression,
     copy(first = a, second = pa, third = b, fourth = pb)
 }
 
+/** Mergeable Bloom-filter aggregate with EXPLICIT sizing: unlike Spark's
+  * BloomFilterAggregate there is no lazy Math.min clamp against session
+  * confs (which executors re-read at execution time — raising then
+  * restoring the confs around the build silently shrinks the filter).
+  * Buffer and wire format are `org.apache.spark.util.sketch.BloomFilter`,
+  * so `might_contain` (BloomFilterMightContain) probes the output bytes
+  * unchanged. Reference capability: very-large-benchmark decontamination
+  * (SURVEY §2.6); sizing contract in `Decontamination.contaminatedIdsBloom`.
+  */
+case class GraftBloomAggregate(
+    child: Expression,
+    numItems: Long,
+    numBits: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter] {
+  import org.apache.spark.util.sketch.BloomFilter
+
+  require(numItems > 0 && numBits > 0, "graft_bloom_agg: sizes must be positive")
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(numItems, numBits)
+  override def update(buffer: BloomFilter,
+      input: org.apache.spark.sql.catalyst.InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buffer.putLong(v.asInstanceOf[Long])
+    buffer
+  }
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other); buffer
+  }
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): GraftBloomAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GraftBloomAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_bloom_agg"
+}
+
 object NativeExpressions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -431,6 +484,18 @@ object NativeExpressions {
           .BloomFilterAggregate(args(0), args(1), args(2))
         case n => throw new IllegalArgumentException(s"bloom_filter_agg: bad arg count $n")
       }
+    },
+    // Spark's BloomFilterAggregate silently clamps numItems/numBits via
+    // Math.min against session confs read lazily on the EXECUTORS — the
+    // only way to size it honestly is mutating session-global confs
+    // (ADVICE r6: that leaks into Spark's own runtime filters). This one
+    // takes its sizes as literals, no conf reads anywhere; the output
+    // bytes are the same org.apache.spark.util.sketch.BloomFilter wire
+    // format BloomFilterMightContain probes.
+    "graft_bloom_agg" -> { args =>
+      require(args.length == 3, s"graft_bloom_agg(value, items, bits): bad arg count ${args.length}")
+      def lit(i: Int): Long = args(i).eval().asInstanceOf[Number].longValue()
+      GraftBloomAggregate(args.head, lit(1), lit(2))
     },
     "might_contain" -> { args =>
       require(args.length == 2, s"might_contain(bloom, value): bad arg count ${args.length}")

@@ -27,25 +27,49 @@ object Sinks {
     * write per-partition files through JVM charsets — still one file per
     * partition, no driver funnel.
     */
+  /** Charset-aware line writer (Spark's own text/json writers are UTF-8
+    * only). Runs through the Hadoop FileSystem API (so hdfs:// and
+    * object-store paths work, not just local disk) with per-task
+    * temp-write + rename onto a destination name deterministic per
+    * (job, partition) — a failed/retried task either wins the rename or
+    * deletes its temp, so retries never leave duplicate part files
+    * (ADVICE r6). partition_by is not supported on this path: fail fast
+    * rather than silently ignore it.
+    */
   private def writeLinesWithCharset(lines: DataFrame, path: String,
-      charset: String, mode: String): Unit = {
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      if (mode == "overwrite") { def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dir) }
+      charset: String, mode: String, partitionBy: Seq[String] = Nil): Unit = {
+    require(partitionBy.isEmpty,
+      s"charset text sink: partition_by ${partitionBy.mkString(",")} is not " +
+        "supported with a non-UTF8 encoding; drop partition_by or write UTF-8")
+    import org.apache.hadoop.fs.Path
+    val sc = lines.sparkSession.sparkContext
+    val confBc = sc.broadcast(new org.apache.spark.SerializableWritable(
+      sc.hadoopConfiguration))
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      if (mode == "overwrite") fs.delete(dir, true)
       else if (mode != "append")
         throw new IllegalArgumentException(s"charset text sink: path exists and mode=$mode")
     }
-    dir.mkdirs()
+    fs.mkdirs(dir)
     val cs = charset
+    // one id per write call: append jobs never collide with earlier files,
+    // while task retries within a job stay idempotent
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
     lines.select(org.apache.spark.sql.functions.col("value")).foreachPartition {
       rows: Iterator[Row] =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(path, f"part-$pid%05d-${java.util.UUID.randomUUID()}.txt")
-        val out = new java.io.OutputStreamWriter(
-          new java.io.FileOutputStream(f), cs)
-        try rows.foreach { r => out.write(r.getString(0)); out.write("\n") }
-        finally out.close()
+        if (rows.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val pfs = new Path(path).getFileSystem(confBc.value.value)
+          val tmp = new Path(path, f".part-$pid%05d-$jobId-a${tc.taskAttemptId()}.tmp")
+          val out = new java.io.OutputStreamWriter(pfs.create(tmp, true), cs)
+          try rows.foreach { r => out.write(r.getString(0)); out.write("\n") }
+          finally out.close()
+          val dest = new Path(path, f"part-$pid%05d-$jobId.txt")
+          if (!pfs.rename(tmp, dest)) { pfs.delete(tmp, false); () }
+        }
     }
   }
 
@@ -65,7 +89,7 @@ object Sinks {
         case _ => graft.formats.DelimitedTextFormat.toLines(df,
           graft.formats.DelimitedTextFormat.configFrom(opts))
       }
-      return writeLinesWithCharset(lines, cfg.path, nonUtf8.get, cfg.mode)
+      return writeLinesWithCharset(lines, cfg.path, nonUtf8.get, cfg.mode, cfg.partitionBy)
     }
     var w: DataFrameWriter[Row] = df.write.mode(cfg.mode).options(opts)
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)

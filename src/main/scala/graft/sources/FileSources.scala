@@ -49,9 +49,12 @@ object FileSources {
         val base = spark.read.format("binaryFile").load(cfg.path)
         val partCols = base.columns.filterNot(
           Set("path", "modificationTime", "length", "content")).toSeq
+        // indexed lambda instead of slice(..., Int.MaxValue): slice's
+        // start+length overflows composed under a HOF and silently empties
+        // the array (found via the skipRows>1 csv route, r7)
         val lineArr = org.apache.spark.sql.functions.expr(
-          s"""filter(slice(split(decode(content, '$encoding'), '\\r?\\n'),
-             |  ${skipRows + 1}, 2147483647), x -> x != '')""".stripMargin)
+          s"""filter(split(decode(content, '$encoding'), '\\r?\\n'),
+             |  (x, i) -> i >= $skipRows AND x != '')""".stripMargin)
         base.select(org.apache.spark.sql.functions.explode(lineArr).as("value") +:
           partCols.map(col): _*)
       case None =>
@@ -111,28 +114,27 @@ object FileSources {
       case "json" => emptyDirFallback { r.json(cfg.path) }
       // csv: complex-typed fields (map/array) hold JSON text per the
       // reference CsvReadStrategy, so a declared schema reads all-string
-      // and casts; skip_header_row_number=1 maps onto the csv reader's
-      // per-file header skip
+      // and casts. skip_header_row_number (any value, archived or not)
+      // goes through the per-file line path, which already drops skipRows
+      // per member — the csv reader must then NOT also consume a header
+      // row (header=true here double-skipped archived CSVs and capped
+      // skipRows at 1; ADVICE r6).
       case "csv" =>
         val delim = cfg.options.get("field_delimiter")
           .orElse(cfg.options.get("delimiter")).getOrElse(",")
-        var rr = spark.read.options(passthrough).option("delimiter", delim)
-        if (skipRows > 0) rr = rr.option("header", "true")
+        val rr0 = spark.read.options(passthrough).option("delimiter", delim)
+        def parse(rr: DataFrameReader) =
+          if (lineAccess) {
+            import spark.implicits._
+            rr.csv(lines.select(col("value")).as[String])
+          } else rr.csv(cfg.path)
         cfg.schema match {
           case Some(st) =>
-            rr = rr.schema(StructType(st.fields.map(f =>
+            val raw = parse(rr0.schema(StructType(st.fields.map(f =>
               org.apache.spark.sql.types.StructField(f.name,
-                org.apache.spark.sql.types.StringType))))
-            val raw = if (lineAccess && archive.isDefined) {
-              import spark.implicits._
-              rr.csv(lines.select(col("value")).as[String])
-            } else rr.csv(cfg.path)
+                org.apache.spark.sql.types.StringType)))))
             graft.api.ZetaSchema.castTo(raw, st)
-          case None =>
-            if (lineAccess && archive.isDefined) {
-              import spark.implicits._
-              rr.csv(lines.select(col("value")).as[String])
-            } else rr.csv(cfg.path)
+          case None => parse(rr0)
         }
       // a multi-column schema (or an explicit field_delimiter) selects the
       // reference's delimited text format; otherwise Spark's raw one-column

@@ -58,14 +58,17 @@ object Decontamination {
     * instead of embedding multi-MB literal bytes in the expression tree.
     * The corpus side still never shuffles.
     *
-    * Sizing: `bloom_filter_agg` silently CLAMPS its arguments to
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
-    * (defaults 4M / 64M), which would quietly degrade fpp far past the
-    * requested value — this method raises both caps to the computed
-    * requirement instead. Mind the per-document false-positive rate: a
-    * doc is flagged if ANY of its ~n grams probes positive, so doc-level
-    * FP ≈ 1-(1-fpp)^n. Size `fpp` for the corpus's total gram probes
-    * (e.g. 1e-9) or set `minMatches` >= 2 — both exposed here.
+    * Sizing: the build uses graft's own `graft_bloom_agg` (same sketch
+    * wire format as Spark's), which takes numItems/numBits as literals —
+    * Spark's `bloom_filter_agg` silently Math.min-clamps against the
+    * session-global `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * / `maxNumBits` confs, and those are re-read lazily on the EXECUTORS,
+    * so raising-then-restoring them around the build is a silent-shrink
+    * race affecting Spark's own runtime filters besides (ADVICE r6). No
+    * session conf is touched here. Mind the per-document false-positive
+    * rate: a doc is flagged if ANY of its ~n grams probes positive, so
+    * doc-level FP ≈ 1-(1-fpp)^n. Size `fpp` for the corpus's total gram
+    * probes (e.g. 1e-9) or set `minMatches` >= 2 — both exposed here.
     */
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
@@ -74,28 +77,26 @@ object Decontamination {
     graft.plans.NativeExpressions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     val bits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    // bloom_filter_agg clamps via Math.min against these session caps —
-    // raise them or the requested size silently shrinks
-    def raiseCap(key: String, needed: Long): Unit = {
-      val current = spark.conf.getOption(key).map(_.toLong).getOrElse(0L)
-      if (current < needed) spark.conf.set(key, needed.toString)
-    }
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedGrams)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     // the filter builds distributed (mergeable binary aggregate) and is
     // injected as a one-row scalar subquery, never a literal
     val bloomDf = benchmark
       .select(explode(expr(s"shingle_hashes(`$benchTextCol`, $ngram)")).as("gram"))
-      .agg(expr(s"bloom_filter_agg(gram, ${expectedGrams}L, ${bits}L)").as("bloom"))
+      .agg(expr(s"graft_bloom_agg(gram, ${expectedGrams}L, ${bits}L)").as("bloom"))
     val view = s"graft_bloom_${bloomViewCounter.incrementAndGet()}"
     bloomDf.createOrReplaceTempView(view)
     val corpusGrams = corpus.select(col(idCol),
       explode(expr(s"shingle_hashes(`$textCol`, $ngram)")).as("gram"))
     val matched = corpusGrams
       .where(expr(s"might_contain((SELECT bloom FROM $view), gram)"))
-    if (minMatches <= 1) matched.select(idCol).distinct()
-    else matched.groupBy(idCol).agg(count(lit(1)).as("__m"))
-      .where(col("__m") >= minMatches).select(idCol)
+    val result =
+      if (minMatches <= 1) matched.select(idCol).distinct()
+      else matched.groupBy(idCol).agg(count(lit(1)).as("__m"))
+        .where(col("__m") >= minMatches).select(idCol)
+    // DataFrames analyze eagerly, so the subquery is already resolved —
+    // the view served its one purpose and must not leak into the session
+    // catalog (ADVICE r6)
+    spark.catalog.dropTempView(view)
+    result
   }
 
   /** Drop corpus docs flagged by the Bloom decontamination pass. */

@@ -40,6 +40,19 @@ class ExcelFormatSpec extends SparkSpec {
     assert(back(2).toSeq == Seq(3L, null, 0.0, true))
   }
 
+  test("a configured sheet_name that is absent fails loudly (ADVICE r6)") {
+    val path = tmpDir("sheetmiss")
+    ExcelFormat.write(Seq((1L, "a")).toDF("id", "name"), path, header = true)
+    val f = new java.io.File(path).listFiles().filter(_.getName.endsWith(".xlsx")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // the writer names its one sheet "Sheet1": that resolves...
+    assert(ExcelFormat.parseXlsx(bytes, Some("Sheet1")).nonEmpty)
+    // ...but a missing name must throw, not silently read the first sheet
+    val ex = intercept[IllegalArgumentException](
+      ExcelFormat.parseXlsx(bytes, Some("NoSuchSheet")))
+    assert(ex.getMessage.contains("NoSuchSheet"))
+  }
+
   test("reads shared-string cells (the form other writers emit)") {
     // hand-build an xlsx with sharedStrings.xml to cover the non-inline path
     val bos = new java.io.ByteArrayOutputStream()

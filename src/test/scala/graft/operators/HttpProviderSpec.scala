@@ -144,4 +144,19 @@ class HttpProviderSpec extends SparkSpec with BeforeAndAfterAll {
     val catalog = Pipeline.runHocon(spark, load(e2e1 + "llm_openai_transform.conf"))
     assert(catalog("llm_output").select("llm_output").collect().forall(!_.isNullAt(0)))
   }
+
+  test("partial/misaligned provider responses error instead of mis-assigning rows (ADVICE r6)") {
+    // 1-element replies (the mock shape) fan out over any batch...
+    val one = """{"data":[{"embedding":[1.0,2.0]}]}"""
+    assert(NlpHttp.parseEmbeddings(one, 3).forall(_.sameElements(Array(1.0f, 2.0f))))
+    val oneChat = """{"choices":[{"message":{"content":"[\"x\"]"}}]}"""
+    assert(NlpHttp.parseChatContent(oneChat, 3) == Seq("x", "x", "x"))
+    // ...full-size replies pass through aligned...
+    val full = """{"data":[{"embedding":[1.0]},{"embedding":[2.0]}]}"""
+    assert(NlpHttp.parseEmbeddings(full, 2).map(_.head) == Seq(1.0f, 2.0f))
+    // ...but a 2-of-3 reply is a misaligned provider and must throw
+    intercept[IllegalArgumentException](NlpHttp.parseEmbeddings(full, 3))
+    val twoChat = """{"choices":[{"message":{"content":"[\"a\",\"b\"]"}}]}"""
+    intercept[IllegalArgumentException](NlpHttp.parseChatContent(twoChat, 3))
+  }
 }

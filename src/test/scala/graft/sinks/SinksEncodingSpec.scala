@@ -33,6 +33,27 @@ class SinksEncodingSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "你好，世界"), (2L, "海底隧道ABC")))
   }
 
+  test("charset sink: append adds files without clobbering, partition_by fails fast (ADVICE r6)") {
+    val dir = Files.createTempDirectory("graft-gbka").toString + "/out"
+    def write(rows: Seq[(Long, String)], mode: String): Unit =
+      Sinks.writeFile(rows.toDF("id", "s"), Sinks.FileSinkConfig(dir, "text", mode = mode,
+        options = Map("encoding" -> "gbk", "field_delimiter" -> ",")))
+    write(Seq((1L, "一")), "overwrite")
+    write(Seq((2L, "二")), "append")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length >= 2, "append must add files, not overwrite")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")),
+      "task-commit temp files must not survive")
+    val all = files.flatMap(f => new String(Files.readAllBytes(f.toPath), "GBK").split("\n"))
+    assert(all.toSet == Set("1,一", "2,二"))
+    // partition_by on the charset path is unsupported: loud error, not silent drop
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.writeFile(Seq((1L, "x")).toDF("id", "s"), Sinks.FileSinkConfig(dir, "text",
+        partitionBy = Seq("id"), options = Map("encoding" -> "gbk")))
+    }
+    assert(ex.getMessage.contains("partition_by"))
+  }
+
   test("json sink with encoding=gbk round-trips") {
     val dir = Files.createTempDirectory("graft-gbkj").toString + "/out"
     val df = Seq((1L, "测试")).toDF("id", "s")

@@ -45,6 +45,28 @@ class SourcesSpec extends SparkSpec {
     assert(xml.orderBy("k").collect().map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L))
   }
 
+  test("archived CSV with skip_header_row_number keeps every data row (ADVICE r6)") {
+    val dir = Files.createTempDirectory("graft-csv-skip").toFile
+    val zipF = new java.io.File(dir, "data.zip")
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipF))
+    z.putNextEntry(new java.util.zip.ZipEntry("m.csv"))
+    z.write("id,name\n1,a\n2,b\n3,c\n".getBytes)
+    z.closeEntry(); z.finish(); z.close()
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("name", StringType)))
+    val rows = FileSources.read(spark, FileSources.FileSourceConfig(zipF.getAbsolutePath,
+      "csv", Some(schema),
+      Map("archive_compress_codec" -> "zip", "skip_header_row_number" -> "1")))
+      .orderBy("id").collect()
+    // the member pre-drops the header line; the csv reader must not eat row 1 too
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+    // and skip_header_row_number > 1 drops exactly that many rows on plain files
+    val plainDir = new java.io.File(dir, "plain"); plainDir.mkdirs()
+    Files.write(new java.io.File(plainDir, "m.csv").toPath, "junk line\nid,name\n1,a\n2,b\n".getBytes)
+    val rows2 = FileSources.read(spark, FileSources.FileSourceConfig(plainDir.toString,
+      "csv", Some(schema), Map("skip_header_row_number" -> "2"))).orderBy("id").collect()
+    assert(rows2.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("compress_codec option maps to the writer compression") {
     val dir = Files.createTempDirectory("graft-codec").toString
     val df = Seq((1L, "a")).toDF("k", "s")

@@ -66,15 +66,26 @@ class DecontaminationSpec extends SparkSpec {
     val bench = Seq(w).toDF("question")
     // a production-sized filter: ~10M items at 1e-9 would be ~60 MB of
     // literal if embedded — the plan text must stay KB-sized
+    val capsBefore = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(k => k -> spark.conf.getOption(k))
     val flagged = Decontamination.contaminatedIdsBloom(corpus, bench,
       "doc_id", "text", "question", expectedGrams = 10000000L, fpp = 1e-9)
+    // the session-global runtime bloom caps are NOT mutated (ADVICE r6 —
+    // the old raise leaked into Spark's own runtime filters)
+    capsBefore.foreach { case (k, v) =>
+      assert(spark.conf.getOption(k) == v, s"$k was mutated by the bloom build")
+    }
     val plan = flagged.queryExecution.analyzed.toString
     assert(plan.contains("scalar-subquery"), plan.take(2000))
     assert(plan.length < 100000, s"plan blew up to ${plan.length} chars")
-    // the session caps were raised past the defaults so the requested
-    // size is not silently clamped (ADVICE r5: Math.min degradation)
-    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= 10000000L)
-    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong > 64L * 1024 * 1024)
+    // graft_bloom_agg sizes from literals: the plan carries the
+    // un-clamped requested sizes (attr names carry exprIds, so regex)
+    assert("graft_bloom_agg\\(gram#\\d+L, 10000000, ".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    // the working temp view is dropped after the (eager) analysis
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bloom_")), "temp view leaked")
     assert(flagged.collect().map(_.getLong(0)).toSet == Set(1L)) // still correct
   }
 
