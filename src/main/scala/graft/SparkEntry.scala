@@ -346,7 +346,11 @@ object SparkEntry {
       Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
 
-    // §2.6 SimHash near-dup (rows-only; spec-tested with planted dups)
+    // §2.6 SimHash near-dup — HASH-EXACT since r7: the per-token hash is
+    // poly-257 + murmur fmix64 (plain 64-bit modular arithmetic), so the
+    // DuckDB oracle recomputes the full pipeline independently — token
+    // hashes, 64-bit vote signature, 4x16 pigeonhole bands, bucket cap,
+    // hamming<=3 pairs, greedy id_b drop.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.simHashPairs(docs, "doc_id", "text")
@@ -678,11 +682,22 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
-    // §2.4 FakeSource generator (deterministic; rows-only check)
+    // §2.4 FakeSource generator. string/boolean generators are
+    // closed-form (name_<id>, id%2==0) so DuckDB recomputes them
+    // including the full-column digest; the murmur-mixed int column is
+    // pinned by golden aggregates (row count and seed are fixed, so the
+    // values are scale-independent). Moved from rows-only in r7.
     "q_fake_source" -> ((s, dir) => {
       FakeSource.generate(s,
         Seq("name" -> "string", "num" -> "int", "flag" -> "boolean"), 1000)
-        .orderBy("name")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          md5(concat_ws(",", sort_array(collect_list(col("name"))))).as("name_digest"),
+          sum(when(col("flag"), 1).otherwise(0)).cast("long").as("n_flag_true"),
+          (min(col("num")) >= 0 && max(col("num")) < 1000000).as("num_in_range"),
+          sum(col("num")).cast("long").as("num_sum"),
+          min(col("num")).cast("long").as("num_min"),
+          max(col("num")).cast("long").as("num_max"))
     }),
 
     // §2.4 debezium-json CDC envelope -> row-kind-tagged change rows.
@@ -951,14 +966,30 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
-    // §2.6 sequence packing: documents into 512-token training bins
-    // (rows-only: per-partition FFD is deterministic but not
-    // SQL-expressible; invariants spec-tested in PackingSpec)
+    // §2.6 sequence packing: documents into 512-token training bins.
+    // The bin ASSIGNMENT is per-partition FFD (deterministic but not
+    // SQL-expressible), so the driver checks the packing INVARIANTS,
+    // which are closed-form over `documents`: every doc packed exactly
+    // once (count + doc_id-sum coverage), token conservation, oversized
+    // docs isolated 1:1, every regular bin within budget, and the bin
+    // count inside the FFD bound. Exact per-bin semantics stay
+    // spec-tested in PackingSpec. (Moved from rows-only in r7.)
     "q_pack_sequences" -> ((s, dir) => {
       val toks = TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "text")
-      Packing.packGreedy(toks, "doc_id", "ws_tokens", budget = 512, numPartitions = 32)
-        .select(col("seq_id"), col("n_docs"), col("total_tokens"), col("oversized"))
-        .orderBy("seq_id")
+      val packed = Packing.packGreedy(toks, "doc_id", "ws_tokens",
+        budget = 512, numPartitions = 32)
+      val regularBins = count(when(col("oversized") === false, 1))
+      val regularTokens = sum(when(col("oversized") === false, col("total_tokens")))
+      packed.agg(
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("total_tokens")).cast("long").as("sum_tokens"),
+        sum(expr("aggregate(doc_ids, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .cast("long").as("id_sum"),
+        count(when(col("oversized"), 1)).cast("long").as("n_oversized"),
+        coalesce(max(when(col("oversized") === false, col("total_tokens"))) <= 512,
+          lit(true)).as("within_budget"),
+        (regularBins >= ceil(regularTokens / 512.0) &&
+          regularBins <= ceil(regularTokens / 512.0) * 2 + 64).as("bin_count_ok"))
     }),
 
     // §2.6 C4 three-sentence-span corpus dedup (rows-only: the
@@ -1287,6 +1318,81 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full independent simhash recompute: poly-257 token hash + fmix64
+    // (64-bit wrapping multiply via 32-bit split in HUGEINT), per-bit
+    // votes, 4x16 bands, bucket cap, hamming<=3, drop-id_b survivors —
+    // the same trick that made ngram hash-exact in r6, extended to the
+    // signature arithmetic. Validated equal to the Spark output at sf0.01.
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), ph AS (
+        |  SELECT doc_id, tok,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      [ord(substring(tok, i, 1))::HUGEINT FOR i IN range(1, length(tok)+1)]),
+        |      (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) AS h0
+        |  FROM toks
+        |), s1 AS ( SELECT doc_id, xor((h0)::UBIGINT, (h0)::UBIGINT >> 33)::HUGEINT AS h0 FROM ph
+        |), s2 AS ( SELECT doc_id, ((((h0) // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + ((h0) % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS h0 FROM s1
+        |), s3 AS ( SELECT doc_id, xor((h0)::UBIGINT, (h0)::UBIGINT >> 33)::HUGEINT AS h0 FROM s2
+        |), s4 AS ( SELECT doc_id, ((((h0) // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + ((h0) % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS h0 FROM s3
+        |), th AS ( SELECT doc_id, xor((h0)::UBIGINT, (h0)::UBIGINT >> 33) AS h FROM s4
+        |), votes AS (
+        |  SELECT doc_id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit
+        |), sigs0 AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit)::HUGEINT ELSE 0::HUGEINT END) AS sig
+        |  FROM votes GROUP BY doc_id
+        |), sigs AS (
+        |  SELECT d.doc_id, coalesce(s.sig, 0::HUGEINT)::UBIGINT AS sig
+        |  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+        |), banded AS (
+        |  SELECT doc_id, sig, b.band_idx, (sig >> (b.band_idx*16)) & 65535 AS band_val
+        |  FROM sigs, (SELECT unnest(range(0,4)) AS band_idx) b
+        |), capped AS (
+        |  SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM capped a JOIN capped b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id
+        |), close_pairs AS (
+        |  SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM close_pairs c WHERE c.id_b = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // name/flag columns are closed-form in the row index; the murmur-int
+    // aggregates are golden values pinned from the deterministic
+    // generator (fixed rows=1000, seed=42 — scale-independent).
+    "q_fake_source" ->
+      """SELECT CAST(1000 AS BIGINT) AS n,
+        |  (SELECT md5(string_agg(name, ',' ORDER BY name))
+        |   FROM (SELECT 'name_' || CAST(unnest(range(0, 1000)) AS VARCHAR) AS name)) AS name_digest,
+        |  CAST(500 AS BIGINT) AS n_flag_true,
+        |  true AS num_in_range,
+        |  CAST(502552199 AS BIGINT) AS num_sum,
+        |  CAST(1375 AS BIGINT) AS num_min,
+        |  CAST(997170 AS BIGINT) AS num_max""".stripMargin,
+
+    // Packing invariants are closed-form over documents: n_docs/id_sum
+    // pin exact coverage, sum_tokens pins conservation, n_oversized is
+    // the >budget doc count (each is isolated 1:1 by construction), and
+    // the two booleans must hold for any correct FFD packing.
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CASE WHEN toks > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+        |  true AS within_budget,
+        |  true AS bin_count_ok
+        |FROM t""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH t AS (

@@ -134,12 +134,34 @@ object TextHashing {
   }
 
   /** 64-bit SimHash over unigram token hashes (uniform weight). */
+  /** Per-token hash for [[simHash64]]: polynomial base-257 over code
+    * points (mod 2^64) finished with the murmur3 fmix64 avalanche. Chosen
+    * over [[hash64]] because every step is plain 64-bit modular
+    * arithmetic + xor/shift — an independent engine (the DuckDB oracle)
+    * can recompute it exactly in SQL, while the fmix64 finalizer keeps
+    * the per-bit uniformity simhash voting needs.
+    */
+  def simTokenHash64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 257L + cp
+      i += Character.charCount(cp)
+    }
+    // murmur3 fmix64
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
   def simHash64(text: String): Long = {
     val counts = new Array[Int](64)
     val toks = tokenize(text)
     var i = 0
     while (i < toks.length) {
-      val h = hash64(toks(i))
+      val h = simTokenHash64(toks(i))
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
