@@ -20,41 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOp {
 
-  /** Deterministic hashing-trick embedding of one string. */
+  /** Deterministic hashing-trick embedding of one string (delegates to
+    * the codegen helper so the scalar and columnar paths are one
+    * implementation).
+    */
   def embedText(text: String, dim: Int): Array[Float] = {
-    val v = new Array[Float](dim)
-    if (text != null) {
-      var i = 0
-      val tokens = text.toLowerCase.split("\\W+")
-      while (i < tokens.length) {
-        val t = tokens(i)
-        if (t.nonEmpty) {
-          val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-          val idx = math.floorMod(h, dim)
-          val sign = if ((h >>> 31) == 0) 1.0f else -1.0f
-          v(idx) += sign
-        }
-        i += 1
-      }
-      var norm = 0.0
-      i = 0
-      while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
-      if (norm > 0) {
-        val inv = (1.0 / math.sqrt(norm)).toFloat
-        i = 0
-        while (i < dim) { v(i) *= inv; i += 1 }
-      }
-    }
-    v
+    val arr = graft.plans.ExprHelpers.hashEmbed(
+      if (text == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(text), dim)
+    arr.toFloatArray()
   }
 
-  private def embedUdf(dim: Int) = udf((s: String) => embedText(s, dim))
-
-  /** Add `outputField` = embedding(srcField). One narrow projection; the
-    * UDF is the only non-codegen step (as the remote call would be).
+  /** Add `outputField` = embedding(srcField). One narrow projection via
+    * the native `hash_embed` expression — stays in WholeStageCodegen
+    * (the former ScalaUDF fallback was the last UDF reachable from a
+    * driver query; VERDICT r6 #7).
     */
-  def embed(df: DataFrame, srcField: String, outputField: String, dim: Int = 64): DataFrame =
-    df.withColumn(outputField, embedUdf(dim)(col(srcField)))
+  def embed(df: DataFrame, srcField: String, outputField: String, dim: Int = 64): DataFrame = {
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    // coalesce keeps the UDF-era contract: null text embeds to the zero
+    // vector, not null
+    df.withColumn(outputField, expr(s"hash_embed(coalesce(`$srcField`, ''), $dim)"))
+  }
 
   /** Provider-batched variant — the reference EmbeddingTransform shape:
     * `single_vectorized_input_number` rows per provider call inside

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.TextHashing
@@ -191,6 +191,38 @@ object ExprHelpers {
       Array.fill(bits, dim)(rnd.nextGaussian())
     })
 
+  /** Hashing-trick bag-of-words embedding (signed feature buckets,
+    * L2-normalized) — the deterministic local embedder, as a static
+    * helper so the fallback path stays inside WholeStageCodegen too
+    * (VERDICT r6 #7: this was the last ScalaUDF reachable from a driver
+    * query).
+    */
+  def hashEmbed(s: UTF8String, dim: Int): ArrayData = {
+    val v = new Array[Float](dim)
+    if (s != null) {
+      val tokens = s.toString.toLowerCase.split("\\W+")
+      var i = 0
+      while (i < tokens.length) {
+        val t = tokens(i)
+        if (t.nonEmpty) {
+          val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+          val idx = math.floorMod(h, dim)
+          v(idx) += (if ((h >>> 31) == 0) 1.0f else -1.0f)
+        }
+        i += 1
+      }
+      var norm = 0.0
+      i = 0
+      while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+      if (norm > 0) {
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        i = 0
+        while (i < dim) { v(i) *= inv; i += 1 }
+      }
+    }
+    new GenericArrayData(v)
+  }
+
   def planeSig(v: ArrayData, dim: Int, bits: Int, seed: Int): Int = {
     val p = planes(dim, bits, seed)
     val n = math.min(v.numElements(), dim)
@@ -293,6 +325,21 @@ case class JaccardLongExpr(left: Expression, right: Expression)
   * embedding near-dup / LSH top-k — native so the full-corpus scan stays
   * in codegen (the same reason simhash64/minhash_bands are native).
   */
+/** Hashing-trick text embedding as a native expression: the fallback
+  * embedder runs in the same codegen stage as the rest of the projection
+  * (no encoder round-trip), matching `EmbeddingOp.embedText` bit-for-bit.
+  */
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.hashEmbed(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprHelpers.hashEmbed($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+}
+
 case class PlaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Int)
   extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -460,6 +507,10 @@ object NativeExpressions {
       PlaneSigExpr(args.head, lit(1), lit(2), lit(3))
     },
     "token_hashes" -> (args => TokenHashesExpr(args.head)),
+    "hash_embed" -> { args =>
+      require(args.length == 2, s"hash_embed(text, dim): bad arg count ${args.length}")
+      HashEmbedExpr(args.head, args(1).eval().asInstanceOf[Number].intValue())
+    },
     "winnow_anchors" -> { args =>
       def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
       require(args.length == 3, s"winnow_anchors(text, k, w): bad arg count ${args.length}")

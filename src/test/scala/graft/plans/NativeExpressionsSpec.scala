@@ -125,4 +125,25 @@ class NativeExpressionsSpec extends SparkSpec {
       .map(_.queryExecution.executedPlan.toString)
     plans.foreach(p => assert(!p.contains("ScalaUDF"), "expected UDF-free plan"))
   }
+
+  test("hash_embed matches EmbeddingOp.embedText and keeps the plan UDF-free") {
+    registered
+    val texts = Seq("spark shuffles Data!", "", "a b a b a")
+    val df = texts.toDF("t")
+    val got = df.select(expr("hash_embed(t, 16)")).collect().map(_.getSeq[Float](0))
+    got.lazyZip(texts).foreach { (v, t) =>
+      assert(v.toArray.sameElements(graft.operators.EmbeddingOp.embedText(t, 16)), t)
+    }
+    // plan-shape assert needs a non-foldable source (a literal local
+    // relation constant-folds the whole projection away)
+    val emb = graft.operators.EmbeddingOp.embed(
+      spark.range(3).selectExpr("cast(id as string) as t"), "t", "vec", dim = 16)
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "fallback embedder must stay in codegen")
+    assert(plan.contains("hash_embed"))
+    // null text embeds to the zero vector (UDF-era contract)
+    val nul = graft.operators.EmbeddingOp.embed(
+      Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t"), "t", "vec", dim = 4)
+    assert(nul.collect()(0).getSeq[Float](2).toSeq == Seq(0.0f, 0.0f, 0.0f, 0.0f))
+  }
 }
