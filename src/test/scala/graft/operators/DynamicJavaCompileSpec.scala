@@ -40,6 +40,32 @@ class DynamicJavaCompileSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("id2")).toSeq == Seq(2, 4))
   }
 
+  test("output column differing only in case REPLACES the input column " +
+      "(no ambiguous duplicates under case-insensitive resolution; ADVICE r5 carry-over)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val src =
+      """import org.apache.seatunnel.api.table.catalog.Column;
+        |import org.apache.seatunnel.api.table.catalog.CatalogTable;
+        |import org.apache.seatunnel.api.table.catalog.PhysicalColumn;
+        |import org.apache.seatunnel.api.table.type.BasicType;
+        |import org.apache.seatunnel.api.table.type.SeaTunnelRowAccessor;
+        |public Column[] getInlineOutputColumns(CatalogTable t) {
+        |  return new Column[] {
+        |    PhysicalColumn.of("NAME", BasicType.STRING_TYPE, 10, true, "", "")
+        |  };
+        |}
+        |public Object[] getInlineOutputFieldValues(SeaTunnelRowAccessor row) {
+        |  return new Object[] { ((String) row.getField(1)).toUpperCase() };
+        |}
+        |""".stripMargin
+    val out = DynamicOp.applyCompiledJava(df, src)
+    // exactly one name-ish column survives (the case-variant replacement)
+    assert(out.columns.count(_.equalsIgnoreCase("name")) == 1, out.columns.mkString(","))
+    // and resolving it is unambiguous under default case-insensitive rules
+    val rows = out.select("id", "name").orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("A", "B"))
+  }
+
   test("reference e2e single_dynamic_java_compile_transform.conf runs verbatim") {
     val catalog = Pipeline.runHocon(spark,
       load(confDir + "conf/single_dynamic_java_compile_transform.conf"))
