@@ -67,6 +67,43 @@ class StreamingConfigSpec extends SparkSpec {
     runFileStreamConfig("streaming_fakesource_to_file_complex.conf")
   }
 
+  test("reference e2e stream_fakesource_to_localfile_interval.conf runs verbatim " +
+      "(split.read-interval paced STREAMING fake -> text LocalFile)") {
+    runFileStreamConfig("checkpoint-streaming-enable-test-resources/" +
+      "stream_fakesource_to_localfile_interval.conf")
+  }
+
+  test("reference e2e unify_env_param_fakesource_to_localfile.conf runs verbatim " +
+      "(foreign flink.* env params tolerated, job still streams)") {
+    runFileStreamConfig("unify-env-param-test-resource/" +
+      "unify_env_param_fakesource_to_localfile.conf")
+  }
+
+  test("reference e2e outdated_env_param_fakesource_to_localfile.conf runs verbatim " +
+      "(legacy engine env keys tolerated)") {
+    runFileStreamConfig("unify-env-param-test-resource/" +
+      "outdated_env_param_fakesource_to_localfile.conf")
+  }
+
+  test("reference e2e unify_flink_table_env_param_fakesource_to_console.conf runs " +
+      "verbatim (STREAMING Sql transform over dual -> Console)") {
+    val job = Pipeline.parseHocon(load(engineE2e +
+      "unify-env-param-test-resource/unify_flink_table_env_param_fakesource_to_console.conf"))
+    assert(job.isStreaming)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val q = queries.head
+      val deadline = System.currentTimeMillis() + 45000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        rows = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(rows > 0, "no rows flowed through the Sql-transform streaming job within 45s")
+    } finally queries.foreach(_.stop())
+  }
+
   test("reference e2e checkpoint pair runs verbatim: stream_fakesource_to_localfile " +
       "emits its bounded 100 rows, then sink_file_text_to_assert checks them (BATCH)") {
     // the reference's checkpoint IT contract: the STREAMING FakeSource
