@@ -180,11 +180,14 @@ object SparkEntry {
         .toDF().orderBy("nation_id")
     }),
 
-    // §2.1.16 Embedding (deterministic hashing-trick embedder; rows-only
-    // check). The vector itself stays out of the driver output (pandas
-    // can't sort array cells) — emit scalar digests instead: dimension,
-    // rounded L2 norm, and an md5 over the rounded elements. Vector
-    // semantics are covered by EmbeddingOpSpec.
+    // §2.1.16 Embedding — HASH-EXACT since r7: the fallback embedder's
+    // token hash is poly-257+fmix64, so the DuckDB oracle recomputes the
+    // full 16-dim vector (buckets, signs, float normalize) bit-exactly.
+    // The vector itself stays out of the driver output (pandas can't
+    // sort array cells) — emit scalar digests instead: dimension, L2
+    // norm, and an md5 over the elements scaled by 2^20 and truncated
+    // (power-of-two scaling of a float is exact, truncation has no
+    // rounding-mode ambiguity across engines — unlike format_number).
     "q_embedding" -> ((s, dir) => {
       val emb = EmbeddingOp.embed(
         Tables.load(s, dir, "documents"), "text", "embedding", dim = 16)
@@ -196,7 +199,7 @@ object SparkEntry {
             lit(0.0), (acc, x) => acc + x)), 6).as("l2"),
           md5(concat_ws(",",
             transform(col("embedding"),
-              x => format_number(x.cast("double"), 6)))).as("sig"))
+              x => (x.cast("double") * lit(1048576.0)).cast("long")))).as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -338,8 +341,12 @@ object SparkEntry {
         .orderBy("digest")
     }),
 
-    // §2.6 MinHash+LSH near-dup: kept docs after greedy pair-drop
-    // (rows-only check; pair recall is spec-tested with planted dups)
+    // §2.6 MinHash+LSH near-dup — HASH-EXACT since r7: shingle hashes are
+    // poly-257+fmix64 and the 64 permutations are fmix64(h ^ k_p) with
+    // closed-form keys, so the DuckDB oracle recomputes the whole
+    // pipeline independently — shingle hashes, unsigned-min signatures,
+    // 16x4 band grouping, bucket cap, gram-string Jaccard verify at 0.7,
+    // greedy id_b drop.
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
@@ -1021,7 +1028,8 @@ object SparkEntry {
 
     // §2.6 benchmark decontamination: drop corpus docs sharing a 13-gram
     // with a benchmark set (here: every 50th doc poses as a benchmark
-    // question). Murmur shingles aren't SQL-expressible -> rows-only.
+    // question). Hash-exact: the oracle recomputes the overlap on gram
+    // STRINGS (equal modulo hash collisions).
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
@@ -1067,7 +1075,7 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names,
-    * same ORDER BY). Omitted keys (q_embedding) get a rows-only check.
+    * same ORDER BY). Omitted keys (e.g. q_ann_lsh) get a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     // the chain pair graph links consecutive doc_ids per source, so each
@@ -1363,6 +1371,132 @@ object SparkEntry {
         |)
         |SELECT d.doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM close_pairs c WHERE c.id_b = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full independent MinHash+LSH recompute (r7): gram strings ->
+    // poly-257+fmix64 hashes, 64 permutation values fmix64(h ^ k_p)
+    // with k_p = fmix64((42<<32)+p), per-doc UNSIGNED min, 16 bands of 4
+    // grouped by value tuple (graft groups by an FNV fold of the same
+    // tuple — equal modulo FNV collisions), 1000-cap buckets, candidate
+    // pairs verified by gram-string Jaccard >= 0.7, survivors = docs
+    // never on the id_b side. The fmix64 wrapping multiplies run as
+    // 32-bit-split HUGEINT stages (g*/k*/v* CTE chains), like simhash.
+    "q_dedup_minhash" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |), gramt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+        |    END AS grams
+        |  FROM toks
+        |), dg AS ( SELECT doc_id, unnest(grams) AS g FROM gramt
+        |), g0 AS (
+        |  SELECT doc_id, g,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      [ord(substring(g, i, 1))::HUGEINT FOR i IN range(1, length(g)+1)]),
+        |      (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) AS x
+        |  FROM dg
+        |), g1 AS ( SELECT doc_id, g, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM g0
+        |), g2 AS ( SELECT doc_id, g, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM g1
+        |), g3 AS ( SELECT doc_id, g, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM g2
+        |), g4 AS ( SELECT doc_id, g, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM g3
+        |), gh AS ( SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 33) AS h FROM g4
+        |), k0 AS ( SELECT p, (180388626432 + p)::HUGEINT AS x FROM (SELECT unnest(range(0, 64)) AS p)
+        |), k1 AS ( SELECT p, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM k0
+        |), k2 AS ( SELECT p, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM k1
+        |), k3 AS ( SELECT p, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM k2
+        |), k4 AS ( SELECT p, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM k3
+        |), keys AS ( SELECT p, xor(x::UBIGINT, x::UBIGINT >> 33) AS key FROM k4
+        |), v0 AS ( SELECT gh.doc_id, keys.p, xor(gh.h, keys.key)::HUGEINT AS x FROM gh, keys
+        |), v1 AS ( SELECT doc_id, p, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM v0
+        |), v2 AS ( SELECT doc_id, p, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM v1
+        |), v3 AS ( SELECT doc_id, p, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM v2
+        |), v4 AS ( SELECT doc_id, p, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM v3
+        |), vh AS ( SELECT doc_id, p, xor(x::UBIGINT, x::UBIGINT >> 33) AS v FROM v4
+        |), sigv0 AS ( SELECT doc_id, p, min(v) AS v FROM vh GROUP BY doc_id, p
+        |), sigv AS (
+        |  SELECT d.doc_id, pr.p, coalesce(s.v, 18446744073709551615::UBIGINT) AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pr
+        |  LEFT JOIN sigv0 s ON s.doc_id = d.doc_id AND s.p = pr.p
+        |), bands AS (
+        |  SELECT doc_id, p // 4 AS band_idx,
+        |         string_agg(v::VARCHAR, ',' ORDER BY p) AS band_val
+        |  FROM sigv GROUP BY doc_id, p // 4
+        |), capped AS (
+        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN gramt ga ON ga.doc_id = c.id_a
+        |  JOIN gramt gb ON gb.doc_id = c.id_b
+        |  WHERE CASE
+        |    WHEN len(ga.grams) = 0 AND len(gb.grams) = 0 THEN 1.0
+        |    WHEN len(ga.grams) = 0 OR len(gb.grams) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |         / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+        |    END >= 0.7
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full independent embedding recompute (r7): token -> poly-257+fmix64
+    // hash, bucket = h mod 16 (unsigned), sign = top bit, float
+    // normalization replayed exactly (counts are integers exact in
+    // FLOAT; the double product of two floats is exact, so casting it
+    // to FLOAT equals graft's single-step float multiply; trunc(x*2^20)
+    // is rounding-mode-free both sides).
+    "q_embedding" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), tok AS ( SELECT doc_id, unnest(toks) AS tok FROM t
+        |), p0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      [ord(substring(tok, i, 1))::HUGEINT FOR i IN range(1, length(tok)+1)]),
+        |      (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) AS x
+        |  FROM tok
+        |), p1 AS ( SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM p0
+        |), p2 AS ( SELECT doc_id, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM p1
+        |), p3 AS ( SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM p2
+        |), p4 AS ( SELECT doc_id, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM p3
+        |), th AS ( SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 33) AS h FROM p4
+        |), bkt AS (
+        |  SELECT doc_id, (h % 16)::BIGINT AS idx,
+        |         CASE WHEN h < 9223372036854775808::UBIGINT THEN 1 ELSE -1 END AS sgn
+        |  FROM th
+        |), cnt AS ( SELECT doc_id, idx, sum(sgn)::BIGINT AS c FROM bkt GROUP BY doc_id, idx
+        |), grid AS (
+        |  SELECT d.doc_id, i.idx FROM documents d, (SELECT unnest(range(0, 16)) AS idx) i
+        |), vec0 AS (
+        |  SELECT g.doc_id, g.idx, coalesce(cnt.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.idx = g.idx
+        |), nrm AS (
+        |  SELECT doc_id, sum(CAST(c AS DOUBLE)*CAST(c AS DOUBLE)) AS norm FROM vec0 GROUP BY doc_id
+        |), invf AS (
+        |  SELECT doc_id, CASE WHEN norm > 0 THEN CAST(CAST(1.0/sqrt(norm) AS FLOAT) AS DOUBLE) ELSE 0.0 END AS inv
+        |  FROM nrm
+        |), comp AS (
+        |  SELECT v.doc_id, v.idx,
+        |         CAST(CAST(CAST(v.c AS DOUBLE) * i.inv AS FLOAT) AS DOUBLE) AS x
+        |  FROM vec0 v JOIN invf i USING (doc_id)
+        |), per_doc AS (
+        |  SELECT doc_id, list(x ORDER BY idx) AS xs FROM comp GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  CAST(16 AS INTEGER) AS dim,
+        |  round(sqrt(list_reduce(list_prepend(0.0, [v*v FOR v IN xs]), (a,b) -> a+b)), 6) AS l2,
+        |  md5(array_to_string([CAST(trunc(v*1048576.0) AS BIGINT)::VARCHAR FOR v IN xs], ',')) AS sig
+        |FROM per_doc
         |ORDER BY doc_id""".stripMargin,
 
     // name/flag columns are closed-form in the row index; the murmur-int

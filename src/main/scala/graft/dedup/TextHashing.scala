@@ -1,7 +1,5 @@
 package graft.dedup
 
-import scala.util.hashing.MurmurHash3
-
 /** Shared deterministic text hashing used by the dedup family.
   *
   * All functions are pure and seed-fixed so every executor computes
@@ -13,7 +11,7 @@ object TextHashing {
     if (text == null) Array.empty
     else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
 
-  /** Word k-shingles hashed to Long (murmur128-ish via two murmur32 mixes).
+  /** Word k-shingles hashed to Long via [[hash64]].
     * Returned SORTED and distinct — a set in canonical array form, so
     * [[jaccard]] runs as a zero-allocation merge count.
     */
@@ -41,40 +39,48 @@ object TextHashing {
     }
   }
 
-  def hash64(s: String): Long = {
-    val h1 = MurmurHash3.stringHash(s, 0x1b873593)
-    val h2 = MurmurHash3.stringHash(s, 0x9747b28c)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  /** 64-bit string hash: polynomial base-257 over code points (mod 2^64)
+    * finished with the murmur3 fmix64 avalanche — the same construction
+    * as [[simTokenHash64]]. Every step is plain 64-bit modular
+    * arithmetic + xor/shift, so an independent engine (the DuckDB
+    * oracle) can recompute identical values in SQL; the previous
+    * MurmurHash3-based form was JVM-only, which forced the minhash
+    * driver query to a weaker rows-only check.
+    */
+  def hash64(s: String): Long = simTokenHash64(s)
+
+  /** murmur3's fmix64 finalizer: a bijective 64-bit avalanche. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^= (x >>> 33)
+    x
   }
 
-  private val MersennePrime = (1L << 61) - 1
-
-  // permutation coefficients are seed-deterministic; cache per (perms, seed)
-  // so the per-row hot path skips Random construction.
-  private val coeffCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Array[Long], Array[Long])]()
-
-  private def coeffs(numPerms: Int, seed: Int): (Array[Long], Array[Long]) =
-    coeffCache.computeIfAbsent((numPerms, seed), { case (n, s) =>
-      val rnd = new scala.util.Random(s)
-      (Array.fill(n)(1 + rnd.nextLong(MersennePrime - 1)), Array.fill(n)(rnd.nextLong(MersennePrime)))
-    })
-
-  /** MinHash signature: numPerms universal-hash permutations (a*h+b mod p),
-    * one pass over the shingle set (O(shingles * numPerms)).
+  /** MinHash signature: per permutation p the value is
+    * `fmix64(h ^ k_p)` with `k_p = fmix64((seed << 32) + p)` and the
+    * per-doc minimum taken in UNSIGNED order; the empty shingle set
+    * yields the unsigned max (-1L) in every slot. fmix64 is a bijection
+    * on 64 bits, so each slot is a proper minwise permutation of the
+    * shingle space (xor-then-avalanche, the standard splittable-hash
+    * construction); closed-form keys replace the former
+    * `scala.util.Random` coefficient table so every value is exactly
+    * recomputable outside the JVM. One pass over the shingle set
+    * (O(shingles * numPerms)).
     */
   def minHashSignature(shingles: Array[Long], numPerms: Int, seed: Int = 42): Array[Long] = {
-    val (as, bs) = coeffs(numPerms, seed)
-    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val keys = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) { keys(p) = fmix64((seed.toLong << 32) + p); p += 1 }
+    val sig = Array.fill(numPerms)(-1L) // unsigned max
     var i = 0
     while (i < shingles.length) {
-      val h = java.lang.Long.remainderUnsigned(shingles(i), MersennePrime)
-      var p = 0
+      val h = shingles(i)
+      p = 0
       while (p < numPerms) {
-        // (a*h + b) mod p via unsigned 128-free trick: Math.multiplyHigh not
-        // needed at this precision for dedup quality; mix then mask.
-        val v = java.lang.Long.remainderUnsigned(as(p) * h + bs(p), MersennePrime)
-        if (v < sig(p)) sig(p) = v
+        val v = fmix64(h ^ keys(p))
+        if (java.lang.Long.compareUnsigned(v, sig(p)) < 0) sig(p) = v
         p += 1
       }
       i += 1
@@ -149,11 +155,7 @@ object TextHashing {
       h = h * 257L + cp
       i += Character.charCount(cp)
     }
-    // murmur3 fmix64
-    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
-    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
-    h ^= (h >>> 33)
-    h
+    fmix64(h)
   }
 
   def simHash64(text: String): Long = {

@@ -205,9 +205,12 @@ object ExprHelpers {
       while (i < tokens.length) {
         val t = tokens(i)
         if (t.nonEmpty) {
-          val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-          val idx = math.floorMod(h, dim)
-          v(idx) += (if ((h >>> 31) == 0) 1.0f else -1.0f)
+          // poly-257+fmix64 like the rest of the text-hash family: the
+          // DuckDB oracle recomputes buckets and signs exactly (the
+          // former 32-bit murmur was JVM-only -> rows-only check)
+          val h = TextHashing.hash64(t)
+          val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+          v(idx) += (if (h >= 0L) 1.0f else -1.0f)
         }
         i += 1
       }

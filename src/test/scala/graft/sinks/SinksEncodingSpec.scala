@@ -17,9 +17,10 @@ class SinksEncodingSpec extends SparkSpec {
     val df = Seq((1L, "你好，世界"), (2L, "海底隧道ABC")).toDF("id", "s")
     Sinks.writeFile(df, Sinks.FileSinkConfig(dir, "text",
       options = Map("encoding" -> "gbk", "field_delimiter" -> ",")))
-    // the bytes on disk are GBK, not UTF-8
-    val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
-    val bytes = Files.readAllBytes(f.toPath)
+    // the bytes on disk are GBK, not UTF-8 (rows may spread over several
+    // part files — assert over their concatenation, not an arbitrary head)
+    val fs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    val bytes = fs.flatMap(f => Files.readAllBytes(f.toPath))
     val gbkText = new String(bytes, "GBK")
     assert(gbkText.contains("你好，世界"))
     assert(!new String(bytes, "UTF-8").contains("你好")) // really not UTF-8
