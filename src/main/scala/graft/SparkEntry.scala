@@ -371,7 +371,10 @@ object SparkEntry {
       Dedup.dropNearDups(docs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
 
-    // §2.6 embedding-cosine near-dup via hyperplane LSH (rows-only)
+    // §2.6 embedding-cosine near-dup via hyperplane LSH — HASH-EXACT
+    // since r7: Rademacher planes from fmix64 + sequential double folds
+    // make signatures, buckets, and the cosine verify exactly
+    // recomputable in DuckDB.
     "q_neardup_cosine" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64, threshold = 0.9)
@@ -402,7 +405,9 @@ object SparkEntry {
     }),
 
     // §2.6 semantic dedup (SemDeDup-style): embedding-cosine pair graph
-    // resolved into components, one survivor per semantic cluster
+    // resolved into components, one survivor per semantic cluster.
+    // HASH-EXACT since r7: the oracle replays the LSH pair pipeline and
+    // resolves components with a recursive reachability CTE.
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64,
@@ -419,8 +424,10 @@ object SparkEntry {
         .orderBy("q_id", "rnk")
     }),
 
-    // §2.6 LSH-bucketed ANN, the corpus-scale path (rows-only; recall
-    // vs brute force is spec-tested)
+    // §2.6 LSH-bucketed ANN, the corpus-scale path. HASH-EXACT since
+    // r7 (fmix64 Rademacher planes): the oracle recomputes signatures,
+    // band candidates, and the exact-cosine ranking bit-for-bit; recall
+    // vs brute force additionally spec-tested.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", dim = 64, k = 10)
@@ -428,11 +435,13 @@ object SparkEntry {
     }),
 
     // §2.6 int8-quantized ANN: 4x smaller vectors through every scan/
-    // broadcast (rows-only; recall + reconstruction-error spec-tested)
+    // broadcast. HASH-EXACT since r7: quantization (round half-up codes,
+    // per-vector scale) and the dequantized integer-dot score are plain
+    // deterministic arithmetic the DuckDB oracle replays bit-exactly —
+    // including the cosine column (sequential double folds both sides).
     "q_ann_int8" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.int8TopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-        .select("q_id", "n_id", "rnk")
         .orderBy("q_id", "rnk")
     }),
 
@@ -1074,10 +1083,145 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE prefix for the hyperplane-LSH oracles: fmix64-derived
+    * Rademacher plane signs (sg0..sg4 stage the wrapping multiplies as
+    * 32-bit-split HUGEINT arithmetic), per-vector 16-bit signatures via
+    * sequential-fold dot products — the exact arithmetic
+    * `ExprHelpers.planeSig` runs, replayed independently. `recursive`
+    * prepends RECURSIVE for oracles that chain a reachability CTE.
+    */
+  private def lshSigCtes(recursive: Boolean): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") +
+      raw"""sg0 AS (
+        |  SELECT b, i, (180388626432 + b*64 + i)::HUGEINT AS x
+        |  FROM (SELECT unnest(range(0, 16)) AS b), (SELECT unnest(range(0, 64)) AS i)
+        |), sg1 AS ( SELECT b, i, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM sg0
+        |), sg2 AS ( SELECT b, i, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM sg1
+        |), sg3 AS ( SELECT b, i, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM sg2
+        |), sg4 AS ( SELECT b, i, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM sg3
+        |), signs AS (
+        |  SELECT b, i, CASE WHEN xor(x::UBIGINT, x::UBIGINT >> 33) < 9223372036854775808::UBIGINT
+        |               THEN 1.0 ELSE -1.0 END AS s
+        |  FROM sg4
+        |), srows AS ( SELECT b, list(s ORDER BY i) AS ss FROM signs GROUP BY b
+        |), prep AS ( SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+        |), dots AS (
+        |  SELECT p.vec_id, s.b,
+        |    list_reduce(list_prepend(0.0,
+        |      [s.ss[i+1] * p.v[i+1] FOR i IN range(0, least(len(p.v), 64))]), (a,x) -> a+x) AS dot
+        |  FROM prep p, srows s
+        |), sigs AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS sig
+        |  FROM dots GROUP BY vec_id
+        |)""".stripMargin
+
+  /** Shared suffix: the embedding near-dup pair pipeline (2x8-bit bands,
+    * 10000-cap buckets, sequential-fold cosine verify at 0.9) — what
+    * `Dedup.embeddingNearDupPairs` computes with its defaults.
+    */
+  private val neardupPairCtes: String =
+    raw""", bands AS (
+      |  SELECT vec_id, bi.band_idx, (sig >> (bi.band_idx*8)) & 255 AS band_val
+      |  FROM sigs, (SELECT unnest(range(0, 2)) AS band_idx) bi
+      |), capped AS (
+      |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 10000
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM capped a JOIN capped b USING (band_idx, band_val)
+      |  WHERE a.vec_id < b.vec_id
+      |), pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN prep a ON a.vec_id = c.id_a JOIN prep b ON b.vec_id = c.id_b
+      |  WHERE list_reduce(list_prepend(0.0, [a.v[i+1]*b.v[i+1] FOR i IN range(0, len(a.v))]), (x,y)->x+y)
+      |    / ( sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN a.v]), (x,y)->x+y))
+      |      * sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN b.v]), (x,y)->x+y)) ) >= 0.9
+      |)""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same tables, same column names,
-    * same ORDER BY). Omitted keys (e.g. q_ann_lsh) get a rows-only check.
+    * same ORDER BY). Omitted keys (e.g. q_ann_ivf) get a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // LSH ANN: signatures + band candidates + exact-cosine ranking,
+    // replayed bit-for-bit (4-bit bands x4; ties broken by n_id).
+    "q_ann_lsh" -> (lshSigCtes(recursive = false) +
+      raw""", bands AS (
+        |  SELECT vec_id, bi.band_idx, (sig >> (bi.band_idx*4)) & 15 AS band_val
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) bi
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM bands q JOIN bands n USING (band_idx, band_val)
+        |  WHERE q.vec_id < 5
+        |), scored AS (
+        |  SELECT c.q_id, c.n_id,
+        |    list_reduce(list_prepend(0.0, [a.v[i+1]*b.v[i+1] FOR i IN range(0, len(a.v))]), (x,y)->x+y)
+        |    / ( sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN a.v]), (x,y)->x+y))
+        |      * sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN b.v]), (x,y)->x+y)) ) AS cosine
+        |  FROM cand c JOIN prep a ON a.vec_id = c.q_id JOIN prep b ON b.vec_id = c.n_id
+        |), rk AS (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT q_id, n_id, CAST(rnk AS INTEGER) AS rnk, cosine
+        |FROM rk WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin),
+
+    // Embedding near-dup survivors: docs never on the id_b side of a
+    // verified pair.
+    "q_neardup_cosine" -> (lshSigCtes(recursive = false) + neardupPairCtes +
+      raw"""
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY vec_id""".stripMargin),
+
+    // Semantic dedup: the same pair graph resolved into connected
+    // components by recursive reachability; survivors are component-min
+    // nodes, carrying the table's label column.
+    "q_semantic_dedup" -> (lshSigCtes(recursive = true) + neardupPairCtes +
+      raw""", edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT vec_id AS node, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT node, min(r) AS lbl FROM reach GROUP BY node
+        |)
+        |SELECT e.vec_id, e.label FROM embeddings e JOIN comp ON comp.node = e.vec_id
+        |WHERE comp.node = comp.lbl
+        |ORDER BY e.vec_id""".stripMargin),
+
+    // int8-quantized ANN: per-vector symmetric quantization + dequantized
+    // integer dot, all plain arithmetic (round half-up matches both
+    // engines; folds are sequential) — cosine compares bit-exactly.
+    "q_ann_int8" ->
+      raw"""WITH prep AS (
+        |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings
+        |), q1 AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+        |         THEN list_max([abs(x) FOR x IN v]) / 127.0 ELSE 1.0 END AS scale
+        |  FROM prep
+        |), q2 AS (
+        |  SELECT vec_id, scale,
+        |    [CAST(round(x / scale) AS TINYINT)::INTEGER FOR x IN v] AS qv,
+        |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN v]), (a,b) -> a+b)) AS nrm
+        |  FROM q1
+        |), cj AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    q.scale * n.scale * CAST(list_reduce(list_prepend(0,
+        |        [q.qv[i+1] * n.qv[i+1] FOR i IN range(0, len(q.qv))]), (a,b) -> a+b) AS DOUBLE)
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM q2 q JOIN q2 n ON q.vec_id < 5
+        |), rk AS (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |  FROM cj
+        |)
+        |SELECT q_id, n_id, CAST(rnk AS INTEGER) AS rnk, cosine
+        |FROM rk WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
     // the chain pair graph links consecutive doc_ids per source, so each
     // source with >= 2 docs is one component labeled by its min doc_id —
     // the closed form of what the distributed min-label/pointer-jumping

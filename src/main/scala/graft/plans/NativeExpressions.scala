@@ -180,15 +180,20 @@ object ExprHelpers {
     new GenericArrayData(Array(la, ra - la))
   }
 
-  // Seeded gaussian hyperplanes, built once per (dim, bits, seed) per JVM —
-  // the same scala.util.Random draw order as the UDF this replaced, so
-  // signatures (and every recall spec / pair set) are bit-identical.
+  // Seeded Rademacher (+-1) hyperplanes, built once per (dim, bits, seed)
+  // per JVM. Sign-random-projection needs only a symmetric entry
+  // distribution (Achlioptas 2003 showed +-1 entries match gaussians for
+  // JL-style projections), and +-1 from fmix64((seed<<32) + b*dim + i) is
+  // exactly recomputable outside the JVM — the former
+  // scala.util.Random.nextGaussian planes forced every LSH driver query
+  // to a weaker rows-only check.
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
   private def planes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((dim, bits, seed), _ => {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(bits, dim)(rnd.nextGaussian())
+      Array.tabulate(bits, dim) { (b, i) =>
+        if (TextHashing.fmix64((seed.toLong << 32) + (b.toLong * dim + i)) >= 0L) 1.0 else -1.0
+      }
     })
 
   /** Hashing-trick bag-of-words embedding (signed feature buckets,

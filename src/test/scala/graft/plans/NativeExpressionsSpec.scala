@@ -56,11 +56,12 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == 2.0 / 5.0)
   }
 
-  test("plane_sig expression matches the seeded-udf reference computation") {
+  test("plane_sig expression matches the seeded Rademacher reference computation") {
     registered
     val dim = 8; val bits = 6; val seed = 42
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planes = Array.tabulate(bits, dim) { (b, i) =>
+      if (TextHashing.fmix64((seed.toLong << 32) + (b.toLong * dim + i)) >= 0L) 1.0 else -1.0
+    }
     def ref(v: Array[Float]): Int = {
       var sig = 0
       for (b <- 0 until bits) {
