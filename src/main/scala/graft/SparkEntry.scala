@@ -1047,7 +1047,13 @@ object SparkEntry {
     }),
 
     // §2.6 Bloom-filter decontamination (broadcast filter bytes instead of
-    // the exact gram set — the very-large-benchmark scale path)
+    // the exact gram set — the very-large-benchmark scale path).
+    // HASH-EXACT since r7: the oracle rebuilds the filter BIT-FOR-BIT —
+    // poly-257+fmix64 gram hashes, Murmur3_x86_32 h1/h2, and the
+    // BloomFilterImplV2 probe schedule all replayed in DuckDB SQL, so
+    // even false-positive drops would reproduce (probe-level equivalence
+    // proven by BloomProbeReplicaSpec against a collision-saturated
+    // filter).
     "q_decontaminate_bloom" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
@@ -1137,6 +1143,19 @@ object SparkEntry {
       |    / ( sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN a.v]), (x,y)->x+y))
       |      * sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN b.v]), (x,y)->x+y)) ) >= 0.9
       |)""".stripMargin
+
+  /** Bloom sizing for the `q_decontaminate_bloom` oracle, computed with
+    * the same published formulas Spark's `BloomFilter.create(items, bits)`
+    * uses (k = round(m/n·ln2), bit array padded to 64-bit words) —
+    * `BloomProbeReplicaSpec` pins both against the real filter.
+    */
+  private val (bloomOracleK: Int, bloomOracleBitSize: Long) = {
+    val expectedGrams = 100000L
+    val fpp = 1e-9
+    val bits = math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    (math.max(1, math.round(bits.toDouble / expectedGrams * math.log(2)).toInt),
+      ((bits + 63) / 64) * 64)
+  }
 
   /** DuckDB-equivalent SQL per query (same tables, same column names,
     * same ORDER BY). Omitted keys (e.g. q_ann_ivf) get a rows-only check.
@@ -2064,6 +2083,91 @@ object SparkEntry {
         |  SELECT DISTINCT d.doc_id
         |  FROM (SELECT doc_id, unnest(grams) AS g FROM gramt) d
         |  JOIN bench_grams b USING (g)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom decontamination rebuilt BIT-FOR-BIT (r7): 13-gram strings →
+    // poly-257+fmix64 longs (the g-chain), then Spark's
+    // Murmur3_x86_32.hashLong replayed in unsigned mod-2^32 arithmetic
+    // (mixK1 is seed-independent — computed once per word; the h1/h2
+    // chains differ only in seed), then the BloomFilterImplV2 probe
+    // schedule c_i = h1·(2^31-1) + i·h2 in signed 64-bit with bit-flip
+    // on negative, mod the word-padded bit size. A doc is dropped iff
+    // ≥1 of its grams probes all-bits-set against the union of benchmark
+    // gram bits — including any false positives, which is what makes
+    // this exact rather than "equals the exact pass at this scale".
+    // Probe-level equivalence proven by BloomProbeReplicaSpec.
+    "q_decontaminate_bloom" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |), gramt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct([array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)])
+        |    END AS grams
+        |  FROM toks
+        |), dg AS ( SELECT doc_id, unnest(grams) AS g FROM gramt
+        |), g0 AS (
+        |  SELECT doc_id, g,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      [ord(substring(g, i, 1))::HUGEINT FOR i IN range(1, length(g)+1)]),
+        |      (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) AS x
+        |  FROM dg
+        |), g1 AS ( SELECT doc_id, g, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM g0
+        |), g2 AS ( SELECT doc_id, g, (((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM g1
+        |), g3 AS ( SELECT doc_id, g, xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT AS x FROM g2
+        |), g4 AS ( SELECT doc_id, g, (((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x FROM g3
+        |), gh AS ( SELECT doc_id, xor(x::UBIGINT, x::UBIGINT >> 33) AS h FROM g4
+        |), hset AS ( SELECT DISTINCT h FROM gh
+        |), ma AS ( SELECT h, h % 4294967296::UBIGINT AS lo, h // 4294967296::UBIGINT AS hi FROM hset
+        |), mb AS ( SELECT h, (lo * 3432918353::UBIGINT) % 4294967296::UBIGINT AS klo, (hi * 3432918353::UBIGINT) % 4294967296::UBIGINT AS khi FROM ma
+        |), mc AS ( SELECT h, ((klo * 32768::UBIGINT) % 4294967296::UBIGINT) + (klo // 131072::UBIGINT) AS klo, ((khi * 32768::UBIGINT) % 4294967296::UBIGINT) + (khi // 131072::UBIGINT) AS khi FROM mb
+        |), md AS ( SELECT h, (klo * 461845907::UBIGINT) % 4294967296::UBIGINT AS klo, (khi * 461845907::UBIGINT) % 4294967296::UBIGINT AS khi FROM mc
+        |), h1a AS ( SELECT h, klo, khi, klo AS x FROM md
+        |), h1b AS ( SELECT h, klo, khi, ((x * 8192::UBIGINT) % 4294967296::UBIGINT) + (x // 524288::UBIGINT) AS x FROM h1a
+        |), h1c AS ( SELECT h, klo, khi, (x * 5::UBIGINT + 3864292196::UBIGINT) % 4294967296::UBIGINT AS x FROM h1b
+        |), h1d AS ( SELECT h, klo, khi, xor(x, khi) AS x FROM h1c
+        |), h1e AS ( SELECT h, klo, khi, ((x * 8192::UBIGINT) % 4294967296::UBIGINT) + (x // 524288::UBIGINT) AS x FROM h1d
+        |), h1f AS ( SELECT h, klo, khi, (x * 5::UBIGINT + 3864292196::UBIGINT) % 4294967296::UBIGINT AS x FROM h1e
+        |), h1g AS ( SELECT h, klo, khi, xor(x, 8::UBIGINT) AS x FROM h1f
+        |), h1h AS ( SELECT h, klo, khi, xor(x, x // 65536::UBIGINT) AS x FROM h1g
+        |), h1i AS ( SELECT h, klo, khi, (x * 2246822507::UBIGINT) % 4294967296::UBIGINT AS x FROM h1h
+        |), h1j AS ( SELECT h, klo, khi, xor(x, x // 8192::UBIGINT) AS x FROM h1i
+        |), h1k AS ( SELECT h, klo, khi, (x * 3266489909::UBIGINT) % 4294967296::UBIGINT AS x FROM h1j
+        |), h1z AS ( SELECT h, klo, khi, xor(x, x // 65536::UBIGINT) AS h1 FROM h1k
+        |), h2a AS ( SELECT h, khi, h1, xor(h1, klo) AS x FROM h1z
+        |), h2b AS ( SELECT h, khi, h1, ((x * 8192::UBIGINT) % 4294967296::UBIGINT) + (x // 524288::UBIGINT) AS x FROM h2a
+        |), h2c AS ( SELECT h, khi, h1, (x * 5::UBIGINT + 3864292196::UBIGINT) % 4294967296::UBIGINT AS x FROM h2b
+        |), h2d AS ( SELECT h, khi, h1, xor(x, khi) AS x FROM h2c
+        |), h2e AS ( SELECT h, khi, h1, ((x * 8192::UBIGINT) % 4294967296::UBIGINT) + (x // 524288::UBIGINT) AS x FROM h2d
+        |), h2f AS ( SELECT h, khi, h1, (x * 5::UBIGINT + 3864292196::UBIGINT) % 4294967296::UBIGINT AS x FROM h2e
+        |), h2g AS ( SELECT h, khi, h1, xor(x, 8::UBIGINT) AS x FROM h2f
+        |), h2h AS ( SELECT h, khi, h1, xor(x, x // 65536::UBIGINT) AS x FROM h2g
+        |), h2i AS ( SELECT h, khi, h1, (x * 2246822507::UBIGINT) % 4294967296::UBIGINT AS x FROM h2h
+        |), h2j AS ( SELECT h, khi, h1, xor(x, x // 8192::UBIGINT) AS x FROM h2i
+        |), h2k AS ( SELECT h, khi, h1, (x * 3266489909::UBIGINT) % 4294967296::UBIGINT AS x FROM h2j
+        |), hh AS ( SELECT h,
+        |    CASE WHEN h1 >= 2147483648::UBIGINT THEN h1::BIGINT - 4294967296 ELSE h1::BIGINT END AS h1s,
+        |    CASE WHEN xor(x, x // 65536::UBIGINT) >= 2147483648::UBIGINT
+        |         THEN xor(x, x // 65536::UBIGINT)::BIGINT - 4294967296
+        |         ELSE xor(x, x // 65536::UBIGINT)::BIGINT END AS h2s
+        |  FROM h2k
+        |), pos AS (
+        |  SELECT h, CASE WHEN h1s * 2147483647 + i.i * h2s < 0
+        |                 THEN -(h1s * 2147483647 + i.i * h2s) - 1
+        |                 ELSE h1s * 2147483647 + i.i * h2s END % $bloomOracleBitSize AS pos
+        |  FROM hh, (SELECT unnest(range(1, $bloomOracleK + 1)) AS i) i
+        |), bset AS (
+        |  SELECT DISTINCT pos FROM pos
+        |  WHERE h IN (SELECT DISTINCT h FROM gh WHERE doc_id % 50 = 0)
+        |), cmiss AS (
+        |  SELECT DISTINCT p.h FROM pos p LEFT JOIN bset b USING (pos) WHERE b.pos IS NULL
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM gh WHERE h NOT IN (SELECT h FROM cmiss)
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
