@@ -1023,10 +1023,12 @@ object SparkEntry {
     }),
 
     // §2.6 substring dedup (Lee et al. 2021 semantics via winnowing
-    // anchors + extension verify — murmur token hashes aren't
-    // SQL-expressible -> rows-only; exact semantics spec-tested with
-    // planted runs). minLen=30 so the synthetic corpus (shortish docs
-    // sharing sampled sentences) actually exhibits duplicated runs.
+    // anchors + extension verify). HASH-EXACT since r7: token hashes are
+    // poly-257+fmix64 and the gram fold / robust-winnowing window min /
+    // greedy extension are all plain arithmetic, so the DuckDB oracle
+    // replays the whole pipeline. minLen=30 so the synthetic corpus
+    // (shortish docs sharing sampled sentences) actually exhibits
+    // duplicated runs.
     "q_substring_dedup" -> ((s, dir) => {
       Dedup.substringDedup(Tables.load(s, dir, "documents"),
         "doc_id", "text", minLen = 30, k = 10)
@@ -2171,6 +2173,109 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Substring dedup replayed end-to-end (r7): per-token poly-257+fmix64
+    // hashes (th-chain), k=10-gram FNV-1a-style folds over token hashes
+    // (64-bit wrapping multiply via 32-bit split), robust winnowing
+    // (Schleimer et al. 2003) as a sliding-window unsigned min with
+    // rightmost tie-break (w=21; short docs take one window), global
+    // first-winner anchors (min (doc,pos) per hash, bucket cap 1000),
+    // greedy left/right extension on token hashes, the same-doc
+    // keep-one-period adjustment, distinct cut ranges, and the in-place
+    // token rebuild with an md5 digest. Matches the Spark output
+    // bit-for-bit at sf0.01 including fully-emptied docs.
+    "q_substring_dedup" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |), th0 AS (
+        |  SELECT doc_id, t,
+        |    [list_reduce(list_prepend(0::HUGEINT,
+        |       [ord(substring(tok, i, 1))::HUGEINT FOR i IN range(1, length(tok)+1)]),
+        |       (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) FOR tok IN t] AS h
+        |  FROM toks
+        |), th1 AS ( SELECT doc_id, t, [xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT FOR x IN h] AS h FROM th0
+        |), th2 AS ( SELECT doc_id, t, [(((x // 4294967296) * 18397679294719823053::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT FOR x IN h] AS h FROM th1
+        |), th3 AS ( SELECT doc_id, t, [xor(x::UBIGINT, x::UBIGINT >> 33)::HUGEINT FOR x IN h] AS h FROM th2
+        |), th4 AS ( SELECT doc_id, t, [(((x // 4294967296) * 14181476777654086739::HUGEINT) % 4294967296 * 4294967296 + (x % 4294967296) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT FOR x IN h] AS h FROM th3
+        |), tokh AS ( SELECT doc_id, t, [xor(x::UBIGINT, x::UBIGINT >> 33) FOR x IN h] AS th FROM th4
+        |), graml AS (
+        |  SELECT doc_id, th,
+        |    CASE WHEN len(th) - 10 + 1 <= 0 THEN []
+        |    ELSE [list_reduce(list_prepend(14695981039346656037::HUGEINT, th[i+1:i+10]),
+        |            (acc, hh) -> (((xor(acc::UBIGINT, hh)::HUGEINT // 4294967296) * 1099511628211::HUGEINT) % 4294967296 * 4294967296
+        |                          + (xor(acc::UBIGINT, hh)::HUGEINT % 4294967296) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT
+        |          FOR i IN range(0, len(th) - 10 + 1)] END AS g
+        |  FROM tokh
+        |), grams AS (
+        |  SELECT doc_id, i.i AS p, g[i.i + 1] AS gh
+        |  FROM graml, (SELECT unnest(range(0, 100000)) AS i) i
+        |  WHERE i.i < len(g)
+        |), ndoc AS ( SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), wmin AS (
+        |  SELECT doc_id, p, min(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS m
+        |  FROM grams
+        |), sel_long AS (
+        |  SELECT w.doc_id, max(q.p) AS pos
+        |  FROM wmin w JOIN grams q ON q.doc_id = w.doc_id AND q.p BETWEEN w.p - 20 AND w.p AND q.gh = w.m
+        |  WHERE w.p >= 20
+        |  GROUP BY w.doc_id, w.p
+        |), sel_short AS (
+        |  SELECT g.doc_id, max(g.p) AS pos
+        |  FROM grams g JOIN ndoc nd USING (doc_id)
+        |  WHERE nd.n < 21 AND g.gh = (SELECT min(gh) FROM grams x WHERE x.doc_id = g.doc_id)
+        |  GROUP BY g.doc_id
+        |), anchors AS (
+        |  SELECT DISTINCT s.doc_id AS doc, s.pos, g.gh AS hash
+        |  FROM (SELECT * FROM sel_long UNION SELECT * FROM sel_short) s
+        |  JOIN grams g ON g.doc_id = s.doc_id AND g.p = s.pos
+        |), winners AS (
+        |  SELECT hash, doc AS w_doc, pos AS w_pos FROM (
+        |    SELECT hash, doc, pos,
+        |      row_number() OVER (PARTITION BY hash ORDER BY doc, pos) AS rk,
+        |      count(*) OVER (PARTITION BY hash) AS cnt
+        |    FROM anchors)
+        |  WHERE rk = 1 AND cnt > 1 AND cnt <= 1000
+        |), cand AS (
+        |  SELECT a.doc, a.pos, w.w_doc, w.w_pos
+        |  FROM anchors a JOIN winners w USING (hash)
+        |  WHERE NOT (a.doc = w.w_doc AND a.pos = w.w_pos)
+        |), ext AS (
+        |  SELECT c.doc, c.pos, c.w_doc, c.w_pos,
+        |    coalesce(( SELECT min(j.j) FROM (SELECT unnest(range(1, least(c.pos, c.w_pos) + 1)) AS j) j
+        |               WHERE tl.th[c.pos - j.j + 1] <> tw.th[c.w_pos - j.j + 1] ) - 1,
+        |             least(c.pos, c.w_pos)) AS ml,
+        |    coalesce(( SELECT min(j.j) FROM (SELECT unnest(range(0, least(len(tl.th) - c.pos - 10, len(tw.th) - c.w_pos - 10))) AS j) j
+        |               WHERE tl.th[c.pos + 10 + j.j + 1] <> tw.th[c.w_pos + 10 + j.j + 1] ),
+        |             least(len(tl.th) - c.pos - 10, len(tw.th) - c.w_pos - 10)) AS mr
+        |  FROM cand c
+        |  JOIN tokh tl ON tl.doc_id = c.doc
+        |  JOIN tokh tw ON tw.doc_id = c.w_doc
+        |), spans AS (
+        |  SELECT doc, pos, w_doc, w_pos, pos - ml AS s0, (pos + 10 + mr) - (pos - ml) AS len
+        |  FROM ext
+        |), ranges1 AS (
+        |  SELECT DISTINCT doc,
+        |    CASE WHEN doc = w_doc THEN greatest(s0, (s0 + len) - (pos - w_pos)) ELSE s0 END AS s,
+        |    s0 + len AS e
+        |  FROM spans
+        |  WHERE len >= 30
+        |), cut AS (
+        |  SELECT doc, list([s, e]) AS cuts
+        |  FROM ranges1 WHERE e > s GROUP BY doc
+        |), rebuilt AS (
+        |  SELECT t.doc_id, len(t.t) AS n_tokens,
+        |    CASE WHEN c.cuts IS NULL THEN t.t
+        |         ELSE list_filter(t.t, (x, i) ->
+        |           len(list_filter(c.cuts, r -> i - 1 >= r[1] AND i - 1 < r[2])) = 0) END AS kept
+        |  FROM tokh t LEFT JOIN cut c ON c.doc = t.doc_id
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(len(kept) AS INTEGER) AS n_kept_tokens,
+        |  CAST(n_tokens - len(kept) AS INTEGER) AS n_removed_tokens,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_digest
+        |FROM rebuilt
         |ORDER BY doc_id""".stripMargin,
 
     // a full default fraction compares against 'g' (above any hex
