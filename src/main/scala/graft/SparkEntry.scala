@@ -445,12 +445,18 @@ object SparkEntry {
         .orderBy("q_id", "rnk")
     }),
 
-    // §2.6 IVF ANN: KMeans coarse quantizer + nProbe cell probing
-    // (rows-only; recall vs brute force is spec-tested)
+    // §2.6 IVF ANN: KMeans coarse quantizer + nProbe cell probing.
+    // HASH-EXACT since r7 by probing ALL cells (nProbe = nLists): every
+    // (query, vector) pair then flows through assignment → cell routing →
+    // exact rerank exactly once, so the result provably equals the exact
+    // top-k whatever the kmeans draw — the oracle gates the whole IVF
+    // execution path (a dropped cell, mis-routed vector, or duplicate
+    // join row breaks equality). Pruned-nProbe recall and the 10x scale
+    // curve stay covered by IvfIndexSpec + SCALE_r7's ann_ivf point.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, nLists = 8, nProbe = 4)
+          k = 10, nLists = 8, nProbe = 8)
         .orderBy("q_id", "rnk")
     }),
 
@@ -1160,7 +1166,8 @@ object SparkEntry {
   }
 
   /** DuckDB-equivalent SQL per query (same tables, same column names,
-    * same ORDER BY). Omitted keys (e.g. q_ann_ivf) get a rows-only check.
+    * same ORDER BY). Since r7 every driver query has an oracle — an
+    * omitted key would fall back to a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     // LSH ANN: signatures + band candidates + exact-cosine ranking,
@@ -1439,6 +1446,25 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(q.qe, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, embeddings c),
+        |r AS (SELECT q_id, n_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INTEGER) AS rnk
+        |      FROM s)
+        |SELECT q_id, n_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // IVF with nProbe = nLists is provably the exact ranking (every pair
+    // scored once), so the oracle is the same exact-cosine top-k the
+    // brute-force query uses — equality exercises the assign/route/rerank
+    // plumbing end-to-end.
+    "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |s AS (
         |  SELECT q.q_id, c.vec_id AS n_id,
