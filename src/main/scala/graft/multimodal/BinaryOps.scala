@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * `javax.imageio.ImageIO` ([[decodeJpeg]]/[[decodeImageRgb]] — the JDK
   * ships these codecs), and WAV PCM samples via
   * `javax.sound.sampled.AudioSystem` ([[decodeWav]], any PCM sub-format
-  * normalized to 16-bit signed LE). Video frame decode is the one family
-  * with no JDK codec (H.264 etc. need native libraries this container
-  * doesn't ship) — frame *sampling* operates on header metadata
+  * normalized to 16-bit signed LE). Video: MJPEG-in-AVI decodes for REAL
+  * ([[decodeAvi]] walks the RIFF container, [[decodeVideoFrames]] decodes
+  * sampled frames to RGB888 through the JDK JPEG codec); inter-frame
+  * codecs (H.264 etc.) need native libraries this container doesn't ship,
+  * so for those frame *sampling* operates on header metadata
   * ([[sampleFrames]]) and the decode seam is the same batched
   * mapPartitions shape the image/audio paths use.
   */
@@ -96,6 +98,12 @@ object BinaryOps {
     // BMP: "BM", BITMAPINFOHEADER width@18 (4 LE), height@22 (4 LE)
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       return Row("image/bmp", u32le(b, 18), math.abs(u32le(b, 22)), 1)
+    // AVI: "RIFF"...."AVI ", dims + frame count from the avih header
+    if (b.length >= 24 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      return decodeAvi(b).map { case (w, h, total, frames) =>
+        Row("video/avi", w, h, if (total > 0) total else frames.length)
+      }.orNull
     // WAV: "RIFF"...."WAVE", then chunk scan for "fmt " and "data"
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
         && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
@@ -419,6 +427,111 @@ object BinaryOps {
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nFrames * channels) { bb.putShort(sample(i)); i += 1 }
+    bb.array()
+  }
+
+  // ---------- real MJPEG/AVI video decode (RIFF walk + ImageIO, JDK-only) ----------
+
+  /** Parse an AVI (RIFF) container: (width, height, total-frame count
+    * from `avih`, per-frame compressed payloads in stream order from the
+    * `movi` list). MJPEG payloads ('NNdc'/'NNdb' chunks holding JPEG
+    * bytes) are what the JDK can then decode — the one video family
+    * fully readable without native codec libraries. Returns None for
+    * non-AVI input. Chunk ids inside `idx1` are data, not chunks — the
+    * walk never recurses into non-LIST chunks, so indexes are skipped.
+    */
+  private[graft] def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    if (b == null || b.length < 24 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
+        || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
+    var w = 0; var h = 0; var total = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = u32le(b, i + 4)
+        val body = i + 8
+        val bodyEnd = math.min(end, body + len)
+        if (id == "LIST" && len >= 4) walk(body + 4, bodyEnd)
+        else if (id == "avih" && len >= 40) {
+          total = u32le(b, body + 16); w = u32le(b, body + 32); h = u32le(b, body + 36)
+        } else if (len > 0 && id.length == 4 && id(0).isDigit && id(1).isDigit
+            && (id.substring(2) == "dc" || id.substring(2) == "db"))
+          frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+        i = body + len + (len & 1)
+      }
+    }
+    walk(12, math.min(b.length, 8 + u32le(b, 4)))
+    if (w > 0 && h > 0) Some((w, h, total, frames.result())) else None
+  }
+
+  /** One decoded video frame (stream index + raw RGB888 pixels). */
+  case class VideoFrame(frame_idx: Int, width: Int, height: Int, rgb: Array[Byte])
+
+  /** REAL video frame decode for MJPEG AVI: stride-sample the container's
+    * frames and decode each sampled JPEG payload to raw RGB888. Output is
+    * an array<struct> column the caller explodes — the video →
+    * training-frames shape with actual pixels (cf. [[sampleFrames]],
+    * which strides on header metadata only and works for any container).
+    */
+  def decodeVideoFrames(df: DataFrame, binCol: String, outCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeAvi(bytes).map { case (_, _, _, frames) =>
+        (0 until frames.length by stride).flatMap { i =>
+          decodeImageRgbBytes(frames(i)).map { case (fw, fh, rgb) =>
+            VideoFrame(i, fw, fh, rgb)
+          }
+        }
+      }.orNull
+    }
+    df.withColumn(outCol, f(col(binCol)))
+  }
+
+  /** Deterministic MJPEG AVI synthesis (RIFF writer): `nFrames` JPEG
+    * frames of [[rawRgbFrame]] content (seed = frame index) in a minimal
+    * but spec-complete container (hdrl with avih + vids/MJPG strl, movi
+    * with word-aligned 00dc chunks). The inverse of [[decodeAvi]].
+    */
+  def fakeAvi(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val jpegs = (0 until nFrames).map(i => encodeImage("jpg", w, h, rawRgbFrame(w, h, i)))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (if odd) stays zero
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.map(_.length).sum
+      val bb = ByteBuffer.allocate(12 + inner).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + inner).put(listType.getBytes("US-ASCII"))
+      bodies.foreach(bb.put)
+      bb.array()
+    }
+    val maxJpeg = if (jpegs.isEmpty) 0 else jpegs.map(_.length).max
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(33333).putInt(0).putInt(0).putInt(0) // usec/frame, maxBytesPerSec, padding, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(maxJpeg) // totalFrames, initial, streams, sugBuf
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      .putInt(1).putInt(30).putInt(0).putInt(nFrames) // scale, rate, start, length
+      .putInt(maxJpeg).putInt(-1).putInt(0) // sugBuf, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array() // rcFrame
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)))
+    val inner = hdrl.length + movi.length
+    val bb = ByteBuffer.allocate(12 + inner).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + inner).put("AVI ".getBytes("US-ASCII"))
+    bb.put(hdrl).put(movi)
     bb.array()
   }
 
