@@ -140,17 +140,30 @@ object BinaryOps {
     }
   }
 
-  /** "Resize": deterministic stub that rewrites the header to the target
-    * size and truncates/pads the payload — real implementations swap the
-    * body; the batching and schema contract are identical.
+  /** Resize a binary image column to (outW, outH): real images
+    * (PNG/JPEG/GIF/BMP) decode through the JDK codecs, resample
+    * nearest-neighbor ([[resizeNearest]]), and re-encode in their
+    * original container format; the Graft fake test container rewrites
+    * its header (its payload is synthetic). Non-image or undecodable
+    * payloads become null.
     */
   def resize(df: DataFrame, binCol: String, outW: Int, outH: Int): DataFrame = {
     val resizeUdf = udf { (bytes: Array[Byte]) =>
-      if (bytes == null || bytes.length < 16) null
+      if (bytes == null || bytes.length < 4) null
+      else if (bytes.length >= 16
+          && java.nio.ByteBuffer.wrap(bytes).getInt(0) == 0x47524654)
+        fakeImage(outW, outH, java.nio.ByteBuffer.wrap(bytes).getInt(12))
       else {
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        if (bb.getInt() != 0x47524654) null
-        else { bb.getInt(); bb.getInt(); val frames = bb.getInt(); fakeImage(outW, outH, frames) }
+        val fmt =
+          if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+          else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpg"
+          else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+          else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+          else null
+        if (fmt == null) null
+        else decodeImageRgbBytes(bytes).map { case (w, h, rgb) =>
+          encodeImage(fmt, outW, outH, resizeNearest(rgb, w, h, outW, outH))
+        }.orNull
       }
     }
     df.withColumn(binCol, resizeUdf(col(binCol)))

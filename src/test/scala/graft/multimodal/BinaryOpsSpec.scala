@@ -63,6 +63,26 @@ class BinaryOpsSpec extends SparkSpec {
     assert(m1.getInt(1) == 2 && m1.getInt(2) == 2 && m1.getInt(3) == 10) // frames kept
   }
 
+  test("resize is REAL for JDK-decodable images: decode, resample, re-encode") {
+    import spark.implicits._
+    val srcRgb = BinaryOps.rawRgbFrame(4, 4)
+    val png = BinaryOps.encodeImage("png", 4, 4, srcRgb)
+    val jpg = BinaryOps.encodeImage("jpg", 4, 4, srcRgb)
+    val df = Seq((1L, png), (2L, jpg), (3L, Array[Byte](1, 2, 3, 4))).toDF("id", "content")
+    val out = BinaryOps.resize(df, "content", 2, 2).orderBy("id").collect()
+    // PNG is lossless: resized pixels must equal resizeNearest of the source
+    val Some((pw, ph, prgb)) = BinaryOps.decodeImageRgbBytes(out(0).getAs[Array[Byte]](1))
+    assert((pw, ph) == (2, 2))
+    assert(java.util.Arrays.equals(prgb, BinaryOps.resizeNearest(srcRgb, 4, 4, 2, 2)))
+    // JPEG keeps its container and the new dimensions
+    val jb = out(1).getAs[Array[Byte]](1)
+    assert((jb(0) & 0xff) == 0xff && (jb(1) & 0xff) == 0xd8)
+    val Some((jw, jh, _)) = BinaryOps.decodeImageRgbBytes(jb)
+    assert((jw, jh) == (2, 2))
+    // non-image payloads become null
+    assert(out(2).isNullAt(1))
+  }
+
   test("sampleFrames explodes stride-sampled frame indices") {
     val withMeta = BinaryOps.decodeMeta(media.where($"media_id" === 1L), "content", "meta")
     val frames = BinaryOps.sampleFrames(withMeta, "meta", stride = 3)
