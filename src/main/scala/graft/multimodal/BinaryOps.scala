@@ -99,10 +99,11 @@ object BinaryOps {
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       return Row("image/bmp", u32le(b, 18), math.abs(u32le(b, 22)), 1)
     // AVI: "RIFF"...."AVI ", dims + frame count from the avih header
+    // (metadata-only walk: no frame-byte copies)
     if (b.length >= 24 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
         && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
-      return decodeAvi(b).map { case (w, h, total, frames) =>
-        Row("video/avi", w, h, if (total > 0) total else frames.length)
+      return aviWalk(b, copyFrames = false).map { case (w, h, total, nChunks, _) =>
+        Row("video/avi", w, h, if (total > 0) total else nChunks)
       }.orNull
     // WAV: "RIFF"...."WAVE", then chunk scan for "fmt " and "data"
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
@@ -453,29 +454,45 @@ object BinaryOps {
     * non-AVI input. Chunk ids inside `idx1` are data, not chunks — the
     * walk never recurses into non-LIST chunks, so indexes are skipped.
     */
-  private[graft] def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+  private[graft] def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] =
+    aviWalk(b, copyFrames = true).map { case (w, h, total, _, frames) =>
+      (w, h, total, frames)
+    }
+
+  /** Shared RIFF walk. `copyFrames = false` is the metadata-only pass
+    * ([[sniffMeta]]): counts frame chunks without copying their bytes —
+    * a metadata scan over large videos must stay allocation-light.
+    * Negative or truncated chunk sizes (malformed input) stop the walk
+    * instead of looping.
+    */
+  private def aviWalk(b: Array[Byte], copyFrames: Boolean)
+      : Option[(Int, Int, Int, Int, Vector[Array[Byte]])] = {
     if (b == null || b.length < 24 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F'
         || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
-    var w = 0; var h = 0; var total = 0
+    var w = 0; var h = 0; var total = 0; var nChunks = 0
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var i = start
       while (i + 8 <= end) {
         val id = new String(b, i, 4, "US-ASCII")
         val len = u32le(b, i + 4)
+        if (len < 0) return // >2 GiB or corrupt size: malformed, stop
         val body = i + 8
         val bodyEnd = math.min(end, body + len)
         if (id == "LIST" && len >= 4) walk(body + 4, bodyEnd)
-        else if (id == "avih" && len >= 40) {
+        else if (id == "avih" && len >= 40 && body + 40 <= b.length) {
           total = u32le(b, body + 16); w = u32le(b, body + 32); h = u32le(b, body + 36)
         } else if (len > 0 && id.length == 4 && id(0).isDigit && id(1).isDigit
-            && (id.substring(2) == "dc" || id.substring(2) == "db"))
-          frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+            && (id.substring(2) == "dc" || id.substring(2) == "db")) {
+          nChunks += 1
+          if (copyFrames) frames += java.util.Arrays.copyOfRange(b, body, bodyEnd)
+        }
         i = body + len + (len & 1)
       }
     }
-    walk(12, math.min(b.length, 8 + u32le(b, 4)))
-    if (w > 0 && h > 0) Some((w, h, total, frames.result())) else None
+    val riffLen = u32le(b, 4)
+    walk(12, if (riffLen < 0) b.length else math.min(b.length, 8 + riffLen))
+    if (w > 0 && h > 0) Some((w, h, total, nChunks, frames.result())) else None
   }
 
   /** One decoded video frame (stream index + raw RGB888 pixels). */

@@ -38,6 +38,18 @@ class AviDecodeSpec extends SparkSpec {
     }
   }
 
+  test("malformed chunk sizes terminate the walk instead of looping") {
+    // a chunk claiming len 0xFFFFFFFF (negative as i32) must not hang or throw
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24).put("AVI ".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(-1) // corrupt size
+    assert(BinaryOps.decodeAvi(bb.array()).isEmpty)
+    // truncated container: declared RIFF size exceeds the byte array
+    val ok = BinaryOps.fakeAvi(8, 8, 2)
+    val truncated = java.util.Arrays.copyOf(ok, ok.length / 2)
+    BinaryOps.decodeAvi(truncated) // must return (possibly fewer frames), not throw
+  }
+
   test("sniffMeta reports video/avi with avih dims and frame count") {
     val meta = BinaryOps.sniffMeta(BinaryOps.fakeAvi(16, 8, 3))
     assert(meta.getString(0) == "video/avi")
