@@ -1097,10 +1097,15 @@ object Pipeline {
           multiIn.map(catalog(_)).reduce(_.unionByName(_, allowMissingColumns = true))
         else catalog(in)
       // env.checkpoint.interval (ms) maps onto the micro-batch trigger —
-      // the closest Spark analog of the reference's checkpoint cadence
+      // the closest Spark analog of the reference's checkpoint cadence —
+      // but only at micro-batch timescales. The reference paces
+      // CHECKPOINTS with it, not data: its biginterval IT sets the
+      // interval near Int.MaxValue and still expects rows to flow
+      // immediately, so a huge interval keeps the default (continuous)
+      // trigger instead of stalling the stream for days.
       def triggered(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =
-        job.env.get("checkpoint.interval").fold(w)(ms =>
-          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms.toLong)))
+        job.env.get("checkpoint.interval").map(_.toLong).filter(_ <= 300000L).fold(w)(ms =>
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
       s.plugin match {
         case "Console" =>
           triggered(df.writeStream.format("console")

@@ -134,6 +134,51 @@ class StreamingConfigSpec extends SparkSpec {
     assert(catalog("fake").count() == 100)
   }
 
+  private val engineServer =
+    "/root/reference/seatunnel-engine/seatunnel-engine-server/src/test/resources/"
+
+  /** Console-family configs: run verbatim, wait for rows through EVERY
+    * query (these configs fan out to one query per sink).
+    */
+  private def runConsoleConfig(path: String, expectQueries: Int): Unit = {
+    val job = Pipeline.parseHocon(load(path))
+    assert(job.isStreaming)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      assert(queries.length == expectQueries,
+        s"expected $expectQueries streaming queries, got ${queries.length}")
+      val deadline = System.currentTimeMillis() + 45000
+      def flowed = queries.map(q => q.recentProgress.map(_.numInputRows).sum)
+      while (flowed.exists(_ == 0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      queries.foreach(q => assert(q.exception.isEmpty, s"query failed: ${q.exception}"))
+      assert(flowed.forall(_ > 0), s"rows per query: $flowed")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("reference engine-server stream_fake_to_console.conf runs verbatim " +
+      "(TWO independent FakeSources each to their own console query)") {
+    runConsoleConfig(engineServer + "stream_fake_to_console.conf", expectQueries = 2)
+  }
+
+  test("reference engine-server stream_fake_to_console_with_checkpoint.conf runs " +
+      "verbatim (parallelism 2, 1s checkpoint interval)") {
+    runConsoleConfig(engineServer + "stream_fake_to_console_with_checkpoint.conf",
+      expectQueries = 1)
+  }
+
+  test("reference engine-server stream_fake_to_console_biginterval.conf runs verbatim " +
+      "(checkpoint.interval near Int.MaxValue ms must not overflow the trigger)") {
+    runConsoleConfig(engineServer + "stream_fake_to_console_biginterval.conf",
+      expectQueries = 1)
+  }
+
+  test("reference engine-client streaming_fake_to_console.conf runs verbatim " +
+      "(no checkpoint.interval: default trigger; lowercase console sink)") {
+    runConsoleConfig("/root/reference/seatunnel-engine/seatunnel-engine-client/" +
+      "src/test/resources/streaming_fake_to_console.conf", expectQueries = 1)
+  }
+
   test("STREAMING FakeSource feeds a Memory sink with deterministic generated fields") {
     val conf =
       """env { job.mode = "STREAMING" }
