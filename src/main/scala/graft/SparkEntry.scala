@@ -910,6 +910,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 image near-dup via perceptual hash — HASH-EXACT: images are
+    // lossless PNGs of a closed-form 9x8 gray pattern (r=g=b makes the
+    // BT.601 luma the pixel value exactly, and a 9x8 source makes the
+    // dHash grid sampling the identity), consecutive doc_ids share a base
+    // pattern with a few perturbed pixels (the planted near-dups), and
+    // every stage — dHash bits, 11 pigeonhole bands, bucket cap, hamming
+    // verify, greedy drop — is integer arithmetic DuckDB replays
+    // independently.
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.multimodal.BinaryOps
+      val mkPng = udf((id: Long) => {
+        val grp = (id / 2).toInt
+        val odd = id % 2 == 1
+        val px = new Array[Byte](72 * 3)
+        var i = 0
+        while (i < 72) {
+          var v = (i * i * 3 + i * (grp % 97) + grp * 11) % 256
+          if (odd && (i * 7 + grp) % 13 == 0) v = (v + 5) % 256
+          px(i * 3) = v.toByte; px(i * 3 + 1) = v.toByte; px(i * 3 + 2) = v.toByte
+          i += 1
+        }
+        BinaryOps.encodeImage("png", 9, 8, px)
+      })
+      val imgs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), mkPng(col("doc_id")).as("img"))
+      val pairs = Dedup.imageNearDupPairs(imgs, "doc_id", "img", maxHamming = 10)
+      Dedup.dropNearDups(imgs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
+    }),
+
     // §2.6 Gopher-rule corpus filter (published recipe; every feature is
     // integer-ratio arithmetic, so DuckDB reproduces the doubles exactly)
     "q_gopher_filter" -> ((s, dir) => {
@@ -2404,6 +2433,47 @@ object SparkEntry {
         |  g.avi_digest, CAST(3 AS INTEGER) AS avi_frames
         |FROM documents d JOIN g ON d.doc_id % 16 = g.m
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full independent dHash near-dup recompute: the closed-form 9x8 gray
+    // pixels, 64 right-neighbor comparisons, maxHamming+1=11 pigeonhole
+    // bands (same i*64/11 offset arithmetic as Dedup.imageNearDupPairs),
+    // 1000-cap buckets, hamming<=10 verify, greedy id_b drop.
+    "q_image_neardup" -> {
+      val bandRows = (0 until 11).map { i =>
+        val off = i * 64 / 11
+        val width = (i + 1) * 64 / 11 - off
+        s"($i, $off, ${(1L << width) - 1})"
+      }.mkString(", ")
+      raw"""WITH px AS (
+        |  SELECT d.doc_id, i.i,
+        |    ((i.i*i.i*3 + i.i*((d.doc_id//2) % 97) + (d.doc_id//2)*11) % 256
+        |      + CASE WHEN d.doc_id % 2 = 1 AND (i.i*7 + d.doc_id//2) % 13 = 0 THEN 5 ELSE 0 END) % 256 AS v
+        |  FROM documents d, (SELECT unnest(range(0, 72)) AS i) i
+        |), grid AS (
+        |  SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r, (SELECT unnest(range(0, 8)) AS c) c
+        |), sigs AS (
+        |  SELECT p0.doc_id,
+        |    sum(CASE WHEN p1.v > p0.v THEN (1::UBIGINT << (g.r*8 + g.c))::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS sig
+        |  FROM grid g
+        |  JOIN px p0 ON p0.i = g.r*9 + g.c
+        |  JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.i = g.r*9 + g.c + 1
+        |  GROUP BY p0.doc_id
+        |), bands AS (
+        |  SELECT doc_id, sig, b.band_idx, (sig >> b.off) & b.mask::UBIGINT AS band_val
+        |  FROM sigs, (VALUES $bandRows) b(band_idx, off, mask)
+        |), capped AS (
+        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_idx, band_val) <= 1000
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM capped a JOIN capped b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id
+        |), close_pairs AS (
+        |  SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 10
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM close_pairs c WHERE c.id_b = d.doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pii_redact" ->
       """SELECT doc_id, right(

@@ -227,6 +227,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Image near-dup pairs via perceptual hashing: each image folds to a
+    * 64-bit dHash ([[graft.multimodal.BinaryOps.dHash64]]) at decode time
+    * — 8 bytes per image enter the plan, never pixels — then the same
+    * pigeonhole band blocking as [[simHashPairs]] finds candidates:
+    * `maxHamming + 1` contiguous bit-ranges of the signature (two hashes
+    * within `maxHamming` bits MUST agree on at least one whole band), a
+    * bucket cap bounds degenerate content (e.g. solid-color images), and
+    * the exact popcount verifies. Returns (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    val offsets = (0 to nBands).map(i => i * 64 / nBands)
+    val sigs = graft.multimodal.BinaryOps
+      .imageDHash(df.select(col(idCol).as("doc"), col(binCol)), binCol, "sig")
+      .where(col("sig").isNotNull)
+      .select(col("doc"), col("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+        explode(array((0 until nBands).map(i =>
+          struct(lit(i).as("band_idx"),
+            shiftrightunsigned(col("sig"), offsets(i))
+              .bitwiseAND(lit((1L << (offsets(i + 1) - offsets(i))) - 1)).as("band_val"))): _*)).as("b"))
+      .select(col("doc"), col("sig"), col("b.band_idx"), col("b.band_val"))
+      .graftPersist
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
+
+    val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   // ---------- n-gram jaccard (inverted index join) ----------
 
   /** Pairwise n-gram Jaccard via a PREFIX-FILTERED inverted-index join

@@ -623,6 +623,47 @@ object BinaryOps {
         col(s"$metaCol.n_frames").as("n_frames")))
   }
 
+  /** Classic 64-bit difference hash (dHash) of a raw RGB888 buffer: the
+    * image is sampled onto a 9-wide x 8-tall grayscale grid (nearest
+    * neighbor, same index arithmetic as [[resizeNearest]]; BT.601 integer
+    * luma, same as [[toGrayscale]]) and bit r*8+c is set iff the grid cell
+    * to the right is strictly brighter. Near-duplicate images — resizes,
+    * re-encodes, small edits — land within a few bits of Hamming distance,
+    * so image near-dup reduces to the same banded signature blocking the
+    * text family uses. All-integer arithmetic, so an independent engine
+    * can recompute hashes exactly (the `q_image_neardup` oracle does).
+    */
+  private[graft] def dHash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      val sy = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val i0 = (sy * w + c * w / 9) * 3
+        val i1 = (sy * w + (c + 1) * w / 9) * 3
+        val g0 = (77 * (rgb(i0) & 0xff) + 150 * (rgb(i0 + 1) & 0xff) + 29 * (rgb(i0 + 2) & 0xff)) >> 8
+        val g1 = (77 * (rgb(i1) & 0xff) + 150 * (rgb(i1 + 1) & 0xff) + 29 * (rgb(i1 + 2) & 0xff)) >> 8
+        if (g1 > g0) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash column: decode (PNG/JPEG/GIF/BMP) and fold straight
+    * to the 64-bit dHash in one row pass — 8 bytes out per image, so the
+    * downstream near-dup plan never carries pixel buffers through an
+    * exchange. Null for non-image / undecodable payloads.
+    */
+  def imageDHash(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeImageRgbBytes(bytes).map { case (w, h, rgb) => dHash64(rgb, w, h) }
+    }
+    df.withColumn(outCol, f(col(binCol)))
+  }
+
   /** BT.601 integer luma: raw RGB888 -> single-channel grayscale bytes. */
   def toGrayscale(df: DataFrame, binCol: String, outCol: String): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>
