@@ -15,11 +15,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read nanos as epoch-nanos LongType instead
-    // (convert with nsToTimestamp where event-time semantics are needed).
+    // events.parquet has carried TIMESTAMP(NANOS) (rejected by Spark's
+    // reader unless nanosAsLong) and timestamp[us] across testdata
+    // regenerations. Contract for all downstream operators: `ts` is
+    // epoch-nanos LongType, whatever the file stores. nanosAsLong covers
+    // the NANOS encoding; the match below converts timestamp readings
+    // (micros * 1000 — exact; session timezone is UTC everywhere, so the
+    // NTZ->TZ cast is the identity on the stored value).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** Epoch-nanos long → timestamp (microsecond precision). */
