@@ -1,10 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver benchmark: every SparkEntry query, median of n reps, one compact
+  * JSON line on stdout.
+  *
+  * Two hard-won rules shape the output format:
+  *   - A query that crashes is NOT a measurement. Each rep records
+  *     success/failure; a query with no successful rep is excluded from the
+  *     composite and reported in "errors"/"error_queries" instead (the r7
+  *     artifact silently timed 4 analysis exceptions as if they ran).
+  *   - The driver captures a bounded tail of stdout, so the stdout line must
+  *     stay small: values rounded to ms, no per-rep arrays inline. The full
+  *     per-rep detail (host-stall outliers are visible there) goes to
+  *     SPARK_GRAFT_BENCH_DETAIL (default /tmp/graft_bench_detail.json) —
+  *     the r6/r7 driver artifacts were unparseable because the detail-laden
+  *     line outgrew the capture window.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,33 +36,51 @@ object Bench {
     // JVM/session warm-up outside the timed region (codegen, block manager,
     // shuffle machinery) so the first query doesn't absorb startup cost.
     spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
-    // n reps per query, report the median — single runs swing up to 2x on
-    // this box (GC, first-compile of the plan's generated code). The data
-    // cache is cleared between reps, so every rep recomputes from parquet;
-    // the median measures the plan, not cache reuse.
-    val raw = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // n reps per query, report the median of the SUCCESSFUL reps — single
+    // runs swing up to 2x on this box (GC, first-compile of the plan's
+    // generated code). The data cache is cleared between reps, so every rep
+    // recomputes from parquet; the median measures the plan, not cache reuse.
+    val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
         GraftCaches.releaseAll(spark) // drop tracked intermediates + registry
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      name -> times
+      (name, runs)
     }
-    val results = raw.map { case (name, times) =>
-      val s = times.sorted; name -> s(s.length / 2)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (ok, bad) = raw.partition { case (_, runs) => runs.exists(_._2.isEmpty) }
+    val results = ok.map { case (name, runs) =>
+      val s = runs.collect { case (t, None) => t }.sorted
+      name -> s(s.length / 2)
+    }.sortBy(_._1)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // per-rep arrays in execution order: host-stall outliers are visible
-    // inside the artifact itself (this box stalls intermittently — the
-    // r4-r6 judges adjudicated phantom driver-bench spikes every round)
-    val repsDetail = raw.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    val errNames = bad.map(_._1).sorted
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""n_queries":${results.size},"errors":${errNames.size},""" +
+      s""""error_queries":[${errNames.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""reps":$reps,"sf":"$sfDir"}"""
+    // Full per-rep detail + error messages, execution order, to a side file.
+    val repsDetail = raw.map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map {
+        case (t, None)    => f"$t%.3f"
+        case (t, Some(m)) => "{\"t\":" + f"$t%.3f" + ",\"err\":\"" +
+          m.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\"}"
+      }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"reps_detail":$repsDetail,"sf":"$sfDir"}""")
+    try Files.write(Paths.get(detailPath),
+      (line.dropRight(1) + s""","reps_detail":$repsDetail}""" + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+    println(line)
     spark.stop()
   }
 }

@@ -129,6 +129,21 @@ object ScaleBench {
         graft.text.Packing.packGreedy(
           graft.text.TextAnalysis.tokenCounts(docs, "text"),
           "doc_id", "ws_tokens", budget = 512, numPartitions = 32).count())
+      // r8: image near-dup (dHash + pigeonhole bands) — the driver bench's
+      // most expensive query, previously absent from every scale curve.
+      // Fixture PNGs materialize to /tmp parquet untimed (images come from
+      // storage in production); the point times hash+band+verify+drop.
+      val img = if (wanted("image")) {
+        val path = s"/tmp/graft_fixtures/imgs_scale_${name.replaceAll("\\W", "_")}"
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          val mkPng = udf((id: Long) => graft.multimodal.BinaryOps.neardupFixturePng(id))
+          docs.select(col("doc_id"), mkPng(col("doc_id")).as("img"))
+            .write.mode("overwrite").parquet(path)
+        }
+        val imgs = spark.read.parquet(path)
+        point("image")(Dedup.dropNearDups(imgs, "doc_id",
+          Dedup.imageNearDupPairs(imgs, "doc_id", "img", maxHamming = 10)).count())
+      } else None
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -142,7 +157,8 @@ object ScaleBench {
         ivf.map { case (t, n) => s""""ann_ivf":{"sec":$t,"results":$n}""" },
         grep.map { case (t, n) => s""""gopher_rep":{"sec":$t,"passed":$n}""" },
         chunk.map { case (t, n) => s""""chunk":{"sec":$t,"chunks":$n}""" },
-        pack.map { case (t, n) => s""""packing":{"sec":$t,"bins":$n}""" }).flatten
+        pack.map { case (t, n) => s""""packing":{"sec":$t,"bins":$n}""" },
+        img.map { case (t, n) => s""""image":{"sec":$t,"kept":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }

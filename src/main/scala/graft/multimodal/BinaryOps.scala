@@ -380,6 +380,27 @@ object BinaryOps {
     out.toByteArray
   }
 
+  /** Deterministic 9x8 grayscale PNG keyed by id for the perceptual-hash
+    * near-dup path: consecutive ids share a base pattern (grp = id/2) with
+    * a few perturbed pixels on the odd id — planted near-dup pairs. Gray
+    * (r=g=b) makes the BT.601 luma the pixel value exactly, and the 9x8
+    * source makes the dHash grid sampling the identity, so every stage
+    * downstream is integer-exact.
+    */
+  def neardupFixturePng(id: Long): Array[Byte] = {
+    val grp = (id / 2).toInt
+    val odd = id % 2 == 1
+    val px = new Array[Byte](72 * 3)
+    var i = 0
+    while (i < 72) {
+      var v = (i * i * 3 + i * (grp % 97) + grp * 11) % 256
+      if (odd && (i * 7 + grp) % 13 == 0) v = (v + 5) % 256
+      px(i * 3) = v.toByte; px(i * 3 + 1) = v.toByte; px(i * 3 + 2) = v.toByte
+      i += 1
+    }
+    encodeImage("png", 9, 8, px)
+  }
+
   // ---------- real WAV PCM sample decode (javax.sound.sampled) ----------
 
   /** REAL WAV sample decode via `javax.sound.sampled.AudioSystem`: any
