@@ -790,6 +790,43 @@ object SparkEntry {
         .orderBy("o_orderkey", "__row_kind")
     }),
 
+    // §2.4 CDC SOURCE CAPTURE end-to-end (r8; VERDICT r7 gap #1): seed an
+    // embedded-Derby table from nation, install the trigger changelog, take
+    // a chunked watermark-bracketed snapshot, apply a scripted mutation
+    // batch (update/delete/insert), stream the changes from the snapshot
+    // offset, and merge. The oracle reconstructs the same final state from
+    // nation directly — so the split plan, watermark arithmetic, trigger
+    // row-kinds, offset handoff, and CDC merge are all on the hash path.
+    "q_cdc_capture" -> ((s, dir) => {
+      import graft.sources.CdcCapture
+      val url = "jdbc:derby:memory:graftcap;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      val st = conn.createStatement()
+      def tryDrop(t: String): Unit =
+        try { st.executeUpdate(s"DROP TABLE $t"); () }
+        catch { case _: java.sql.SQLException => () } // absent on first run
+      Seq("CL_NATION_CAP", "NATION_CAP").foreach(tryDrop)
+      st.executeUpdate(
+        """CREATE TABLE NATION_CAP (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
+          |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
+      Jdbc.write(Tables.load(s, dir, "nation") // distributed seed, no collect
+        .select(col("n_nationkey").cast("long").as("N_NATIONKEY"),
+          col("n_name").as("N_NAME"), col("n_regionkey").cast("long").as("N_REGIONKEY")),
+        Jdbc.JdbcSinkConfig(url, "NATION_CAP", mode = "append"))
+      CdcCapture.installChangelog(url, "NATION_CAP")
+      val (snap, st0) = CdcCapture.snapshot(s, url, "NATION_CAP", "N_NATIONKEY", chunkSize = 8)
+      st.executeUpdate("UPDATE NATION_CAP SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
+      st.executeUpdate("DELETE FROM NATION_CAP WHERE N_NATIONKEY >= 20")
+      st.executeUpdate(
+        "INSERT INTO NATION_CAP VALUES (100, 'new_100', 0), (101, 'new_101', 1), (102, 'new_102', 2)")
+      st.close(); conn.close()
+      val (changes, _) = CdcCapture.changesSince(s, url, st0)
+      graft.streaming.StreamingOps.applyCdcBatch(snap, changes, Seq("N_NATIONKEY"), "CL_SEQ")
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // §2.4 declarative JSON pipeline end-to-end (source->SQL->sink plan)
     "q_pipeline" -> ((s, dir) => {
       val cfg =
@@ -1884,6 +1921,18 @@ object SparkEntry {
         |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
         |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_cdc_capture" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 0 THEN n_name || '_x' ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 20
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'new_100', CAST(0 AS BIGINT)),
+        |  (CAST(101 AS BIGINT), 'new_101', CAST(1 AS BIGINT)),
+        |  (CAST(102 AS BIGINT), 'new_102', CAST(2 AS BIGINT)))
+        |  AS t(n_nationkey, n_name, n_regionkey)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_pipeline" ->
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
