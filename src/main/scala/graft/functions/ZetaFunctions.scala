@@ -505,13 +505,16 @@ object ZetaFunctions {
   }
 
   /** Register every zeta name Spark lacks on `spark`. Idempotent.
-    * UDFs first, then expression builders — builders override where the
-    * same name needs arity/type dispatch (to_char, dateadd, ...).
+    * Most scalar leaves are native codegen'd expressions ([[ZetaNative]],
+    * r8 — same [[ZetaFunctions]] logic, no encoder round-trip); the few
+    * remaining UDFs are the ones a native form wouldn't help: INSERT's
+    * asymmetric null semantics (null s1 -> s2, outside Catalyst's
+    * null-propagation shape), DES where cipher setup dominates, and the
+    * 0-ary CURRENT_TIME. Expression builders last — they override where
+    * the same name needs arity/type dispatch (to_char, dateadd, ...).
     */
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
-    u.register("hextoraw", hextoraw _)
-    u.register("rawtohex", rawtohex _)
     // Spark's parser happily parses INSERT(...) as a function call in an
     // expression position, so the zeta name registers directly;
     // INSERT_STR stays as an alias.
@@ -519,27 +522,9 @@ object ZetaFunctions {
     u.register("insert_str", insertStr _)
     u.register("des_encrypt", desEncrypt _)
     u.register("des_decrypt", desDecrypt _)
-    u.register("zeta_mod", zetaMod _)
-    u.register("zeta_week", zetaWeek _)
-    u.register("zeta_day_of_week", zetaDayOfWeek _)
-    u.register("dateadd", dateadd _)
-    u.register("zeta_dateadd", dateadd _)
-    u.register("zeta_datediff", zetaDatediff _)
-    u.register("dayname", dayname _)
-    u.register("monthname", monthname _)
-    u.register("formatdatetime", formatdatetime _)
-    u.register("parsedatetime", parsedatetime _)
-    u.register("is_date", isDate _)
-    u.register("week", week _)
-    u.register("day_of_month", (ts: Timestamp) => if (ts == null) null else Int.box(toLdt(ts).getDayOfMonth))
-    u.register("day_of_year", (ts: Timestamp) => if (ts == null) null else Int.box(toLdt(ts).getDayOfYear))
-    // H2 semantics: Sunday=1..Saturday=7 (matches Spark's dayofweek).
-    u.register("day_of_week", (ts: Timestamp) => if (ts == null) null else Int.box(toLdt(ts).getDayOfWeek.getValue % 7 + 1))
-    u.register("truncate", truncate _)
-    u.register("trunc_num", truncate _)
-    u.register("to_char_num", toCharNum _)
     u.register("current_time",
       () => LocalTime.now().format(DateTimeFormatter.ofPattern("HH:mm:ss")))
+    ZetaNative.register(spark)
     registerBuilders(spark)
   }
 }
