@@ -157,8 +157,9 @@ object Dedup {
     // lineage to the materialized result each round — the standard
     // iterative-graph shape (GraphX/ALS do the same).
     // seed with the one-hop minimum (saves a full propagation round)
-    var labels = sym.groupBy(col("u").as("node"))
+    var labelsCp = sym.groupBy(col("u").as("node"))
       .agg(least(min(col("v")), col("u")).as("label")).localCheckpoint()
+    var labels = labelsCp
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -171,12 +172,19 @@ object Dedup {
       val jump = labels.select(col("node"), col("label").as("__l"))
         .join(labels.select(col("node").as("__l"), col("label").as("__ll")), Seq("__l"))
         .select(col("node"), col("__ll").as("label"))
+      // carry the previous label through the SAME materialization (one
+      // extra long per row), so the convergence probe is a scan of the
+      // checkpointed partitions — not a second shuffle join per round
+      // (r8: the per-iteration count() previously re-joined next⋈labels)
       val next = labels.unionAll(nbr).unionAll(jump)
-        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .where(col("label") < col("__old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .groupBy("node").agg(min("label").as("label"))
+        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .localCheckpoint()
+      val changed = next.where(col("label") < col("__old")).count()
+      labelsCp.unpersist(blocking = false) // the checkpointed frame, not the projection
+      labelsCp = next
+      // narrow projection over the checkpoint — lineage stays constant-depth
+      labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
     }
@@ -219,11 +227,18 @@ object Dedup {
 
     val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("sig").as("sig_b"))
+    // hamming-verify BEFORE the pair dedup: the filter is codegen'd
+    // arithmetic fused into the join's output stage, so the
+    // dropDuplicates exchange carries only TRUE pairs (hamming is a pure
+    // function of the sigs — identical for every band that rediscovers a
+    // pair). At high maxHamming the bands are narrow and candidates
+    // outnumber true pairs by orders of magnitude (r8: this exchange was
+    // the q_image_neardup bench floor).
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
@@ -256,11 +271,18 @@ object Dedup {
 
     val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"), col("sig").as("sig_b"))
+    // hamming-verify BEFORE the pair dedup: the filter is codegen'd
+    // arithmetic fused into the join's output stage, so the
+    // dropDuplicates exchange carries only TRUE pairs (hamming is a pure
+    // function of the sigs — identical for every band that rediscovers a
+    // pair). At high maxHamming the bands are narrow and candidates
+    // outnumber true pairs by orders of magnitude (r8: this exchange was
+    // the q_image_neardup bench floor).
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

@@ -31,7 +31,8 @@ class HygieneSpec extends AnyFunSuite {
   test("main sources keep entry points to the declared driver contract") {
     // The driver contract allows mains only in Bench / Verify / ScaleBench /
     // PlanDump-style evidence tools at the graft package root.
-    val allowed = Set("Bench.scala", "Verify.scala", "ScaleBench.scala", "Explain.scala")
+    val allowed = Set("Bench.scala", "Verify.scala", "ScaleBench.scala", "Explain.scala",
+      "TimeCheck.scala")
     val offenders = scalaFiles("src/main/scala").filter { f =>
       val src = new String(Files.readAllBytes(f), "UTF-8")
       src.contains(needle) && !allowed.contains(f.getFileName.toString)
