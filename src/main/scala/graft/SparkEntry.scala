@@ -827,6 +827,58 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // §2.4 DEAD-LETTER read (r8; VERDICT r7 #8): a JSON-lines fixture is
+    // synthesized from orders with every 13th row corrupted (truncated
+    // mid-object); readWithDeadLetter routes the broken lines to a DLQ
+    // text sink and returns the clean rows. The oracle recomputes the
+    // clean set directly from orders, so the PERMISSIVE-parse routing is
+    // on the hash path; DLQ payload fidelity stays spec-asserted
+    // (FileSourcesSpec).
+    "q_deadletter" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/dlq_${dir.replaceAll("\\W", "_")}"
+      if (!new java.io.File(s"$base/src/_SUCCESS").exists()) {
+        Tables.load(s, dir, "orders").select(
+          when(pmod(col("o_orderkey"), lit(13)) === 0,
+              concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"),
+                lit(", \"o_cust"))) // truncated mid-key: unparseable
+            .otherwise(to_json(struct(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"))))
+            .as("value"))
+          .write.mode("overwrite").text(s"$base/src")
+      }
+      val schema = new StructType().add("o_orderkey", LongType)
+        .add("o_custkey", LongType).add("o_orderstatus", StringType)
+      FileSources.readWithDeadLetter(s,
+          FileSources.FileSourceConfig(s"$base/src", "json", Some(schema)),
+          dlqPath = s"$base/dlq")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 SMALL-FILE COMPACTION (r8; VERDICT r7 #8): lineitem is written
+    // as 64 tiny parquet files, compacted into 1 (10 GiB target), and the
+    // post-swap directory is re-read and aggregated; file counts before and
+    // after ride along as columns so the oracle pins both the data digest
+    // and the 64 -> 1 layout change. The fixture rebuilds every run:
+    // compaction mutates the directory, so a cached one would skew
+    // files_before on bench reps.
+    "q_compact" -> ((s, dir) => {
+      val path = s"/tmp/graft_fixtures/compact_${dir.replaceAll("\\W", "_")}"
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+      val (before, after) =
+        Sinks.compact(s, path, "parquet", targetFileBytes = 10L * 1024 * 1024 * 1024)
+      s.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum("l_quantity").as("sum_qty"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("files_before", lit(before).cast("long"))
+        .withColumn("files_after", lit(after).cast("long"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.4 declarative JSON pipeline end-to-end (source->SQL->sink plan)
     "q_pipeline" -> ((s, dir) => {
       val cfg =
@@ -1933,6 +1985,18 @@ object SparkEntry {
         |  (CAST(102 AS BIGINT), 'new_102', CAST(2 AS BIGINT)))
         |  AS t(n_nationkey, n_name, n_regionkey)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_deadletter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_compact" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(64 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pipeline" ->
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
