@@ -98,7 +98,7 @@ object Pipeline {
     "FakeSource", "LocalFile", "File", "Jdbc", "Http", "Kafka", "Rate",
     "Github", "Gitlab", "Jira", "Klaviyo", "Lemlist", "Notion",
     "OneSignal", "PersistIQ",
-    "Console", "Assert", "Memory",
+    "Console", "Assert", "Memory", "InMemory",
     "Copy", "FieldMapper", "FieldRename", "Filter", "FilterRowKind",
     "RowKindExtractor", "Replace", "Split", "Sql", "JsonPath", "Metadata",
     "Embedding", "LLM", "DynamicCompile")
@@ -614,6 +614,10 @@ object Pipeline {
 
   private def runSink(df: DataFrame, p: Plugin): Unit = p.plugin match {
     case "Console" => Sinks.console(df, p.int("limit", 20))
+    case "InMemory" => // batch form of the reference's e2e test sink
+      graft.sinks.InMemorySink.append(
+        p.strOpt("store_key").getOrElse(p.input.getOrElse(p.plugin)),
+        df.collect().toIndexedSeq)
     case "LocalFile" | "File" =>
       val cfg = Sinks.FileSinkConfig(
         p.str("path"), p.strOpt("file_format_type").getOrElse("parquet"),
@@ -1113,6 +1117,25 @@ object Pipeline {
         case "Memory" =>
           triggered(df.writeStream.format("memory").queryName(s.strOpt("query_name").getOrElse(in))
             .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
+        case "InMemory" =>
+          // the reference's e2e failure-injection sink (see InMemorySink)
+          val key = s.strOpt("store_key").getOrElse(in)
+          val throwEx = s.bool("throw_exception", false)
+          val throwOom = s.bool("throw_out_of_memory", false)
+          val ckptSleep = s.bool("checkpoint_sleep", false)
+          val throwList = s.list("throw_runtime_exception_list")
+          var w = df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            if (throwOom) throw new OutOfMemoryError()
+            if (throwList.nonEmpty) {
+              val n = graft.sinks.InMemorySink.nextAttempt(key)
+              throw new RuntimeException(throwList(math.min(n, throwList.length - 1)))
+            }
+            graft.sinks.InMemorySink.append(key, batch.collect().toIndexedSeq)
+            if (throwEx) { Thread.sleep(4000L); throw new java.io.IOException("write failed") }
+            if (ckptSleep) Thread.sleep(5000L)
+          }
+          s.strOpt("checkpoint").foreach(c => w = w.option("checkpointLocation", c))
+          triggered(w).start()
         case "LocalFile" | "File" =>
           val fmt = s.strOpt("file_format_type").getOrElse("parquet").toLowerCase
           val partitionBy = s.list("partition_by")

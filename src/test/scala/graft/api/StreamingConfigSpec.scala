@@ -179,6 +179,123 @@ class StreamingConfigSpec extends SparkSpec {
       "src/test/resources/streaming_fake_to_console.conf", expectQueries = 1)
   }
 
+  // ---- InMemory failure-injection family (the engine ITs' fault configs,
+  // run verbatim; the job-level observable — fails / retries / survives —
+  // is what the reference asserts) ----
+
+  private def awaitFailure(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 60000): Throwable = {
+    try q.awaitTermination(timeoutMs)
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    val ex = q.exception
+    assert(ex.nonEmpty, "expected the streaming query to fail, but it is still healthy")
+    ex.get
+  }
+
+  private def rootCauseChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("reference engine-server stream_fake_to_inmemory_with_error.conf runs verbatim " +
+      "(InMemory throw_exception: rows land, then the job fails with 'write failed')") {
+    graft.sinks.InMemorySink.reset("fake")
+    val job = Pipeline.parseHocon(load(engineServer + "stream_fake_to_inmemory_with_error.conf"))
+    assert(job.isStreaming)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val ex = awaitFailure(queries.head)
+      // (no row-count assert: the first micro-batch can be empty under the
+      // config's 3s split pacing, and the commit failure fires regardless —
+      // the reference IT likewise asserts only that the job fails)
+      assert(rootCauseChain(ex).exists(c => Option(c.getMessage).exists(_.contains("write failed"))),
+        s"wrong failure: $ex")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("reference engine-server stream_fake_to_inmemory_with_sleep.conf runs verbatim " +
+      "(InMemory checkpoint_sleep: slow commits, job stays healthy, rows flow)") {
+    graft.sinks.InMemorySink.reset("fake")
+    val job = Pipeline.parseHocon(load(engineServer + "stream_fake_to_inmemory_with_sleep.conf"))
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val deadline = System.currentTimeMillis() + 45000
+      while (graft.sinks.InMemorySink.rows("fake").isEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(queries.head.exception.isEmpty, s"query failed: ${queries.head.exception}")
+      assert(graft.sinks.InMemorySink.rows("fake").nonEmpty,
+        "no rows reached the InMemory store through the slow-commit sink")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("reference e2e stream_fake_to_inmemory_with_throwable_error.conf runs verbatim " +
+      "(InMemory throw_out_of_memory: the Error surfaces as the job's death cause)") {
+    graft.sinks.InMemorySink.reset("fake")
+    val job = Pipeline.parseHocon(load(engineE2e + "stream_fake_to_inmemory_with_throwable_error.conf"))
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val ex = awaitFailure(queries.head)
+      assert(rootCauseChain(ex).exists(_.isInstanceOf[OutOfMemoryError]), s"wrong failure: $ex")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("reference e2e stream_fake_to_inmemory_with_runtime_list.conf runs verbatim " +
+      "(InMemory throw_runtime_exception_list: successive attempts throw the " +
+      "listed messages in order — the reference's per-restore counter)") {
+    graft.sinks.InMemorySink.reset("fake")
+    val job = Pipeline.parseHocon(load(engineE2e + "stream_fake_to_inmemory_with_runtime_list.conf"))
+    def failMessage(): String = {
+      val queries = Pipeline.runStreaming(spark, job)
+      try rootCauseChain(awaitFailure(queries.head))
+        .flatMap(c => Option(c.getMessage)).mkString(" | ")
+      finally queries.foreach(_.stop())
+    }
+    assert(failMessage().contains("runtime error1"))
+    assert(failMessage().contains("runtime error 2"), "restart must surface the NEXT listed error")
+  }
+
+  test("reference e2e retry-times config pair runs verbatim (job.retry.times env " +
+      "parsed; both jobs fail with the injected commit error)") {
+    val dir = engineE2e + "retry-times/"
+    graft.sinks.InMemorySink.reset("fake")
+    val plain = Pipeline.parseHocon(load(dir + "stream_fake_to_inmemory_with_error.conf"))
+    val retry1 = Pipeline.parseHocon(load(dir + "stream_fake_to_inmemory_with_error_retry_1.conf"))
+    assert(retry1.env("job.retry.times") == "1")
+    Seq(plain, retry1).foreach { job =>
+      val queries = Pipeline.runStreaming(spark, job)
+      try {
+        val ex = awaitFailure(queries.head)
+        assert(rootCauseChain(ex).exists(c =>
+          Option(c.getMessage).exists(_.contains("write failed"))), s"wrong failure: $ex")
+      } finally queries.foreach(_.stop())
+    }
+  }
+
+  test("reference engine-server stream_fakesource_to_file_savepoint.conf runs verbatim " +
+      "(the savepoint IT's job config: paced splits -> transactional text LocalFile)") {
+    val root = Files.createTempDirectory("graft-stream-e2e").toString
+    val job = Pipeline.rebasePaths(
+      Pipeline.parseHocon(load(engineServer + "stream_fakesource_to_file_savepoint.conf")), root)
+    assert(job.isStreaming)
+    val queries = Pipeline.runStreaming(spark, job)
+    try {
+      val q = queries.head
+      val deadline = System.currentTimeMillis() + 45000
+      var committed = 0L
+      while (committed == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        committed = q.recentProgress.map(_.numInputRows).sum
+      }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(committed > 0, "no rows flowed within 45s")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("reference engine-server stream_fake_to_console_checkpointTimeOut.conf runs " +
+      "verbatim (checkpoint.timeout env + log.print.delay.ms console option tolerated)") {
+    runConsoleConfig(engineServer + "stream_fake_to_console_checkpointTimeOut.conf",
+      expectQueries = 1)
+  }
+
   test("STREAMING FakeSource feeds a Memory sink with deterministic generated fields") {
     val conf =
       """env { job.mode = "STREAMING" }
