@@ -879,6 +879,142 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // §2.4 ARCHIVE source (r8): a zip of two pipe-delimited members is
+    // built once from nation; Archives expands members to lines on the
+    // executors (whole-file binary scan -> per-file decompress), and the
+    // parsed rows are oracle-checked against the source table. Graduates
+    // the archive family from spec-only to hash-exact.
+    "q_src_archive" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/arch_${dir.replaceAll("\\W", "_")}"
+      val zipPath = s"$base/nation.zip"
+      if (!new java.io.File(zipPath).exists()) {
+        new java.io.File(base).mkdirs()
+        val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey")
+          .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+          .collect().map(_.getString(0)) // 25 rows: bounded fixture build
+        val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+        Seq("part1.csv" -> rows.take(13), "part2.csv" -> rows.drop(13)).foreach {
+          case (name, ls) =>
+            zos.putNextEntry(new java.util.zip.ZipEntry(name))
+            zos.write(ls.mkString("\n").getBytes("UTF-8")); zos.closeEntry()
+        }
+        zos.close()
+      }
+      graft.sources.Archives.lines(s, zipPath, "zip")
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f")(0).cast("int").as("n_nationkey"),
+          col("f")(1).as("n_name"), col("f")(2).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.4 HTTP source (r8): an embedded localhost server serves nation as
+    // a JSON array; HttpSource fetches, splits rows, and schema-parses.
+    // The fetch is eager (driver-side, bounded payload by the reference's
+    // own contract), so the server stops before the plan runs.
+    "q_src_http" -> ((s, dir) => {
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val json = rows.map(r =>
+        s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}","n_regionkey":${r.getInt(2)}}""")
+        .mkString("[", ",", "]")
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/nation", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = json.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+      server.start()
+      try graft.sources.HttpSource.read(s, graft.sources.HttpSource.Config(
+          s"http://127.0.0.1:${server.getAddress.getPort}/nation",
+          schema = Some(new StructType().add("n_nationkey", IntegerType)
+            .add("n_name", StringType).add("n_regionkey", IntegerType))))
+        .orderBy("n_nationkey")
+      finally server.stop(0)
+    }),
+
+    // §2.4 JDBC primary-key upsert (r8): seed Derby from nation, upsert a
+    // change batch (region-1 renames + 3 fresh keys) TWICE — the
+    // double-apply puts idempotency on the hash path — and read back.
+    "q_jdbc_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val url = "jdbc:derby:memory:graftup;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      val st = conn.createStatement()
+      try { st.executeUpdate("DROP TABLE NATION_UP"); () }
+      catch { case _: java.sql.SQLException => () } // absent on first run
+      st.executeUpdate(
+        """CREATE TABLE NATION_UP (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
+          |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
+      st.close(); conn.close()
+      val nation = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("N_NATIONKEY"),
+        col("n_name").as("N_NAME"), col("n_regionkey").cast("long").as("N_REGIONKEY"))
+      val cfg = Jdbc.JdbcSinkConfig(url, "NATION_UP", mode = "append")
+      Jdbc.write(nation, cfg)
+      val changes = nation.where(col("N_REGIONKEY") === 1)
+        .select(col("N_NATIONKEY"), concat(col("N_NAME"), lit("_v2")).as("N_NAME"),
+          col("N_REGIONKEY"))
+        .unionAll(Seq((200L, "new_200", 1L), (201L, "new_201", 2L), (202L, "new_202", 3L))
+          .toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY"))
+      Jdbc.upsert(changes, cfg, Seq("N_NATIONKEY"))
+      Jdbc.upsert(changes, cfg, Seq("N_NATIONKEY")) // must be a no-op
+      Jdbc.read(s, Jdbc.JdbcSourceConfig(url, table = Some("NATION_UP")))
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.5 STREAMING dedup through the real readStream path (r8): the
+    // events table lands as json once, then an overlapping subset is
+    // appended, so the stream sees every event_id%3==0 row twice;
+    // dropDuplicatesWithinWatermark must restore the exact distinct set,
+    // oracle-checked against the source table.
+    "q_stream_dedup" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
+      val ev = Tables.load(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
+      if (!new java.io.File(s"$base/dup/_SUCCESS").exists()) {
+        ev.write.mode("overwrite").json(s"$base/dup")
+        ev.where(pmod(col("event_id"), lit(3)) === 0).write.mode("append").json(s"$base/dup")
+      }
+      val schema = new StructType().add("event_id", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("ts_us", LongType)
+      val stream = s.readStream.schema(schema).json(s"$base/dup")
+        .withColumn("et", timestamp_micros(col("ts_us")))
+      val name = s"stream_dedup_${dir.replaceAll("\\W", "_")}"
+      val q = graft.streaming.StreamingOps.streamingDedup(stream, Seq("event_id"), "et")
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("event_id")
+    }),
+
+    // §2.5 watermark-windowed aggregation through the real readStream path
+    // (r8; q_window_agg is the batch plan of the same operator): file
+    // stream -> event-time windows -> complete-mode memory sink, identical
+    // oracle to the batch side.
+    "q_stream_window" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
+      if (!new java.io.File(s"$base/a/_SUCCESS").exists())
+        ev.write.mode("overwrite").json(s"$base/a")
+      val schema = new StructType().add("event_type", StringType)
+        .add("value", DoubleType).add("ts_us", LongType)
+      val stream = s.readStream.schema(schema).json(s"$base/a")
+        .withColumn("et", timestamp_micros(col("ts_us")))
+      val name = s"stream_window_${dir.replaceAll("\\W", "_")}"
+      val q = graft.streaming.StreamingOps.windowedAgg(stream, "et", "1 hour",
+          Seq(count(lit(1)).as("n"), dsum("value").as("sum_value")),
+          keys = Seq("event_type"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("bucket_start", "event_type")
+    }),
+
     // §2.4 declarative JSON pipeline end-to-end (source->SQL->sink plan)
     "q_pipeline" -> ((s, dir) => {
       val cfg =
@@ -1997,6 +2133,35 @@ object SparkEntry {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
         |  CAST(64 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_src_archive" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_src_http" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_jdbc_upsert" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '_v2' ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(200 AS BIGINT), 'new_200', CAST(1 AS BIGINT)),
+        |  (CAST(201 AS BIGINT), 'new_201', CAST(2 AS BIGINT)),
+        |  (CAST(202 AS BIGINT), 'new_202', CAST(3 AS BIGINT)))
+        |  AS t(n_nationkey, n_name, n_regionkey)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
 
     "q_pipeline" ->
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal
