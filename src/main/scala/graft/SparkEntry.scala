@@ -53,6 +53,24 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** events as a json-lines dir (all columns, ts in epoch-micros), written
+    * once per sfDir — the shared file-stream input of the q_stream_* family
+    * (the real readStream path; the dir name is versioned so a schema
+    * change can never collide with a stale /tmp fixture).
+    */
+  private def streamFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
+    if (!new java.io.File(s"$base/a_v2/_SUCCESS").exists())
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("ts DIV 1000").as("ts_us"))
+        .write.mode("overwrite").json(s"$base/a_v2")
+    s.readStream.schema(new StructType().add("event_id", LongType)
+        .add("user_id", LongType).add("event_type", StringType)
+        .add("value", DoubleType).add("ts_us", LongType))
+      .json(s"$base/a_v2")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -995,14 +1013,7 @@ object SparkEntry {
     // stream -> event-time windows -> complete-mode memory sink, identical
     // oracle to the batch side.
     "q_stream_window" -> ((s, dir) => {
-      val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
-      if (!new java.io.File(s"$base/a/_SUCCESS").exists())
-        ev.write.mode("overwrite").json(s"$base/a")
-      val schema = new StructType().add("event_type", StringType)
-        .add("value", DoubleType).add("ts_us", LongType)
-      val stream = s.readStream.schema(schema).json(s"$base/a")
+      val stream = streamFixture(s, dir)
         .withColumn("et", timestamp_micros(col("ts_us")))
       val name = s"stream_window_${dir.replaceAll("\\W", "_")}"
       val q = graft.streaming.StreamingOps.windowedAgg(stream, "et", "1 hour",
@@ -1013,6 +1024,24 @@ object SparkEntry {
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("bucket_start", "event_type")
+    }),
+
+    // §2.5 stream-static broadcast join through the real readStream path
+    // (r8): each micro-batch joins the event stream against a broadcast
+    // dimension (BroadcastHashJoin in the micro-batch plan, the 100 TB
+    // dimension-enrichment shape), oracle-checked against the equivalent
+    // batch join.
+    "q_stream_static_join" -> ((s, dir) => {
+      val dim = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name")))
+      val name = s"stream_ssj_${dir.replaceAll("\\W", "_")}"
+      val q = streamFixture(s, dir)
+        .withColumn("nk", pmod(col("user_id"), lit(25)))
+        .join(dim, "nk")
+        .select("event_id", "user_id", "n_name")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("event_id")
     }),
 
     // §2.4 declarative JSON pipeline end-to-end (source->SQL->sink plan)
@@ -2155,6 +2184,11 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT event_id, user_id, n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY event_id""".stripMargin,
 
     "q_stream_window" ->
       """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_start,
