@@ -144,51 +144,78 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().graftPersist
-    // Per-iteration localCheckpoint, not persist: each round references
-    // the previous labels THREE times (self, neighbor join, pointer-jump
-    // self-join), so the logical plan would otherwise grow ~4x per round
-    // — caching dedups execution but not the plan tree, and planning/
-    // plan-stringification over the exponential lineage dominates wall
-    // time within a few rounds (measured: a 6-hop chain graph at sf0.01
-    // ran minutes of pure TreeNode formatting). Checkpointing truncates
-    // lineage to the materialized result each round — the standard
-    // iterative-graph shape (GraphX/ALS do the same).
-    // seed with the one-hop minimum (saves a full propagation round)
-    var labelsCp = sym.groupBy(col("u").as("node"))
-      .agg(least(min(col("v")), col("u")).as("label")).localCheckpoint()
-    var labels = labelsCp
+    // The LOOP runs on pair RDDs, not DataFrames — the one place in this
+    // engine where RDDs win. Every iteration of the DataFrame formulation
+    // paid Catalyst analysis + optimization + AQE stage re-planning on a
+    // freshly built (identical-shaped) plan: ~0.25 s/round of pure
+    // driver-side latency at any data size, × O(log diameter) rounds
+    // (measured r9; neither lazy checkpoints, AQE toggles, partition
+    // sizing, nor extra jump terms moved it). Spark's own iterative-graph
+    // library (GraphX) is RDD-based for exactly this reason. The loop
+    // carries only (long, long) pairs: co-partitioned edge⋈label joins
+    // are narrow (zero per-round edge shuffle), reduceByKey map-side
+    // combines, and per-round localCheckpoint truncates lineage. For
+    // multi-node deployments, registering Kryo shrinks the tuple shuffle;
+    // the volume is 16 bytes/record of payload either way.
+    val spark = pairs.sparkSession
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    val edgeRdd = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // Symmetrize, then co-partition on the message key once: ~2M edges per
+    // partition ((long,long) rows) stays far under executor memory while
+    // scaling out with the graph (1B edges -> 500 partitions).
+    val symRaw = edgeRdd.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = symRaw.count()
+    val part = new HashPartitioner(
+      math.max(1L, math.min(edgeCount / 2000000L + 1, 20000L)).toInt)
+    val sym = symRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence probe: labels only ever DECREASE, so the total label sum
+    // is strictly decreasing until the fixed point — an unchanged sum is
+    // exactly "no label changed". BigInt per-partition sums keep it exact
+    // at any node count (a raw long sum could overflow at billions of
+    // 2^40-scale ids). The probe action doubles as the materializer of
+    // each round's lazily-localCheckpoint'd labels: ONE job per round.
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.mapPartitions { it =>
+        var s = BigInt(0); it.foreach(s += _._2); Iterator.single(s)
+      }.fold(BigInt(0))(_ + _)
+    // seed with the one-hop minimum (saves a full propagation round);
+    // mapPartitions(preservesPartitioning) keeps hash(node) co-location
+    var labels = sym.reduceByKey(part, math.min(_, _))
+      .mapPartitions(_.map { case (n, m) => (n, math.min(n, m)) },
+        preservesPartitioning = true)
+    labels.localCheckpoint()
+    var prevSum = labelSum(labels)
+    symRaw.unpersist(blocking = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val iterT0 = System.nanoTime()
       // min over (self, neighbors' labels, label-of-label): the neighbor
       // term walks the graph, the pointer-jump term halves the remaining
       // propagation depth each round — O(log diameter) rounds for chains
       // instead of O(diameter)
-      val nbr = sym.join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("u").as("node"), col("label"))
-      val jump = labels.select(col("node"), col("label").as("__l"))
-        .join(labels.select(col("node").as("__l"), col("label").as("__ll")), Seq("__l"))
-        .select(col("node"), col("__ll").as("label"))
-      // carry the previous label through the SAME materialization (one
-      // extra long per row), so the convergence probe is a scan of the
-      // checkpointed partitions — not a second shuffle join per round
-      // (r8: the per-iteration count() previously re-joined next⋈labels)
-      val next = labels.unionAll(nbr).unionAll(jump)
-        .groupBy("node").agg(min("label").as("label"))
-        .join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .localCheckpoint()
-      val changed = next.where(col("label") < col("__old")).count()
-      labelsCp.unpersist(blocking = false) // the checkpointed frame, not the projection
-      labelsCp = next
-      // narrow projection over the checkpoint — lineage stays constant-depth
-      labels = next.select("node", "label")
-      converged = changed == 0
+      val nbr = sym.join(labels, part) // narrow: both sides hash(key)-partitioned
+        .map { case (_, (u, l)) => (u, l) }
+      val jump = labels.map { case (n, l) => (l, n) }
+        .join(labels, part) // labels side narrow; re-keyed side shuffles
+        .map { case (_, (n, ll)) => (n, ll) }
+      val next = (labels ++ nbr ++ jump).reduceByKey(part, math.min(_, _))
+      next.localCheckpoint() // lazy; materialized by the probe below
+      val nextSum = labelSum(next)
+      if (ccDebug) println(f"CC_DEBUG iter=$iter wall=${(System.nanoTime() - iterT0) / 1e9}%.3f s")
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
-    labels
+    sym.unpersist(blocking = false)
+    import spark.implicits._
+    labels.toDF("node", "label")
   }
 
   /** Cluster-resolved dedup: keep exactly one document (the min id) per
