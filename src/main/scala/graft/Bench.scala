@@ -59,7 +59,9 @@ object Bench {
       val s = runs.collect { case (t, None) => t }.sorted
       name -> s(s.length / 2)
     }.sortBy(_._1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Per-query map with "q_" prefixes stripped and 2-decimal values keeps
+    // the detailed line under the driver's ~2,000-char stdout tail capture.
+    val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val errNames = bad.map(_._1).sorted
     val total = results.map(_._2).sum
@@ -81,6 +83,13 @@ object Bench {
       (line.dropRight(1) + s""","reps_detail":$repsDetail}""" + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)
+    // The driver keeps only a bounded TAIL of stdout. The per-query line
+    // above can still be clipped at its head, so the composite summary is
+    // repeated as a short, final line that always survives the capture
+    // whole. Keep this the LAST stdout line Bench prints.
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""n_queries":${results.size},"errors":${errNames.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
