@@ -612,9 +612,22 @@ object Pipeline {
       case other => throw new IllegalArgumentException(s"bad $key: $other")
     }
 
+  /** Test-only plugin gate (r9, ADVICE r8): the InMemory failure-injection
+    * sink raises real OutOfMemoryErrors and collects batches to a
+    * process-global driver store — the reference confines it to its e2e
+    * test jars, and exposing it to arbitrary user configs would hand any
+    * pipeline a fatal-error/driver-collect footgun. The test harness
+    * (SparkSpec) sets the property; production configs get a clear error.
+    */
+  private def requireTestSink(name: String): Unit =
+    require(sys.props.get("graft.test.sinks").contains("true"),
+      s"$name is a test-only sink (failure injection / driver-side collect); " +
+        "set -Dgraft.test.sinks=true to enable it in a test harness")
+
   private def runSink(df: DataFrame, p: Plugin): Unit = p.plugin match {
     case "Console" => Sinks.console(df, p.int("limit", 20))
     case "InMemory" => // batch form of the reference's e2e test sink
+      requireTestSink("InMemory")
       graft.sinks.InMemorySink.append(
         p.strOpt("store_key").getOrElse(p.input.getOrElse(p.plugin)),
         df.collect().toIndexedSeq)
@@ -1119,17 +1132,23 @@ object Pipeline {
             .outputMode(s.strOpt("output_mode").getOrElse("append"))).start()
         case "InMemory" =>
           // the reference's e2e failure-injection sink (see InMemorySink)
+          requireTestSink("InMemory")
           val key = s.strOpt("store_key").getOrElse(in)
           val throwEx = s.bool("throw_exception", false)
           val throwOom = s.bool("throw_out_of_memory", false)
           val ckptSleep = s.bool("checkpoint_sleep", false)
           val throwList = s.list("throw_runtime_exception_list")
+          // attempt ticks once per runStreaming invocation — the
+          // reference's restoreCount is per job attempt, and a per-batch
+          // tick would desync the attempt-to-message mapping if a future
+          // within-run retry (or a surviving second micro-batch) consumed
+          // extra throw_runtime_exception_list entries
+          val attempt =
+            if (throwList.nonEmpty) graft.sinks.InMemorySink.nextAttempt(key) else 0
           var w = df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
             if (throwOom) throw new OutOfMemoryError()
-            if (throwList.nonEmpty) {
-              val n = graft.sinks.InMemorySink.nextAttempt(key)
-              throw new RuntimeException(throwList(math.min(n, throwList.length - 1)))
-            }
+            if (throwList.nonEmpty)
+              throw new RuntimeException(throwList(math.min(attempt, throwList.length - 1)))
             graft.sinks.InMemorySink.append(key, batch.collect().toIndexedSeq)
             if (throwEx) { Thread.sleep(4000L); throw new java.io.IOException("write failed") }
             if (ckptSleep) Thread.sleep(5000L)

@@ -19,6 +19,10 @@ object TestSpark {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
+  // the test harness opts into test-only plugins (InMemory failure
+  // injection) the way the reference confines them to its e2e jars
+  sys.props("graft.test.sinks") = "true"
+
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("ERROR")
