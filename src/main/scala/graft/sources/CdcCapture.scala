@@ -46,17 +46,32 @@ import graft.operators.RowKindOps
   *    break the as-of contract. This is the one place eagerness is
   *    semantics, not tuning.
   *
-  * Numeric-PK contract: splits need a numeric split column (the reference's
-  * evenly-sized chunk path, AbstractJdbcSourceChunkSplitter
-  * .splitEvenlySizedChunks); its sampling splitter for skewed/non-numeric
-  * keys is out of scope here and documented as such.
+  * Splitter fidelity (r9): [[planSplitsAuto]] mirrors the reference's full
+  * `splitTableIntoChunks` decision tree — evenly-sized chunks when the
+  * numeric split column's distribution factor (range/rowcount) sits inside
+  * [lower, upper]; quantile bounds from a systematic row sample when the
+  * key is skewed/sparse and the shard count crosses the sampling threshold
+  * (`sampleDataFromColumn` + `efficientShardingThroughSampling`); and the
+  * walk-the-next-chunk-max loop (`splitUnevenlySizedChunks` /
+  * `queryNextChunkMax`) for small skewed tables and non-numeric keys.
   */
 object CdcCapture {
 
-  /** One PK-range chunk: [lo, hi), hi=None for the unbounded tail split. */
-  final case class SnapshotSplit(splitId: Int, lo: Long, hi: Option[Long]) {
-    def predicate(pkCol: String): String =
-      hi.map(h => s"$pkCol >= $lo AND $pkCol < $h").getOrElse(s"$pkCol >= $lo")
+  /** One PK-range chunk: [lo, hi) with open ends as None (the reference's
+    * ChunkRange: first chunk unbounded low, last unbounded high). Bounds
+    * are carried as strings and rendered as SQL literals — `quoted` marks
+    * character keys (escaped) vs numeric keys (verbatim).
+    */
+  final case class SnapshotSplit(splitId: Int, lo: Option[String],
+      hi: Option[String], quoted: Boolean = false) {
+    private def sqlLit(v: String): String =
+      if (quoted) "'" + v.replace("'", "''") + "'" else v
+    def predicate(pkCol: String): String = (lo, hi) match {
+      case (Some(l), Some(h)) => s"$pkCol >= ${sqlLit(l)} AND $pkCol < ${sqlLit(h)}"
+      case (Some(l), None)    => s"$pkCol >= ${sqlLit(l)}"
+      case (None, Some(h))    => s"$pkCol < ${sqlLit(h)}"
+      case (None, None)       => "1=1"
+    }
   }
 
   /** Resumable capture position: remaining snapshot splits (empty once the
@@ -71,8 +86,11 @@ object CdcCapture {
       p.setProperty("table", table)
       p.setProperty("pkCol", pkCol)
       p.setProperty("streamOffset", streamOffset.toString)
+      // bounds are URL-encoded: string keys may contain the separators
+      def enc(v: Option[String]) = v.map(
+        java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("")
       p.setProperty("pendingSplits", pendingSplits
-        .map(s => s"${s.splitId}:${s.lo}:${s.hi.map(_.toString).getOrElse("")}")
+        .map(s => s"${s.splitId}:${s.quoted}:${enc(s.lo)}:${enc(s.hi)}")
         .mkString(","))
       val out = new java.io.FileOutputStream(path)
       try p.store(out, "graft cdc capture state") finally out.close()
@@ -84,10 +102,12 @@ object CdcCapture {
       val p = new Properties()
       val in = new java.io.FileInputStream(path)
       try p.load(in) finally in.close()
+      def dec(v: String) = Some(v).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8"))
       val splits = Option(p.getProperty("pendingSplits")).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map { s =>
-          val Array(id, lo, hi) = s.split(":", -1)
-          SnapshotSplit(id.toInt, lo.toLong, Some(hi).filter(_.nonEmpty).map(_.toLong))
+          val Array(id, q, lo, hi) = s.split(":", -1)
+          SnapshotSplit(id.toInt, dec(lo), dec(hi), q.toBoolean)
         }).getOrElse(Nil)
       CaptureState(p.getProperty("table"), p.getProperty("pkCol"),
         splits, p.getProperty("streamOffset").toLong)
@@ -192,31 +212,185 @@ object CdcCapture {
     } finally st.close()
   }
 
-  /** PK-chunked snapshot splits, evenly sized over [min(pk), max(pk)] —
-    * the reference's splitEvenlySizedChunks. One metadata query; the reads
-    * happen distributed in [[readSplits]].
+  /** Splitter thresholds — the reference's option defaults
+    * (`SourceOptions`: split size 8096, distribution factor bounds
+    * [0.05, 100], sample-sharding threshold 1000 shards, inverse sampling
+    * rate 1000).
+    */
+  final case class SplitterConfig(
+      chunkSize: Long = 8096L,
+      distributionFactorLower: Double = 0.05,
+      distributionFactorUpper: Double = 100.0,
+      sampleShardingThreshold: Long = 1000L,
+      inverseSamplingRate: Long = 1000L)
+
+  /** PK-chunked snapshot splits over an evenly-distributed numeric key —
+    * the reference's splitEvenlySizedChunks with distribution factor 1.
+    * Kept as the direct entry point for known-dense keys;
+    * [[planSplitsAuto]] is the full decision tree.
     */
   def planSplits(url: String, table: String, pkCol: String, chunkSize: Long): Seq[SnapshotSplit] = {
     require(chunkSize > 0, "cdc capture: chunkSize must be positive")
-    val (min, max, count) = withConn(url) { conn =>
+    val (minO, maxO, count) = queryMinMaxCount(url, table, pkCol)
+    if (count == 0) return Seq(SnapshotSplit(0, None, None))
+    splitEvenlySizedChunks(minO.get.toLong, maxO.get.toLong, count, chunkSize,
+      dynamicChunkSize = chunkSize)
+  }
+
+  /** The reference's full `splitTableIntoChunks` decision tree:
+    *  - numeric key, distribution factor (range+1)/rowcount inside
+    *    [lower, upper] -> evenly-sized chunks, chunk width scaled by the
+    *    factor;
+    *  - numeric key, factor outside the bounds and enough shards to
+    *    amortize a sample -> systematic row sample (every rate-th row in
+    *    key order), shard bounds at sample quantiles;
+    *  - otherwise (small skewed tables, character keys) -> walk the table
+    *    in exact chunkSize steps via next-chunk-max queries.
+    * Every path yields ranges with open first/last ends, so concurrent
+    * inserts outside [min, max] still land in some split.
+    */
+  def planSplitsAuto(url: String, table: String, pkCol: String,
+      cfg: SplitterConfig = SplitterConfig()): Seq[SnapshotSplit] = {
+    require(cfg.chunkSize > 0, "cdc capture: chunkSize must be positive")
+    val numeric = isNumericKey(url, table, pkCol)
+    val (minO, maxO, count) = queryMinMaxCount(url, table, pkCol)
+    if (count == 0 || minO.isEmpty || minO == maxO)
+      return Seq(SnapshotSplit(0, None, None))
+    if (numeric) {
+      val (min, max) = (BigDecimal(minO.get), BigDecimal(maxO.get))
+      val factor = ((max - min + 1) / count).toDouble
+      if (factor >= cfg.distributionFactorLower && factor <= cfg.distributionFactorUpper) {
+        val dynamic = math.max(1L, (factor * cfg.chunkSize).toLong)
+        splitEvenlySizedChunks(min.toLong, max.toLong, count, cfg.chunkSize, dynamic)
+      } else {
+        val shardCount = count / cfg.chunkSize
+        if (shardCount > cfg.sampleShardingThreshold) {
+          // keep at least one sampled row per shard
+          val rate = math.min(cfg.inverseSamplingRate, cfg.chunkSize)
+          val sample = sampleKeyColumn(url, table, pkCol, rate)
+            .sortBy(BigDecimal(_))
+          shardsFromSample(sample, shardCount, quoted = false)
+        } else splitUnevenlySizedChunks(url, table, pkCol, cfg.chunkSize, quoted = false)
+      }
+    } else splitUnevenlySizedChunks(url, table, pkCol, cfg.chunkSize, quoted = true)
+  }
+
+  private def queryMinMaxCount(url: String, table: String,
+      pkCol: String): (Option[String], Option[String], Long) =
+    withConn(url) { conn =>
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(s"SELECT MIN($pkCol), MAX($pkCol), COUNT(*) FROM $table")
         rs.next()
-        (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+        (Option(rs.getString(1)), Option(rs.getString(2)), rs.getLong(3))
       } finally st.close()
     }
-    if (count == 0) return Seq(SnapshotSplit(0, Long.MinValue, None))
-    val nChunks = math.max(1L, (count + chunkSize - 1) / chunkSize)
-    val width = math.max(1L, ((max - min + 1) + nChunks - 1) / nChunks)
-    val bounds = Iterator.iterate(min)(_ + width).takeWhile(_ <= max).toSeq
-    bounds.zipWithIndex.map { case (lo, i) =>
-      // last split unbounded: rows inserted beyond max(pk) during the
-      // snapshot are picked up by reconcile either way, but an open tail
-      // matches the reference's chunk-end = null convention
-      SnapshotSplit(i, lo, if (i == bounds.size - 1) None else Some(lo + width))
+
+  private def isNumericKey(url: String, table: String, pkCol: String): Boolean =
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        import java.sql.Types._
+        val rs = st.executeQuery(s"SELECT $pkCol FROM $table WHERE 1=0")
+        val t = rs.getMetaData.getColumnType(1)
+        rs.close()
+        Set(BIGINT, INTEGER, SMALLINT, TINYINT, DECIMAL, NUMERIC).contains(t)
+      } finally st.close()
     }
+
+  /** splitEvenlySizedChunks: tumble [min, max] in dynamicChunkSize steps;
+    * a table no larger than one chunk is a single full-scan split.
+    */
+  private def splitEvenlySizedChunks(min: Long, max: Long, count: Long,
+      chunkSize: Long, dynamicChunkSize: Long): Seq[SnapshotSplit] = {
+    if (count <= chunkSize) return Seq(SnapshotSplit(0, None, None))
+    val ends = Iterator.iterate(min + dynamicChunkSize)(_ + dynamicChunkSize)
+      .takeWhile(e => e <= max && e > min /* overflow guard */).toSeq
+    val bounds = (None +: ends.map(e => Some(e.toString))) :+ None
+    bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      SnapshotSplit(i, lo, hi)
+    }.toSeq
   }
+
+  /** sampleDataFromColumn: every rate-th row of the table (systematic row
+    * sample by row number — value-skew cannot starve it, unlike MOD on the
+    * key). One bounded metadata query of ~count/rate keys on the driver.
+    */
+  private def sampleKeyColumn(url: String, table: String, pkCol: String,
+      rate: Long): Seq[String] =
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT K FROM (
+             |  SELECT $pkCol AS K, ROW_NUMBER() OVER () AS RN FROM $table
+             |) T WHERE MOD(RN, $rate) = 0""".stripMargin)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString(1)
+        buf.toSeq
+      } finally st.close()
+    }
+
+  /** efficientShardingThroughSampling: shard bounds at sample quantiles;
+    * consecutive equal sample values collapse (no empty/duplicate ranges).
+    */
+  private def shardsFromSample(sorted: Seq[String], shardCount: Long,
+      quoted: Boolean): Seq[SnapshotSplit] = {
+    if (sorted.isEmpty || shardCount <= 0) return Seq(SnapshotSplit(0, None, None))
+    val perShard = sorted.length.toDouble / shardCount
+    val rawBounds: Seq[String] =
+      if (perShard <= 1) sorted
+      else (1L until shardCount).map(i => sorted((i * perShard).toInt))
+    val bounds = rawBounds.foldLeft(Vector.empty[String]) { (acc, b) =>
+      if (acc.lastOption.contains(b)) acc else acc :+ b
+    }
+    ((None +: bounds.map(Some(_))) :+ None).sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) => SnapshotSplit(i, lo, hi, quoted)
+    }.toSeq
+  }
+
+  /** splitUnevenlySizedChunks + queryNextChunkMax: walk the key space in
+    * exact chunkSize-row steps — each bound is MAX(key) of the next
+    * chunkSize rows at-or-beyond the previous bound, so every chunk holds
+    * ~chunkSize rows no matter how skewed or sparse the key is. One
+    * bounded driver query per chunk (the reference pays the same; it even
+    * sleeps between probes to spare the source).
+    */
+  private def splitUnevenlySizedChunks(url: String, table: String, pkCol: String,
+      chunkSize: Long, quoted: Boolean): Seq[SnapshotSplit] =
+    withConn(url) { conn =>
+      def lit(v: String) = if (quoted) "'" + v.replace("'", "''") + "'" else v
+      val st = conn.createStatement()
+      try {
+        def one(q: String): Option[String] = {
+          val rs = st.executeQuery(q)
+          try { rs.next(); Option(rs.getString(1)) } finally rs.close()
+        }
+        val max = one(s"SELECT MAX($pkCol) FROM $table")
+        def nextChunkEnd(prev: Option[String]): Option[String] = {
+          val where = prev.map(p => s"WHERE $pkCol >= ${lit(p)}").getOrElse("")
+          val end = one(
+            s"""SELECT MAX(K) FROM (
+               |  SELECT $pkCol AS K FROM $table $where
+               |  ORDER BY $pkCol FETCH FIRST $chunkSize ROWS ONLY) T""".stripMargin)
+          // a bound equal to its predecessor would loop: step to the next
+          // distinct key beyond it (the reference's queryMin fallback)
+          val stepped =
+            if (end.isDefined && end == prev)
+              one(s"SELECT MIN($pkCol) FROM $table WHERE $pkCol > ${lit(end.get)}")
+            else end
+          stepped.filter(s => max.exists(m => compareKeys(s, m, quoted) < 0))
+        }
+        val bounds = Iterator.iterate(nextChunkEnd(None))(e => nextChunkEnd(e))
+          .takeWhile(_.isDefined).map(_.get).toVector
+        ((None +: bounds.map(Some(_))) :+ None).sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) => SnapshotSplit(i, lo, hi, quoted)
+        }.toSeq
+      } finally st.close()
+    }
+
+  private def compareKeys(a: String, b: String, quoted: Boolean): Int =
+    if (quoted) a.compareTo(b) else BigDecimal(a).compare(BigDecimal(b))
 
   /** Distributed chunk read: one Spark JDBC partition per split. */
   def readSplits(spark: SparkSession, url: String, table: String, pkCol: String,
@@ -256,7 +430,9 @@ object CdcCapture {
   def snapshot(spark: SparkSession, url: String, table: String, pkCol: String,
       chunkSize: Long, materializeDir: Option[String] = None,
       beforeRead: () => Unit = () => ()): (DataFrame, CaptureState) = {
-    val splits = planSplits(url, table, pkCol, chunkSize)
+    // the full decision tree: skewed/sparse/character keys get sampled or
+    // walked splits instead of pathological evenly-spaced ones
+    val splits = planSplitsAuto(url, table, pkCol, SplitterConfig(chunkSize = chunkSize))
     val low = maxSeq(url, table)
     beforeRead()
     val chunks0 = readSplits(spark, url, table, pkCol, splits)
@@ -287,5 +463,57 @@ object CdcCapture {
     val head = maxSeq(url, state.table)
     val batch = changesBetween(spark, url, state.table, state.streamOffset, head)
     (batch, state.copy(streamOffset = head))
+  }
+
+  /** Hybrid snapshot→incremental capture as ONE Structured Streaming job —
+    * the reference's HybridSplitAssigner story (snapshot splits first,
+    * then the stream split), expressed as a rate-source-clocked
+    * foreachBatch driver:
+    *
+    *  - First tick with no saved state runs the watermark-bracketed
+    *    [[snapshot]] and delivers it to `onBatch` as +I rows (CL_SEQ 0,
+    *    batchId -1), then persists the state whose streamOffset is the
+    *    snapshot's high watermark.
+    *  - Every tick polls [[changesSince]]; a non-empty window is delivered
+    *    exactly once (the offset advances with the delivery and persists
+    *    per batch, so a restart resumes gap-free and duplicate-free).
+    *  - A restart with `statePath` present SKIPS the snapshot phase —
+    *    stop/start is the reference's job-restore behavior.
+    *
+    * The rate source is a clock, not data: one row/sec bounds the poll
+    * frequency; the JDBC head probe is one scalar query per tick. Change
+    * delivery itself is a distributed read of the bounded seq window.
+    */
+  def captureStream(spark: SparkSession, url: String, table: String,
+      pkCol: String, chunkSize: Long, statePath: String,
+      onBatch: (DataFrame, Long) => Unit,
+      pollsPerSecond: Double = 2.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val clock = spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1L, pollsPerSecond.toLong).toString).load()
+    // single-threaded micro-batch execution: `state` is confined to the
+    // stream's batch thread
+    var state: CaptureState = null
+    clock.writeStream
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        if (state == null) {
+          state =
+            if (new java.io.File(statePath).exists()) CaptureState.load(statePath)
+            else {
+              val (snap, st) = snapshot(spark, url, table, pkCol, chunkSize)
+              onBatch(snap
+                .withColumn("CL_SEQ", lit(0L))
+                .withColumn(RowKindOps.RowKindCol, lit("+I")), -1L)
+              st.save(statePath)
+              st
+            }
+        }
+        val (batch, advanced) = changesSince(spark, url, state)
+        if (advanced.streamOffset > state.streamOffset) {
+          onBatch(batch, batchId)
+          advanced.save(statePath)
+          state = advanced
+        }
+      }
+      .start()
   }
 }

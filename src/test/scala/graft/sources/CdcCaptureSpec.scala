@@ -141,6 +141,127 @@ class CdcCaptureSpec extends SparkSpec {
     assert(part1.unionByName(part2).select(countDistinct($"ID")).as[Long].head() == 30)
   }
 
+  test("auto splitter: pathologically skewed sparse PK takes the sampling path, exact coverage") {
+    // ids 1..60 plus 1e9..1e9+59: distribution factor ~8.3e6 >> upper
+    // bound, so evenly-spaced bounds would put all rows in 2 of thousands
+    // of chunks; with the shard count over the threshold the splitter
+    // samples every rate-th row and cuts at sample quantiles instead
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try {
+      try st.executeUpdate("DROP TABLE T7") catch { case _: java.sql.SQLException => () }
+      st.executeUpdate("CREATE TABLE T7 (ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(40))")
+      val ps = conn.prepareStatement("INSERT INTO T7 VALUES (?, ?)")
+      ((1L to 60L) ++ (1000000000L to 1000000059L)).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"n$i"); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally { st.close(); conn.close() }
+    val cfg = CdcCapture.SplitterConfig(chunkSize = 10,
+      sampleShardingThreshold = 4, inverseSamplingRate = 5)
+    val splits = CdcCapture.planSplitsAuto(url, "T7", "ID", cfg)
+    assert(splits.size > 2, s"sampling path should cut multiple shards, got $splits")
+    assert(splits.head.lo.isEmpty && splits.last.hi.isEmpty)
+    val df = CdcCapture.readSplits(spark, url, "T7", "ID", splits)
+    assert(df.count() == 120)
+    assert(df.select(countDistinct($"ID")).as[Long].head() == 120)
+    // quantile bounds adapt to the skew: no shard holds the majority
+    val perSplit = splits.map(s => spark.read.format("jdbc").option("url", url)
+      .option("query", s"SELECT COUNT(*) N FROM T7 WHERE ${s.predicate("ID")}")
+      .load().as[Long].head())
+    assert(perSplit.sum == 120)
+    assert(perSplit.max <= 60, s"a shard swallowed the skew: $perSplit")
+  }
+
+  test("auto splitter: small skewed PK walks unevenly-sized chunks of ~chunkSize rows") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try {
+      try st.executeUpdate("DROP TABLE T8") catch { case _: java.sql.SQLException => () }
+      st.executeUpdate("CREATE TABLE T8 (ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(40))")
+      val ps = conn.prepareStatement("INSERT INTO T8 VALUES (?, ?)")
+      ((1L to 20L) ++ (500000L to 500019L)).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"n$i"); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally { st.close(); conn.close() }
+    // shardCount (4) <= threshold (default 1000) -> next-chunk-max walk
+    val splits = CdcCapture.planSplitsAuto(url, "T8", "ID",
+      CdcCapture.SplitterConfig(chunkSize = 10))
+    val df = CdcCapture.readSplits(spark, url, "T8", "ID", splits)
+    assert(df.count() == 40)
+    assert(df.select(countDistinct($"ID")).as[Long].head() == 40)
+    // the walk guarantees ~chunkSize rows per chunk regardless of key gaps
+    val perSplit = splits.map(s => spark.read.format("jdbc").option("url", url)
+      .option("query", s"SELECT COUNT(*) N FROM T8 WHERE ${s.predicate("ID")}")
+      .load().as[Long].head())
+    assert(perSplit.sum == 40)
+    assert(perSplit.forall(_ <= 11), s"uneven walk must bound chunk rows: $perSplit")
+  }
+
+  test("auto splitter: character PK splits with quoted bounds, exact coverage") {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try {
+      try st.executeUpdate("DROP TABLE T9") catch { case _: java.sql.SQLException => () }
+      st.executeUpdate("CREATE TABLE T9 (CODE VARCHAR(20) NOT NULL PRIMARY KEY, NAME VARCHAR(40))")
+      val ps = conn.prepareStatement("INSERT INTO T9 VALUES (?, ?)")
+      (1 to 37).foreach { i =>
+        ps.setString(1, f"key_$i%03d"); ps.setString(2, s"n$i"); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally { st.close(); conn.close() }
+    val splits = CdcCapture.planSplitsAuto(url, "T9", "CODE",
+      CdcCapture.SplitterConfig(chunkSize = 10))
+    assert(splits.size >= 3)
+    assert(splits.forall(_.quoted))
+    val df = CdcCapture.readSplits(spark, url, "T9", "CODE", splits)
+    assert(df.count() == 37)
+    assert(df.select(countDistinct($"CODE")).as[Long].head() == 37)
+  }
+
+  test("captureStream: snapshot then incremental in one streaming job, restart resumes") {
+    fresh("TA", 15)
+    CdcCapture.installChangelog(url, "TA")
+    val statePath = java.nio.file.Files.createTempDirectory("cdcstream")
+      .resolve("state.properties").toString
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Long)])]()
+    def collectBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      delivered.add((id, df.select(trim(col("__row_kind")), $"ID")
+        .as[(String, Long)].collect().toSeq))
+    def waitFor(cond: => Boolean, ms: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(150)
+      assert(cond, "captureStream did not deliver within the deadline")
+    }
+    val q = CdcCapture.captureStream(spark, url, "TA", "ID", chunkSize = 6,
+      statePath, collectBatch, pollsPerSecond = 10.0)
+    try {
+      waitFor(delivered.size() >= 1)
+      val (snapId, snapRows) = delivered.poll()
+      assert(snapId == -1L)
+      assert(snapRows.map(_._2).sorted == (1L to 15L) && snapRows.forall(_._1 == "+I"))
+      // incremental phase: the SAME running job delivers the change window
+      exec("INSERT INTO TA VALUES (16, 'x', 1.0)", "DELETE FROM TA WHERE ID = 2")
+      waitFor(!delivered.isEmpty)
+      val events = Iterator.continually(delivered.poll()).takeWhile(_ != null)
+        .flatMap(_._2).toSeq
+      assert(events.contains(("+I", 16L)) && events.contains(("-D", 2L)))
+    } finally q.stop()
+
+    // restart with the saved state: no second snapshot, only new changes
+    exec("INSERT INTO TA VALUES (17, 'y', 2.0)")
+    val q2 = CdcCapture.captureStream(spark, url, "TA", "ID", chunkSize = 6,
+      statePath, collectBatch, pollsPerSecond = 10.0)
+    try {
+      waitFor(!delivered.isEmpty)
+      val after = Iterator.continually(delivered.poll()).takeWhile(_ != null).toSeq
+      assert(after.forall(_._1 >= 0L), s"restart must not re-snapshot: $after")
+      assert(after.flatMap(_._2).contains(("+I", 17L)))
+      assert(!after.flatMap(_._2).exists(_ == (("+I", 16L))), "replayed an old event")
+    } finally q2.stop()
+  }
+
   test("durable materialization: snapshot chunks land in parquet") {
     fresh("T6", 12)
     CdcCapture.installChangelog(url, "T6")
