@@ -23,6 +23,9 @@ object Tables {
     // (micros * 1000 — exact; session timezone is UTC everywhere, so the
     // NTZ->TZ cast is the identity on the stored value).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // predicates on the normalized ts column rewrite back onto the raw
+    // timestamp attribute so parquet row-group pruning still applies
+    graft.plans.TsPushdown.install(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampType) |

@@ -573,9 +573,11 @@ object NativeExpressions {
   * gets the native functions without user code.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     NativeExpressions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.NativeExpressions", name), builder))
     }
+    ext.injectOptimizerRule(_ => TsPushdown)
+  }
 }
