@@ -631,6 +631,22 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    // §5 time-windowed scan (r9; VERDICT r8 #8): a fixed 10-day window
+    // over events with the predicate on the NORMALIZED epoch-nanos ts.
+    // The TsPushdown optimizer rule rewrites the filter back onto the raw
+    // timestamp attribute so the parquet scan prunes row groups
+    // (plan-asserted in TsPushdownSpec); without it the normalization
+    // projection forces a full read of every row group.
+    "q_ts_prune" -> ((s, dir) => {
+      def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+      Tables.load(s, dir, "events")
+        .where(col("ts") >= lit(ns("2024-01-10T00:00:00Z")) &&
+          col("ts") < lit(ns("2024-01-20T00:00:00Z")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"), dsum("value").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
     // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
     // loses sub-microsecond digits, so both sides emit micros.
@@ -1037,6 +1053,116 @@ object SparkEntry {
         .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
           col("N_REGIONKEY").as("n_regionkey"))
         .orderBy("n_nationkey")
+    }),
+
+    // §2.4 FILE SINK round-trip (r9; graduates the file-sink row from
+    // spec-only): nation written as partitioned csv through Sinks.writeFile
+    // (quoting, header, partition dirs), read back through FileSources with
+    // an explicit schema — the oracle pins byte-exact fidelity of the full
+    // write→read cycle including the partition-column reconstruction.
+    "q_file_sink" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/filesink_${dir.replaceAll("\\W", "_")}"
+      rmTree(new java.io.File(base))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      Sinks.writeFile(nation, Sinks.FileSinkConfig(base, "csv",
+        partitionBy = Seq("n_regionkey"), options = Map("header" -> "true")))
+      val schema = new StructType().add("n_nationkey", LongType)
+        .add("n_name", StringType).add("n_regionkey", LongType)
+      FileSources.read(s, FileSources.FileSourceConfig(base, "csv", Some(schema),
+          options = Map("header" -> "true")))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.4 SAVE MODES on the hash path (r9; graduates the 13-case spec
+    // matrix row): CREATE_SCHEMA_WHEN_NOT_EXIST+DROP_DATA writes nation,
+    // a second DROP_DATA write proves the drop (no doubling), then
+    // APPEND_DATA doubles it — the oracle pins exactly 2 copies, which
+    // only holds if both the drop and the append semantics are right.
+    "q_save_modes" -> ((s, dir) => {
+      import Sinks.{FileSinkConfig}
+      import graft.sinks.SaveModes.{DataSaveMode, SchemaSaveMode}
+      val base = s"/tmp/graft_fixtures/savemode_${dir.replaceAll("\\W", "_")}"
+      rmTree(new java.io.File(base))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      val cfg = FileSinkConfig(base, "parquet")
+      Sinks.writeFileWithSaveMode(nation, cfg,
+        SchemaSaveMode.CreateWhenNotExist, DataSaveMode.DropData)
+      Sinks.writeFileWithSaveMode(nation, cfg,
+        SchemaSaveMode.CreateWhenNotExist, DataSaveMode.DropData)
+      Sinks.writeFileWithSaveMode(nation, cfg,
+        SchemaSaveMode.ErrorWhenNotExist, DataSaveMode.AppendData)
+      s.read.parquet(base)
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(count(lit(1)).cast("long").as("copies"))
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.4 ASSERT sink as data (r9; graduates the assert row): the same
+    // single-pass rule aggregation as the throwing sink, surfaced as one
+    // row per rule — DuckDB recomputes every measured statistic and pass
+    // verdict independently.
+    "q_assert_sink" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      Sinks.assertReport(li, Seq(
+          Sinks.RowCountBetween(1L, 10000000000L),
+          Sinks.NotNull("l_orderkey"),
+          Sinks.MinValue("l_quantity", 0.0),
+          Sinks.MaxValue("l_quantity", 60.0),
+          Sinks.MinLength("l_returnflag", 1),
+          Sinks.MaxLength("l_returnflag", 1),
+          Sinks.MatchesRegex("l_returnflag", "^[ANR]$"),
+          Sinks.FieldType("l_quantity", "double")))
+        .orderBy("rule_no")
+    }),
+
+    // §2.5 CDC APPLY on the hash path (r9; graduates the versioned-store
+    // row's merge semantics): a deterministic +I/+U/-D changelog derived
+    // from nation merges into the nation snapshot; latest-change-per-key
+    // wins (the -D at ord 3 beats the +U at ord 2 for keys divisible by
+    // 15), and the oracle recomputes the final state in closed form.
+    "q_cdc_apply" -> ((s, dir) => {
+      val kind = graft.operators.RowKindOps.RowKindCol
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      val inserts = nation.where(col("n_regionkey") === 0)
+        .select((col("n_nationkey") + 1000L).as("n_nationkey"),
+          concat(col("n_name"), lit("_new")).as("n_name"), col("n_regionkey"))
+        .withColumn(kind, lit("+I")).withColumn("__ord", lit(1L))
+      val updates = nation.where(pmod(col("n_nationkey"), lit(3)) === 0)
+        .select(col("n_nationkey"), upper(col("n_name")).as("n_name"),
+          col("n_regionkey"))
+        .withColumn(kind, lit("+U")).withColumn("__ord", lit(2L))
+      val deletes = nation.where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .withColumn(kind, lit("-D")).withColumn("__ord", lit(3L))
+      val changes = inserts.unionByName(updates).unionByName(deletes)
+      graft.streaming.StreamingOps.applyCdcBatch(
+          nation, changes, Seq("n_nationkey"), "__ord")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.3 ZetaUDF SPI on the hash path (r9; graduates the SPI row): a
+    // user GraftUdf registered through the SPI runs inside a projection;
+    // the oracle recomputes the same function in SQL. (The SPI exists for
+    // logic SQL can't express — this query deliberately picks an
+    // SQL-expressible body so DuckDB can check the dispatch end to end.)
+    "q_zeta_udf" -> ((s, dir) => {
+      graft.functions.GraftUdf.register(s, new graft.functions.GraftUdf {
+        override def name = "graft_rev_len"
+        override def resultType: org.apache.spark.sql.types.DataType = StringType
+        override def eval(args: Seq[Any]): Any = args.head match {
+          case null => null
+          case v => val str = v.toString; str.reverse + "_" + str.length
+        }
+      })
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), call_udf("graft_rev_len", col("c_name")).as("rev_name"))
+        .orderBy("c_custkey")
     }),
 
     // §2.5 STREAMING dedup through the real readStream path (r8): the
@@ -2125,6 +2251,14 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q_ts_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
         |x AS (SELECT user_id, tsn,
@@ -2236,6 +2370,62 @@ object SparkEntry {
         |  (CAST(202 AS BIGINT), 'new_202', CAST(3 AS BIGINT)))
         |  AS t(n_nationkey, n_name, n_regionkey)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_file_sink" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_save_modes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(2 AS BIGINT) AS copies
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_assert_sink" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  min(l_quantity) AS minq, max(l_quantity) AS maxq,
+        |  min(length(l_returnflag)) AS minl, max(length(l_returnflag)) AS maxl,
+        |  sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$')
+        |      THEN 1 ELSE 0 END) AS badre
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INTEGER) AS rule_no, 'row_count_between' AS rule,
+        |    '' AS field, CAST(n AS DOUBLE) AS measured,
+        |    n BETWEEN 1 AND 10000000000 AS passed FROM m
+        |  UNION ALL SELECT 1, 'not_null', 'l_orderkey', CAST(nulls AS DOUBLE),
+        |    nulls = 0 FROM m
+        |  UNION ALL SELECT 2, 'min_value', 'l_quantity', CAST(minq AS DOUBLE),
+        |    minq >= 0.0 FROM m
+        |  UNION ALL SELECT 3, 'max_value', 'l_quantity', CAST(maxq AS DOUBLE),
+        |    maxq <= 60.0 FROM m
+        |  UNION ALL SELECT 4, 'min_length', 'l_returnflag', CAST(minl AS DOUBLE),
+        |    minl >= 1 FROM m
+        |  UNION ALL SELECT 5, 'max_length', 'l_returnflag', CAST(maxl AS DOUBLE),
+        |    maxl <= 1 FROM m
+        |  UNION ALL SELECT 6, 'matches_regex', 'l_returnflag', CAST(badre AS DOUBLE),
+        |    badre = 0 FROM m
+        |  UNION ALL SELECT 7, 'field_type', 'l_quantity', CAST(NULL AS DOUBLE),
+        |    TRUE FROM m
+        |) ORDER BY rule_no""".stripMargin,
+
+    "q_cdc_apply" ->
+      """SELECT * FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name) ELSE n_name END AS n_name,
+        |    CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name || '_new',
+        |    CAST(n_regionkey AS BIGINT)
+        |  FROM nation WHERE n_regionkey = 0
+        |) ORDER BY n_nationkey""".stripMargin,
+
+    "q_zeta_udf" ->
+      """SELECT c_custkey,
+        |  reverse(c_name) || '_' || CAST(length(c_name) AS VARCHAR) AS rev_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us

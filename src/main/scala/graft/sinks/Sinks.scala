@@ -243,12 +243,9 @@ object Sinks {
 
   final class AssertionFailed(msg: String) extends RuntimeException(msg)
 
-  /** Evaluate all rules in ONE aggregation pass over the data (the naive
-    * per-rule pass would rescan a 100 TB input once per rule).
-    */
-  def assertRules(df: DataFrame, rules: Seq[AssertRule]): Unit = {
-    // schema rules first: free, and failing fast beats scanning
-    val schemaFailures = rules.collect {
+  /** FieldType (schema-level) failures — free, no data scan. */
+  private def schemaRuleFailures(df: DataFrame, rules: Seq[AssertRule]): Seq[String] =
+    rules.collect {
       case FieldType(f, spec) =>
         df.schema.find(_.name == f) match {
           case None => Some(s"field $f missing")
@@ -286,8 +283,13 @@ object Sinks {
             else None
         }
     }.flatten
-    if (schemaFailures.nonEmpty) throw new AssertionFailed(schemaFailures.mkString("; "))
 
+  /** The per-rule aggregate columns (`__n` + `__r<i>`), shared by the
+    * throwing sink (`assertRules`) and the report form (`assertReport`) —
+    * all data rules in ONE aggregation pass either way (the naive
+    * per-rule pass would rescan a 100 TB input once per rule).
+    */
+  private def ruleAggs(df: DataFrame, rules: Seq[AssertRule]): Seq[org.apache.spark.sql.Column] = {
     // "differs from expected" predicate; arrays compare natively, maps
     // entry-wise (no native map equality in Spark)
     def mismatch(f: String, v: Any): org.apache.spark.sql.Column = v match {
@@ -315,7 +317,7 @@ object Sinks {
       case _ => col(f).isNull || col(f) =!= lit(v)
     }
 
-    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
+    count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
       case (NotNull(f), i) => Seq(sum(when(col(f).isNull, 1).otherwise(0)).as(s"__r$i"))
       case (IsNull(f), i) => Seq(sum(when(col(f).isNotNull, 1).otherwise(0)).as(s"__r$i"))
       case (MinValue(f, _), i) => Seq(min(col(f).cast("double")).as(s"__r$i"))
@@ -328,6 +330,17 @@ object Sinks {
         Seq(sum(when(mismatch(f, v), 1).otherwise(0)).as(s"__r$i"))
       case (RowCountBetween(_, _), _) | (FieldType(_, _), _) => Nil
     }
+  }
+
+  /** Evaluate all rules in ONE aggregation pass over the data, throwing
+    * `AssertionFailed` with every violation (the reference Assert sink's
+    * contract).
+    */
+  def assertRules(df: DataFrame, rules: Seq[AssertRule]): Unit = {
+    // schema rules first: free, and failing fast beats scanning
+    val schemaFailures = schemaRuleFailures(df, rules)
+    if (schemaFailures.nonEmpty) throw new AssertionFailed(schemaFailures.mkString("; "))
+    val aggs = ruleAggs(df, rules)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n")
     val failures = rules.zipWithIndex.flatMap {
@@ -360,5 +373,42 @@ object Sinks {
       case (FieldType(_, _), _) => None
     }
     if (failures.nonEmpty) throw new AssertionFailed(failures.mkString("; "))
+  }
+
+  /** Rule evaluation as DATA: one row per rule — (rule_no, rule, field,
+    * measured, passed) — computed from the same single-pass aggregates as
+    * `assertRules`. The one agg row fans out through an explode, so the
+    * whole report is in-plan (no driver collect) and oracle-checkable
+    * (q_assert_sink). `measured` is the rule's governing statistic: the
+    * row count, the violating-row count, or the min/max being bounded.
+    */
+  def assertReport(df: DataFrame, rules: Seq[AssertRule]): DataFrame = {
+    val aggs = ruleAggs(df, rules)
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val schemaBad = schemaRuleFailures(df, rules).toSet
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      val m = col(s"__r$i")
+      val (kind, field, measured, passed) = r match {
+        case RowCountBetween(lo, hi) =>
+          ("row_count_between", "", col("__n").cast("double"),
+            col("__n") >= lo && col("__n") <= hi)
+        case NotNull(f) => ("not_null", f, m.cast("double"), m === 0)
+        case IsNull(f) => ("is_null", f, m.cast("double"), m === 0)
+        case MinValue(f, lo) => ("min_value", f, m.cast("double"), m >= lo)
+        case MaxValue(f, hi) => ("max_value", f, m.cast("double"), m <= hi)
+        case MatchesRegex(f, _) => ("matches_regex", f, m.cast("double"), m === 0)
+        case MinLength(f, lo) => ("min_length", f, m.cast("double"), m >= lo)
+        case MaxLength(f, hi) => ("max_length", f, m.cast("double"), m <= hi)
+        case EqualsValue(f, _) => ("equals_value", f, m.cast("double"), m === 0)
+        case FieldType(f, _) =>
+          // schema-level: verdict is static; measured has no data statistic
+          ("field_type", f, lit(null).cast("double"),
+            lit(!schemaBad.exists(msg =>
+              msg == s"field $f missing" || msg.startsWith(s"$f "))))
+      }
+      struct(lit(i).cast("int").as("rule_no"), lit(kind).as("rule"),
+        lit(field).as("field"), measured.as("measured"), passed.as("passed"))
+    }
+    agg.select(explode(array(entries: _*)).as("r")).select("r.*")
   }
 }
