@@ -1146,6 +1146,24 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // §2.5 CDC SCHEMA EVOLUTION on the hash path (r9; graduates the
+    // evolveSchema half of the CDC-apply row): the changelog carries a
+    // column the snapshot lacks; the merge must add it (nulls on
+    // untouched rows, values on updated ones) — closed-form oracle.
+    "q_cdc_evolve" -> ((s, dir) => {
+      val kind = graft.operators.RowKindOps.RowKindCol
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      val updates = nation.where(pmod(col("n_nationkey"), lit(2)) === 0)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          (col("n_nationkey") * 100L).as("n_population"))
+        .withColumn(kind, lit("+U")).withColumn("__ord", lit(1L))
+      graft.streaming.StreamingOps.applyCdcBatch(
+          nation, updates, Seq("n_nationkey"), "__ord", evolveSchema = true)
+        .orderBy("n_nationkey")
+    }),
+
     // §2.3 ZetaUDF SPI on the hash path (r9; graduates the SPI row): a
     // user GraftUdf registered through the SPI runs inside a projection;
     // the oracle recomputes the same function in SQL. (The SPI exists for
@@ -2421,6 +2439,13 @@ object SparkEntry {
         |    CAST(n_regionkey AS BIGINT)
         |  FROM nation WHERE n_regionkey = 0
         |) ORDER BY n_nationkey""".stripMargin,
+
+    "q_cdc_evolve" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey * 100 AS BIGINT)
+        |       ELSE NULL END AS n_population
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_zeta_udf" ->
       """SELECT c_custkey,
