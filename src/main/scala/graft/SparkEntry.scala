@@ -647,6 +647,39 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.6 as-of (point-in-time) join (r9): latest purchase at-or-before
+    // each click per user — union-tag algorithm (ONE key shuffle + ONE
+    // in-partition sort over |L|+|R|, no per-key cartesian; AsOfJoin
+    // scaladoc). Micros both sides (exact under every ts encoding).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("value"), expr("r_ts DIV 1000").as("purchase_ts_us"),
+          col("r_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // §2.6 as-of join with a match tolerance (r9): purchases older than
+    // 1 hour before the click don't count — the stale-feature guard.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+          tolerance = Some(3600L * 1000000000L))
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          expr("r_ts DIV 1000").as("purchase_ts_us"),
+          col("r_value").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
     // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
     // loses sub-microsecond digits, so both sides emit micros.
@@ -2268,6 +2301,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |  epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH a AS (
+        |  SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |    epoch_us(r.ts) AS pts, r.value AS pval
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN pts >= ts_us - 3600000000 THEN pts END AS purchase_ts_us,
+        |  CASE WHEN pts >= ts_us - 3600000000 THEN pval END AS purchase_value
+        |FROM a ORDER BY event_id""".stripMargin,
 
     "q_ts_prune" ->
       """SELECT event_type, count(*) AS n,
