@@ -680,6 +680,42 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.6 KEYLESS binned range join (r9): every event within ±5 min of
+    // any high-severity error — no equality key, the shape Spark would
+    // otherwise execute as a cartesian. RangeJoin bins the time axis
+    // (pure-long arithmetic, exact at epoch-nano scale) and equi-joins on
+    // the bin id; plan-asserted BNLJ/cartesian-free in RangeJoinSpec.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val points = ev.select(col("event_id"), col("ts"), col("event_type"))
+      val anchors = ev.where(col("event_type") === "error" && col("value") > 250)
+        .select(col("event_id").as("anchor_id"),
+          (col("ts") - lit(300000000000L)).as("w_start"),
+          (col("ts") + lit(300000000000L)).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(points, anchors,
+          "ts", "w_start", "w_end", binWidth = 600000000000L)
+        .select(col("event_id"), col("i_anchor_id").as("anchor_id"),
+          col("event_type"), expr("ts DIV 1000").as("ts_us"))
+        .orderBy("event_id", "anchor_id")
+    }),
+
+    // §2.6 keyless interval-overlap join (r9): error windows that overlap
+    // signup windows. Canonical-bin rule emits each overlapping pair
+    // exactly once — no distinct pass after the binned equi-join.
+    "q_range_overlap" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def win(tpe: String, idCol: String, sCol: String, eCol: String) =
+        ev.where(col("event_type") === tpe && col("value") > 250)
+          .select(col("event_id").as(idCol), col("ts").as(sCol),
+            (col("ts") + lit(600000000000L)).as(eCol))
+      graft.operators.RangeJoin.intervalOverlap(
+          win("error", "err_id", "e_start", "e_end"),
+          win("signup", "sig_id", "s_start", "s_end"),
+          "e_start", "e_end", "s_start", "s_end", binWidth = 600000000000L)
+        .select(col("err_id"), col("r_sig_id").as("sig_id"))
+        .orderBy("err_id", "sig_id")
+    }),
+
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
     // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
     // loses sub-microsecond digits, so both sides emit micros.
@@ -2321,6 +2357,24 @@ object SparkEntry {
         |  CASE WHEN pts >= ts_us - 3600000000 THEN pts END AS purchase_ts_us,
         |  CASE WHEN pts >= ts_us - 3600000000 THEN pval END AS purchase_value
         |FROM a ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS t_us, event_type FROM events),
+        |     a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS a_us FROM events
+        |           WHERE event_type = 'error' AND value > 250)
+        |SELECT p.event_id AS event_id, anchor_id, event_type, t_us AS ts_us
+        |FROM p JOIN a ON t_us >= a_us - 300000000 AND t_us <= a_us + 300000000
+        |ORDER BY event_id, anchor_id""".stripMargin,
+
+    "q_range_overlap" ->
+      """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s,
+        |             epoch_us(ts) + 600000000 AS t
+        |           FROM events WHERE event_type = 'error' AND value > 250),
+        |     g AS (SELECT event_id AS sig_id, epoch_us(ts) AS s,
+        |             epoch_us(ts) + 600000000 AS t
+        |           FROM events WHERE event_type = 'signup' AND value > 250)
+        |SELECT err_id, sig_id FROM e JOIN g ON e.s <= g.t AND g.s <= e.t
+        |ORDER BY err_id, sig_id""".stripMargin,
 
     "q_ts_prune" ->
       """SELECT event_type, count(*) AS n,
