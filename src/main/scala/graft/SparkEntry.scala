@@ -716,6 +716,52 @@ object SparkEntry {
         .orderBy("err_id", "sig_id")
     }),
 
+    // §2.6 SCD2 dimension history (r9): the CDC changelog's other half —
+    // applyCdcBatch answers "state now", Scd2 answers "state at any ord".
+    // Synthesized nation changelog (insert, update evens, delete fifths,
+    // reinsert tenths); versions carry half-open validity intervals. ONE
+    // key exchange + lead window, no self-join (plan-asserted in spec).
+    "q_scd2" -> ((s, dir) => {
+      val kind = graft.operators.RowKindOps.RowKindCol
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      val ch = nation.withColumn(kind, lit("+I")).withColumn("ord", lit(1L))
+        .unionByName(nation.where(pmod(col("n_nationkey"), lit(2)) === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+          .withColumn(kind, lit("+U")).withColumn("ord", lit(2L)))
+        .unionByName(nation.where(pmod(col("n_nationkey"), lit(5)) === 0)
+          .withColumn("n_name", lit(null).cast("string"))
+          .withColumn(kind, lit("-D")).withColumn("ord", lit(3L)))
+        .unionByName(nation.where(pmod(col("n_nationkey"), lit(10)) === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_v3")))
+          .withColumn(kind, lit("+I")).withColumn("ord", lit(4L)))
+      graft.operators.Scd2.fromChangelog(ch, Seq("n_nationkey"), "ord")
+        .orderBy("n_nationkey", "valid_from")
+    }),
+
+    // §2.5 stream-stream interval join through the REAL readStream path
+    // (r9): clicks and purchases read as two file streams, watermarked
+    // both sides, joined on user within [0, 15 min) event-time — the
+    // append-mode stream-stream join whose state is bounded by the
+    // watermark. Oracle is the equivalent DuckDB inequality join.
+    "q_stream_interval_join" -> ((s, dir) => {
+      val src = streamFixture(s, dir)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          timestamp_micros(col("ts_us")).as("c_et"))
+      val buys = src.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          timestamp_micros(col("ts_us")).as("b_et"), col("value"))
+      val name = s"stream_ivj_${dir.replaceAll("\\W", "_")}"
+      val q = graft.streaming.StreamingOps.intervalJoin(clicks, buys,
+          Seq("user_id"), "c_et", "b_et", "0 seconds", "15 minutes",
+          watermark = "2 hours")
+        .select("user_id", "click_id", "buy_id", "value")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("user_id", "click_id", "buy_id")
+    }),
+
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
     // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
     // loses sub-microsecond digits, so both sides emit micros.
@@ -1553,6 +1599,33 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // §5 co-located bucket join (r9): both sides written hash-bucketed on
+    // the join key (external tables under /tmp), so the fact-to-fact join
+    // needs NO shuffle exchange on either side — the 100 TB answer when a
+    // key is joined repeatedly. Shuffle-free plan is asserted in
+    // ScaleOpsSpec; here the joined data itself is oracle-checked. Tables
+    // are written once per process (catalog-guarded), so bench reps time
+    // the join, not the table build.
+    "q_colocated_join" -> ((s, dir) => {
+      val tok = dir.replaceAll("\\W", "_")
+      val (tLi, tOrd) = (s"graft_bkt_li_$tok", s"graft_bkt_ord_$tok")
+      if (!s.catalog.tableExists(tLi) || !s.catalog.tableExists(tOrd)) {
+        val base = s"/tmp/graft_fixtures/bkt_$tok"
+        ScaleOps.writeBucketed(
+          Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+          tLi, 8, Seq("l_orderkey"), Some(s"$base/lineitem"))
+        ScaleOps.writeBucketed(
+          Tables.load(s, dir, "orders")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          tOrd, 8, Seq("l_orderkey"), Some(s"$base/orders"))
+      }
+      ScaleOps.colocatedJoin(s, tLi, tOrd, Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.6 sequence packing: documents into 512-token training bins.
     // The bin ASSIGNMENT is per-partition FFD (deterministic but not
     // SQL-expressible), so the driver checks the packing INVARIANTS,
@@ -2376,6 +2449,33 @@ object SparkEntry {
         |SELECT err_id, sig_id FROM e JOIN g ON e.s <= g.t AND g.s <= e.t
         |ORDER BY err_id, sig_id""".stripMargin,
 
+    "q_stream_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS b_us, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, buy_id, value
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |  AND b_us >= c_us AND b_us <= c_us + 900000000
+        |ORDER BY c.user_id, click_id, buy_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT n_nationkey, n_name, CAST(1 AS BIGINT) AS ord, '+I' AS k FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '_v2', 2, '+U' FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, NULL, 3, '-D' FROM nation WHERE n_nationkey % 5 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '_v3', 4, '+I' FROM nation WHERE n_nationkey % 10 = 0),
+        |led AS (
+        |  SELECT *, lead(ord) OVER (PARTITION BY n_nationkey ORDER BY ord) AS valid_to
+        |  FROM ch)
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  ord AS valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM led WHERE k <> '-D'
+        |ORDER BY n_nationkey, valid_from""".stripMargin,
+
     "q_ts_prune" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -3061,6 +3161,12 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_colocated_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_c4_filter" ->
       """WITH p AS (

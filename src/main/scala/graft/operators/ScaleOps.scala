@@ -35,12 +35,16 @@ object ScaleOps {
     * tables bucketed the same way joins WITHOUT a shuffle exchange — the
     * payoff at 100 TB when a key is joined repeatedly (fact-to-fact).
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path → external table: callers control where the bucketed
+    // data lands instead of the session's warehouse directory
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two same-bucketing tables; with matched bucket counts Catalyst
     * plans a sort-merge join with zero Exchange on either side.
