@@ -287,4 +287,44 @@ object TextAnalysis {
         size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
           .cast("int").as("n_chunk_tokens"))
   }
+
+  /** CCNet-style LM-likelihood scoring (Wenzek et al. 2020): score each
+    * document by the average conditional bigram probability p(w2|w1)
+    * estimated from the corpus itself — the signal behind perplexity
+    * bucketing in pretraining pipelines (high score = in-distribution
+    * text, low = noise/boilerplate). Probabilities are INTEGER-SCALED,
+    * `(c12 * scale) DIV c1`, so the whole score is exact integer
+    * arithmetic in any engine: IEEE ln/exp results differ across libms,
+    * and a bucketing threshold does not need sub-ppm precision. `c1` is
+    * the left-context count (bigrams starting with w1), so probabilities
+    * per context sum to ~`scale`.
+    *
+    * Scale shape: one explode projection builds doc bigrams (narrow); two
+    * count aggregations shuffle only (gram, count) pairs; the probability
+    * dimension joins back on the gram string — broadcastable at natural
+    * vocabulary sizes, hash join with AQE skew handling at web scale. The
+    * hot-key risk ("the the") sits on the probe side, which hash joins
+    * tolerate. Docs with < 2 tokens have no bigrams and are absent from
+    * the output.
+    */
+  def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val bigrams = df
+      .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> " +
+          "concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))")).as("bg"))
+    val c12 = bigrams.groupBy("bg").agg(count(lit(1)).as("__c12"))
+    val c1 = bigrams
+      .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(count(lit(1)).as("__c1"))
+    val p = c12.join(c1, substring_index(col("bg"), " ", 1) === col("__w1"))
+      .select(col("bg"), expr(s"(__c12 * ${scale}L) DIV __c1").as("__p"))
+    bigrams.join(p, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("__p").as("score_sum"),
+        (sum("__p").cast("double") / count(lit(1))).as("score_avg"))
+  }
 }

@@ -167,4 +167,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0).matches("[0-9a-f]{16}"))
   }
+
+  test("bigramLikelihood: hand-computed integer-scaled probabilities") {
+    // bigrams: "a b"x2 (doc1), "b a" (doc1), "a c" (doc2)
+    // left-context counts: a->3, b->1
+    // scale 1000: p(a b)=2000/3=666, p(b a)=1000, p(a c)=1000/3=333
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLikelihood(df, "doc_id", "text", scale = 1000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2332L, 2332.0 / 3),
+      (2L, 1L, 333L, 333.0))) // doc 3 has no bigrams: absent
+  }
+
+  test("bigramLikelihood normalizes case and whitespace before scoring") {
+    val df = Seq((1L, "A   b"), (2L, " a B ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLikelihood(df, "doc_id", "text", scale = 100L)
+      .select("score_sum").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(100L, 100L)) // both docs are the bigram "a b"
+  }
 }
