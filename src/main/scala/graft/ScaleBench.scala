@@ -38,6 +38,8 @@ object ScaleBench {
     def docsAt(sf: String): DataFrame = Tables.load(spark, s"$root/$sf", "documents")
     def embAt(sf: String): DataFrame =
       Tables.load(spark, s"$root/$sf", "embeddings").select("vec_id", "embedding")
+    def eventsAt(sf: String): DataFrame = Tables.load(spark, s"$root/$sf", "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
 
     def replicate(df: DataFrame, k: Int): DataFrame =
       (0 until k).map { i =>
@@ -53,17 +55,30 @@ object ScaleBench {
           col("embedding"))
       }.reduce(_.unionAll(_))
 
+    // events replicate TIME-SHIFTED (each replica lands after the previous
+    // month's span): event density per hour stays constant, so the range
+    // join's per-bin candidate count is scale-invariant and output grows
+    // ~linearly — the honest way to measure a time-axis operator; naive
+    // replication at identical timestamps would grow output quadratically
+    def replicateEvents(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map { i =>
+        df.select((col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("value"),
+          (col("ts") + lit(i.toLong * 35L * 86400L * 1000000000L)).as("ts"))
+      }.reduce(_.unionAll(_))
+
     val scaleFilter = args.lift(1).map(_.split(",").toSet)
     val opFilter = args.lift(2).map(_.split(",").toSet)
     def wanted(op: String): Boolean = opFilter.forall(_.contains(op))
 
-    val scales: Seq[(String, DataFrame, DataFrame)] = Seq(
-      ("sf0.01", docsAt("sf0.01"), embAt("sf0.01")),
-      ("sf0.1", docsAt("sf0.1"), embAt("sf0.1")),
-      ("sf0.1x10", replicate(docsAt("sf0.1"), 10), replicateEmb(embAt("sf0.1"), 10)))
-      .filter { case (name, _, _) => scaleFilter.forall(_.contains(name)) }
+    val scales: Seq[(String, DataFrame, DataFrame, DataFrame)] = Seq(
+      ("sf0.01", docsAt("sf0.01"), embAt("sf0.01"), eventsAt("sf0.01")),
+      ("sf0.1", docsAt("sf0.1"), embAt("sf0.1"), eventsAt("sf0.1")),
+      ("sf0.1x10", replicate(docsAt("sf0.1"), 10), replicateEmb(embAt("sf0.1"), 10),
+        replicateEvents(eventsAt("sf0.1"), 10)))
+      .filter { case (name, _, _, _) => scaleFilter.forall(_.contains(name)) }
 
-    scales.foreach { case (name, docs0, emb) =>
+    scales.foreach { case (name, docs0, emb, events) =>
       val docs = docs0
       val nDocs = docs.count()
       def time(f: => Long): (Double, Long) = {
@@ -144,6 +159,34 @@ object ScaleBench {
         point("image")(Dedup.dropNearDups(imgs, "doc_id",
           Dedup.imageNearDupPairs(imgs, "doc_id", "img", maxHamming = 10)).count())
       } else None
+      // r9: the round's new operators — keyless binned range join, as-of
+      // join, BPE encode, LM-likelihood — measured, not just plan-audited
+      val rng = point("range") {
+        val anchors = events
+          .where(col("event_type") === "error" && col("value") > 250)
+          .select(col("event_id").as("anchor_id"),
+            (col("ts") - lit(300000000000L)).as("w_start"),
+            (col("ts") + lit(300000000000L)).as("w_end"))
+        graft.operators.RangeJoin.pointInInterval(
+          events.select("event_id", "ts"), anchors,
+          "ts", "w_start", "w_end", binWidth = 600000000000L).count()
+      }
+      val asof = point("asof") {
+        val clicks = events.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val buys = events.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin.asOf(clicks, buys, Seq("user_id"), "ts", "ts")
+          .where(col("r_value").isNotNull).count()
+      }
+      val bpeMerges = Seq("t a", "b l", "ta bl", "tabl e", "s c", "a n",
+        "sc an", "k e", "ke y", "r o", "ro w", "s p", "a r", "sp ar",
+        "spar k", "a g", "ag g", "q u", "e r", "qu er")
+      val bpe = point("bpe")(
+        docs.select(graft.text.Bpe.encode(lower(col("text")), bpeMerges).as("t"))
+          .agg(sum(size(col("t")))).collect()(0).getLong(0))
+      val lm = point("lm")(
+        graft.text.TextAnalysis.bigramLikelihood(docs, "doc_id", "text").count())
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -158,7 +201,11 @@ object ScaleBench {
         grep.map { case (t, n) => s""""gopher_rep":{"sec":$t,"passed":$n}""" },
         chunk.map { case (t, n) => s""""chunk":{"sec":$t,"chunks":$n}""" },
         pack.map { case (t, n) => s""""packing":{"sec":$t,"bins":$n}""" },
-        img.map { case (t, n) => s""""image":{"sec":$t,"kept":$n}""" }).flatten
+        img.map { case (t, n) => s""""image":{"sec":$t,"kept":$n}""" },
+        rng.map { case (t, n) => s""""range":{"sec":$t,"matches":$n}""" },
+        asof.map { case (t, n) => s""""asof":{"sec":$t,"matched":$n}""" },
+        bpe.map { case (t, n) => s""""bpe":{"sec":$t,"tokens":$n}""" },
+        lm.map { case (t, n) => s""""lm":{"sec":$t,"docs":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }

@@ -1684,6 +1684,44 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // §5 z-order values (r9): Morton interleave of (user_id, value
+    // bucket) — the data-skipping layout key behind zorderWrite (layout +
+    // per-file bbox locality are spec-asserted; here the curve value
+    // itself is oracle-checked bit for bit). Pure codegen'd bit
+    // arithmetic, no UDF.
+    "q_zorder" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("__vb"))
+        .select(col("event_id"),
+          ScaleOps.zValue2(col("user_id"), col("__vb")).as("z_val"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 file-side MERGE INTO (r9): the Delta/Iceberg upsert shape on a
+    // plain parquet dir — fresh target written per run (the merge mutates
+    // it), row-kind changelog applied set-wise, atomic double-rename
+    // swap, result read back and oracle-checked closed-form.
+    "q_merge_into" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/merge_${dir.replaceAll("\\W", "_")}/nation"
+      val kind = graft.operators.RowKindOps.RowKindCol
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      nation.write.mode("overwrite").parquet(base)
+      val changes = nation.where(pmod(col("n_nationkey"), lit(2)) === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_u")))
+          .withColumn(kind, lit("+U")).withColumn("__ord", lit(1L))
+        .unionByName(nation.where(pmod(col("n_nationkey"), lit(5)) === 0)
+          .withColumn(kind, lit("-D")).withColumn("__ord", lit(2L)))
+        .unionByName(nation.where(pmod(col("n_nationkey"), lit(7)) === 0)
+          .select((col("n_nationkey") + 1000L).as("n_nationkey"),
+            concat(lit("ins_"), col("n_name")).as("n_name"), col("n_regionkey"))
+          .withColumn(kind, lit("+I")).withColumn("__ord", lit(3L)))
+      graft.sinks.Sinks.mergeInto(s, base, changes, Seq("n_nationkey"), "__ord")
+      s.read.parquet(base).orderBy("n_nationkey")
+    }),
+
     // §2.6 sequence packing: documents into 512-token training bins.
     // The bin ASSIGNMENT is per-partition FFD (deterministic but not
     // SQL-expressible), so the driver checks the packing INVARIANTS,
@@ -3243,6 +3281,27 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |    (((user_id >> i) & 1) << (2 * i)) |
+        |    (((CAST(floor(value) AS BIGINT) >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS z_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_merge_into" ->
+      """WITH m AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_u' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, 'ins_' || n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey % 7 = 0)
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM m ORDER BY n_nationkey""".stripMargin,
 
     "q_colocated_join" ->
       """SELECT o_orderstatus, count(*) AS n,

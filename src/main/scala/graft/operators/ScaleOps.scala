@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-engineering helpers (SURVEY §5): explicit tools for the two shuffle
@@ -52,4 +52,35 @@ object ScaleOps {
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Z-order (Morton) interleave of two NON-NEGATIVE long columns: bit i
+    * of x lands at output bit 2i, bit i of y at 2i+1, so points close in
+    * BOTH dimensions are close on the curve. Pure Column bit arithmetic —
+    * codegen'd, no UDF; 21 bits/dimension keeps the result in a positive
+    * long.
+    */
+  def zValue2(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue2: bits in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` laid out along the z-order curve of (xCol, yCol) — the
+    * data-skipping layout behind Delta OPTIMIZE ZORDER / Iceberg sort
+    * orders: each output file covers a compact z-range, i.e. a small
+    * RECTANGLE in (x, y) space, so parquet min/max file stats prune scans
+    * that filter on EITHER column, not just the leading sort key.
+    * `repartitionByRange` on the z-value gives contiguous non-overlapping
+    * file ranges (a hash repartition would scatter the curve and destroy
+    * locality).
+    */
+  def zorderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int, bits: Int = 21, format: String = "parquet"): Unit =
+    df.withColumn("__z", zValue2(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").format(format).save(path)
 }

@@ -192,17 +192,52 @@ object Sinks {
       case other => throw new IllegalArgumentException(s"compact: unsupported format $other")
     }
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
     df.repartition(n).write.mode("overwrite").format(format).save(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(p, old)) throw new java.io.IOException(s"compact: cannot move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll back
-      throw new java.io.IOException(s"compact: cannot swap in $tmp")
-    }
-    fs.delete(old, true)
+    atomicSwapIn(fs, p, tmp, "compact")
     val after = fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (files.length, after)
+  }
+
+  /** Double-rename swap: move `p` aside, rename `tmp` in, delete the old
+    * version — readers see either the old or the new directory, never a
+    * mix; a failed swap-in rolls the old directory back.
+    */
+  private def atomicSwapIn(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      tag: String): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + s".__${tag}_old")
+    fs.delete(old, true)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"$tag: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"$tag: cannot swap in $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** File-side MERGE INTO — the Delta/Iceberg upsert shape on a plain
+    * parquet/orc/json directory: read the target, apply the row-kind
+    * changelog SET-WISE (`applyCdcBatch`: last change per key wins,
+    * +I/+U upsert, -D delete — one window + one join, never row-at-a-time),
+    * write the new version next to the old one and atomically double-rename
+    * it in. Readers see the old or the new table version, never a mix —
+    * the poor man's snapshot isolation, same protocol as [[compact]].
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], ordCol: String,
+      format: String = "parquet"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case "json" => spark.read.json(path)
+      case other => throw new IllegalArgumentException(s"mergeInto: unsupported format $other")
+    }
+    val merged = graft.streaming.StreamingOps.applyCdcBatch(target, changes, keys, ordCol)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__merge_tmp")
+    merged.write.mode("overwrite").format(format).save(tmp.toString)
+    atomicSwapIn(fs, p, tmp, "merge")
   }
 
   // ---------- console ----------

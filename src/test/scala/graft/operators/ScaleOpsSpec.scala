@@ -62,4 +62,37 @@ class ScaleOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("zValue2 interleaves bits: hand-checked Morton codes") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (7L, 7L))
+      .toDF("x", "y")
+    val got = df.select(ScaleOps.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // z(3,5): x=011, y=101 -> bits 0,2 from x(1,1), bits 1,5 from y(1,1),
+    // bit3 from y1=0, bit4 from x2=0 -> 1+2+4+32 = 39; z(7,7) = 63
+    assert(got.toSeq === Seq(0L, 1L, 2L, 39L, 63L))
+  }
+
+  test("zorderWrite: every output file covers a compact (x,y) rectangle") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    ScaleOps.zorderWrite(grid, dir, "x", "y", files = 16)
+    val boxes = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.map(_.getAs[Long]("n")).sum === 1024L)
+    // 1024 points over 16 files = 64/file; on the z-curve a contiguous
+    // 64-point run spans a bounding box of area well under the full 1024
+    // (range-boundary jitter allowed; random layout would give ~1024 each)
+    boxes.foreach { b =>
+      val area = (b.getAs[Long]("x1") - b.getAs[Long]("x0") + 1) *
+        (b.getAs[Long]("y1") - b.getAs[Long]("y0") + 1)
+      assert(area <= 256, s"file bbox area $area too large: $b")
+    }
+  }
 }
