@@ -820,6 +820,52 @@ object SparkEntry {
       s.table(name).orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // §2.4 CDC capture through the DataSource V2 STREAMING source (r9):
+    // readStream.format("graft-cdc") — Spark's own micro-batch engine
+    // drives the hybrid snapshot→changelog handoff (first batch = chunk
+    // splits + window, offset = CL_SEQ head in Spark's WAL). The stream
+    // delivers into a memory sink; the merged replay is oracle-checked
+    // against the same closed-form end state as q_cdc_capture.
+    "q_cdc_v2" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftcapv2;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      val st = conn.createStatement()
+      def tryDrop(t: String): Unit =
+        try { st.executeUpdate(s"DROP TABLE $t"); () }
+        catch { case _: java.sql.SQLException => () } // absent on first run
+      Seq("CL_NATION_V2", "NATION_V2").foreach(tryDrop)
+      st.executeUpdate(
+        """CREATE TABLE NATION_V2 (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
+          |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
+      Jdbc.write(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("N_NATIONKEY"),
+          col("n_name").as("N_NAME"), col("n_regionkey").cast("long").as("N_REGIONKEY")),
+        Jdbc.JdbcSinkConfig(url, "NATION_V2", mode = "append"))
+      val name = s"cdc_v2_${dir.replaceAll("\\W", "_")}"
+      val q = s.readStream.format("graft-cdc")
+        .option("url", url).option("table", "NATION_V2")
+        .option("pk", "N_NATIONKEY").option("chunkSize", "8").load()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable() // snapshot batch
+        st.executeUpdate("UPDATE NATION_V2 SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
+        st.executeUpdate("DELETE FROM NATION_V2 WHERE N_NATIONKEY >= 20")
+        st.executeUpdate(
+          "INSERT INTO NATION_V2 VALUES (100, 'new_100', 0), (101, 'new_101', 1), (102, 'new_102', 2)")
+        q.processAllAvailable() // changelog batch
+      } finally { q.stop(); st.close(); conn.close() }
+      val all = s.table(name)
+      val changes = s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          all.where(col("CL_SEQ") > 0).collect(): _*)), all.schema)
+      graft.streaming.StreamingOps.applyCdcBatch(
+          all.where(col("CL_SEQ") === 0).select("N_NATIONKEY", "N_NAME", "N_REGIONKEY"),
+          changes, Seq("N_NATIONKEY"), "CL_SEQ")
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
     // Output bounds in micros: DuckDB's epoch_ns on TIMESTAMP_NS values
     // loses sub-microsecond digits, so both sides emit micros.
@@ -2649,6 +2695,19 @@ object SparkEntry {
         |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
         |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    // q_cdc_v2 reaches the same end state through the DSv2 stream
+    "q_cdc_v2" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 0 THEN n_name || '_x' ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 20
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'new_100', CAST(0 AS BIGINT)),
+        |  (CAST(101 AS BIGINT), 'new_101', CAST(1 AS BIGINT)),
+        |  (CAST(102 AS BIGINT), 'new_102', CAST(2 AS BIGINT)))
+        |  AS t(n_nationkey, n_name, n_regionkey)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_cdc_capture" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
