@@ -632,6 +632,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 per-key rolling/lag feature engineering (r9): last-5 rolling
+    // count/sum/mean + previous value + event gap per user — ONE key
+    // exchange + ONE sort feeds every window (Catalyst collapses
+    // same-spec windows). DECIMAL-exact sums; gap stays in integer us.
+    "q_rolling_features" -> ((s, dir) => {
+      graft.operators.TimeSeries.rollingFeatures(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", lastN = 5, tieCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("roll_n"), col("roll_sum"),
+          col("roll_mean"), col("prev_value"),
+          expr("gap DIV 1000").as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // §2.6 CCNet head/middle/tail corpus split (r9): ntile over the
+    // LM-likelihood score — the bucketing CCNet trains/downweights on.
+    // (likelihoodBucketsByThreshold is the no-global-sort scale path;
+    // the exact ntile variant is what an oracle can replay.)
+    "q_ccnet_buckets" -> ((s, dir) => {
+      TextAnalysis.likelihoodBuckets(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // §2.6 per-(source, lang) corpus composition stats
     "q_source_stats" -> ((s, dir) => {
       TextAnalysis.groupedStats(Tables.load(s, dir, "documents"),
@@ -2981,6 +3006,45 @@ object SparkEntry {
         |FROM e GROUP BY gram ORDER BY n DESC, gram LIMIT 500""".stripMargin,
 
     "q_bpe_encode" -> bpeOracleSql,
+
+    "q_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER win AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS roll_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE)
+        |    / count(*) OVER win AS roll_mean,
+        |  lag(value) OVER ord AS prev_value,
+        |  t - lag(t) OVER ord AS gap_us
+        |FROM e
+        |WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |       ord AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM t WHERE len(w) >= 2)
+        |), c12 AS (
+        |  SELECT bg, count(*) AS c12 FROM b GROUP BY bg
+        |), c1 AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM b GROUP BY 1
+        |), p AS (
+        |  SELECT bg, (c12.c12 * 1000000) // c1.c1 AS pp
+        |  FROM c12 JOIN c1 ON split_part(bg, ' ', 1) = w1
+        |), s AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(pp) AS BIGINT) AS score_sum,
+        |    CAST(sum(pp) AS DOUBLE) / count(*) AS score_avg
+        |  FROM b JOIN p USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, score_sum, score_avg,
+        |  CAST(ntile(3) OVER (ORDER BY score_avg DESC, doc_id) AS INTEGER) AS bucket
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_lm_likelihood" ->
       """WITH t AS (

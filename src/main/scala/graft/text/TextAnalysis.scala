@@ -307,6 +307,46 @@ object TextAnalysis {
     * tolerate. Docs with < 2 tokens have no bigrams and are absent from
     * the output.
     */
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank every
+    * document by LM likelihood and cut the corpus into `buckets` equal
+    * slices — head = most in-distribution, tail = most surprising; CCNet
+    * trains on head+middle and drops or down-weights tail. `ntile` over
+    * (score desc, id) is deterministic under score ties.
+    *
+    * EXACT equal-size slices need a total order: Spark plans an
+    * unpartitioned Window as a single-partition sort, fine for the
+    * per-doc score table at test scales but a one-reducer bottleneck on a
+    * billion-doc corpus — there, use [[likelihoodBucketsByThreshold]]
+    * (approxQuantile cut points + a distributed comparison; bucket sizes
+    * approximate, no global sort).
+    */
+  def likelihoodBuckets(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 3, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bigramLikelihood(df, idCol, textCol, scale)
+      .withColumn("bucket", ntile(buckets)
+        .over(Window.orderBy(col("score_avg").desc, col(idCol).asc)))
+  }
+
+  /** Scale path for [[likelihoodBuckets]]: bucket by approxQuantile cut
+    * points of `score_avg` — one aggregation pass for the sketch, one
+    * codegen'd comparison per row, no global sort. Bucket sizes are
+    * approximate within the sketch's relativeError (CCNet itself cuts on
+    * precomputed percentile thresholds the same way).
+    */
+  def likelihoodBucketsByThreshold(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 3, scale: Long = 1000000L,
+      relativeError: Double = 0.001): DataFrame = {
+    val scored = bigramLikelihood(df, idCol, textCol, scale)
+    val probs = (1 until buckets).map(i => i.toDouble / buckets).toArray
+    val cuts = scored.stat.approxQuantile("score_avg", probs, relativeError)
+    // bucket 1 = highest scores (head), matching likelihoodBuckets
+    val bucketCol = cuts.reverse.zipWithIndex.foldLeft(lit(1)) {
+      case (acc, (cut, i)) => when(col("score_avg") < cut, lit(i + 2)).otherwise(acc)
+    }
+    scored.withColumn("bucket", bucketCol)
+  }
+
   def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
     val bigrams = df

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling window, lag and gap: hand-computed per-key history") {
+    val df = Seq(
+      (1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0), (3L, 1L, 30L, 4.0),
+      (4L, 2L, 5L, 10.0))
+      .toDF("event_id", "k", "ts", "value")
+    val got = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value",
+        lastN = 2, tieCol = "event_id")
+      .orderBy("event_id")
+      .select("event_id", "roll_n", "roll_sum", "roll_mean", "prev_value", "gap")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        Option(r.get(4)), Option(r.get(5))))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1.0, 1.0, None, None),            // frame start: just itself
+      (2L, 2L, 3.0, 1.5, Some(1.0), Some(10L)),  // last-2 window
+      (3L, 2L, 6.0, 3.0, Some(2.0), Some(10L)),  // row 1 fell out of frame
+      (4L, 1L, 10.0, 10.0, None, None)))         // other key: fresh history
+  }
+
+  test("duplicate timestamps stay deterministic via the tie column") {
+    val df = Seq((2L, 1L, 10L, 5.0), (1L, 1L, 10L, 3.0))
+      .toDF("event_id", "k", "ts", "value")
+    val got = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value",
+        lastN = 2, tieCol = "event_id")
+      .orderBy("event_id").select("event_id", "prev_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(got.toSeq === Seq((1L, None), (2L, Some(3.0))))
+  }
+
+  test("plan: a single exchange+sort serves all features") {
+    val df = Seq((1L, 1L, 10L, 1.0)).toDF("event_id", "k", "ts", "value")
+    val plan = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value", 5, "event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning", -1).length - 1 === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}

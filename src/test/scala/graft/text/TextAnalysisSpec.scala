@@ -188,4 +188,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select("score_sum").collect().map(_.getLong(0))
     assert(out.toSeq === Seq(100L, 100L)) // both docs are the bigram "a b"
   }
+
+  test("likelihoodBuckets: head gets the most in-distribution docs") {
+    // docs 1-2 repeat the dominant continuation of context "x"; doc 3
+    // takes the rare continuation (note: an unshared context like "q r"
+    // would score p=1 — unsmoothed conditionals reward unique contexts)
+    val df = Seq((1L, "x y x y x y"), (2L, "x y x y"), (3L, "x q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.likelihoodBuckets(df, "doc_id", "text", buckets = 3)
+      .select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(3) === 3)               // the surprising doc lands in the tail
+    assert(Set(out(1), out(2)) === Set(1, 2))
+    // the threshold (no-global-sort) variant agrees on the ordering; cut
+    // placement AT a data point is quantile-boundary fuzzy on 3 docs, so
+    // assert ranks, not exact tail membership
+    val thr = TextAnalysis.likelihoodBucketsByThreshold(df, "doc_id", "text",
+        buckets = 3, relativeError = 0.0001)
+      .select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(thr(1) === 1 && thr(3) > thr(1))
+  }
 }
