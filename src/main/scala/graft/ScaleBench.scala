@@ -187,6 +187,11 @@ object ScaleBench {
           .agg(sum(size(col("t")))).collect()(0).getLong(0))
       val lm = point("lm")(
         graft.text.TextAnalysis.bigramLikelihood(docs, "doc_id", "text").count())
+      val incr = point("incr")(
+        Dedup.incrementalMinHashPairs(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text").count())
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -205,7 +210,8 @@ object ScaleBench {
         rng.map { case (t, n) => s""""range":{"sec":$t,"matches":$n}""" },
         asof.map { case (t, n) => s""""asof":{"sec":$t,"matched":$n}""" },
         bpe.map { case (t, n) => s""""bpe":{"sec":$t,"tokens":$n}""" },
-        lm.map { case (t, n) => s""""lm":{"sec":$t,"docs":$n}""" }).flatten
+        lm.map { case (t, n) => s""""lm":{"sec":$t,"docs":$n}""" },
+        incr.map { case (t, n) => s""""incr":{"sec":$t,"pairs":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }

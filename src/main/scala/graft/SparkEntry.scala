@@ -1793,6 +1793,21 @@ object SparkEntry {
       s.read.parquet(base).orderBy("n_nationkey")
     }),
 
+    // §2.6 INCREMENTAL near-dup pairing (r9): the daily-ingest shape —
+    // delta (doc_id%10=0) pairs against the standing corpus and itself,
+    // never corpus×corpus; cap semantics identical to a full run over the
+    // union (oracle is the minhash oracle restricted to delta-touching
+    // pairs — derived, not duplicated).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val all = Tables.load(s, dir, "documents")
+      graft.dedup.Dedup.incrementalMinHashPairs(
+          all.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          all.where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text")
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.6 sequence packing: documents into 512-token training bins.
     // The bin ASSIGNMENT is per-partition FFD (deterministic but not
     // SQL-expressible), so the driver checks the packing INVARIANTS,
@@ -1974,7 +1989,35 @@ object SparkEntry {
     * same ORDER BY). Since r7 every driver query has an oracle — an
     * omitted key would fall back to a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // q_dedup_incremental's oracle IS the full minhash pipeline over the
+    // union, restricted to delta-touching candidates (delta = doc_id%10=0)
+    // — derived from the proven q_dedup_minhash oracle by swapping the
+    // candidate clause and the final projection, so the two can never
+    // drift apart.
+    val fullCand =
+      """  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b USING (band_idx, band_val)
+        |  WHERE a.doc_id < b.doc_id""".stripMargin
+    val incCand =
+      """  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM capped a JOIN capped b USING (band_idx, band_val)
+        |  WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id""".stripMargin
+    val fullTail =
+      """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin
+    val incTail = "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"
+    val minhash = base("q_dedup_minhash")
+    require(minhash.contains(fullCand) && minhash.contains(fullTail),
+      "q_dedup_incremental oracle derivation: q_dedup_minhash shape changed")
+    base + ("q_dedup_incremental" ->
+      minhash.replace(fullCand, incCand).replace(fullTail, incTail))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // LSH ANN: signatures + band candidates + exact-cosine ranking,
     // replayed bit-for-bit (4-bit bands x4; ties broken by n_id).
     "q_ann_lsh" -> (lshSigCtes(recursive = false) +

@@ -124,6 +124,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL near-dup pairing: the daily-ingest shape — pair a NEW
+    * batch (`delta`) against the standing corpus AND itself, without ever
+    * pairing corpus×corpus. The candidate join probes delta bands against
+    * all bands, so the quadratic term scales with the delta's bucket
+    * overlap, not the corpus size; at 100 TB the corpus side costs one
+    * signature pass (and in production those signatures are precomputed
+    * and stored — this recomputes them for self-containment).
+    *
+    * Equivalence contract: returns exactly the pairs a FULL
+    * [[minHashPairs]] run over corpus ∪ delta would return, restricted to
+    * pairs touching at least one delta doc — including identical
+    * bucket-cap behavior (the cap is applied to the union's buckets).
+    */
+  def incrementalMinHashPairs(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val srcAll = corpus
+      .select(col(idCol).as("doc"), col(textCol).as("txt"), lit(false).as("is_delta"))
+      .unionByName(delta.select(col(idCol).as("doc"), col(textCol).as("txt"),
+        lit(true).as("is_delta")))
+      .graftPersist
+    val bands = expr(
+      s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})")
+    val banded = srcAll.select(col("doc"), col("is_delta"),
+      posexplode(bands).as(Seq("band_idx", "band_hash")))
+      .graftPersist
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
+    val probe = capped.where(col("is_delta"))
+      .select(col("band_idx"), col("band_hash"), col("doc").as("d"))
+    val build = capped.select(col("band_idx"), col("band_hash"), col("doc").as("o"))
+    val candidates = probe.join(build, Seq("band_idx", "band_hash"))
+      .where(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).as("id_a"),
+        greatest(col("d"), col("o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shingles = srcAll.select(col("doc"),
+      expr(s"shingle_hashes(txt, ${cfg.shingleSize})").as("hashes"))
+      .graftPersist
+    candidates
+      .join(shingles.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
+      .join(shingles.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
+      .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
+      .where(col("jaccard") >= cfg.threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Greedy keep-first dedup from near-dup pairs: drop every doc that
     * appears as the larger id of a confirmed pair.
     */

@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
     assert(jac == 1.0)
   }
 
+  test("incrementalMinHashPairs: delta-touching pairs only, full-run equivalent") {
+    // corpus holds a planted corpus-corpus pair (10/11) that must NOT be
+    // re-reported; the delta brings a cross pair (12~10/11) and a
+    // delta-delta pair (50/51)
+    val corpus = docs
+    val delta = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      (50L, "gradient descent updates model weights using minibatch statistics nightly"),
+      (51L, "gradient descent updates model weights using minibatch statistics daily"),
+      (60L, "totally fresh content with no relatives anywhere in the lake"))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(threshold = 0.5)
+    val got = Dedup.incrementalMinHashPairs(corpus, delta, "doc_id", "text", cfg)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((10L, 11L)), s"corpus-corpus pair re-reported: $got")
+    assert(!got.contains((20L, 21L)))
+    assert(got.contains((50L, 51L)), s"missing delta-delta pair: $got")
+    assert(got.exists { case (a, b) => b == 12L || a == 12L }, s"missing cross pair: $got")
+    // equivalence: full run over the union, filtered to delta-touching
+    val deltaIds = Set(12L, 50L, 51L, 60L)
+    val full = Dedup.minHashPairs(corpus.unionByName(delta), "doc_id", "text", cfg)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => deltaIds(a) || deltaIds(b) }.toSet
+    assert(got === full)
+  }
+
   test("dropNearDups keeps the smaller id of each pair") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text", Dedup.MinHashConfig(threshold = 0.5))
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
