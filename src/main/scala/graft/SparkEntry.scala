@@ -1867,6 +1867,39 @@ object SparkEntry {
     // with a benchmark set (here: every 50th doc poses as a benchmark
     // question). Hash-exact: the oracle recomputes the overlap on gram
     // STRINGS (equal modulo hash collisions).
+    // §2.6 FUZZY decontamination metric (r9): per-doc fraction of
+    // distinct 13-grams shared with the benchmark — the GPT-4/PaLM-style
+    // contamination measure (exact matching over-fires on one shared
+    // idiom; a fraction threshold catches paraphrased eval items).
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
+      graft.text.Decontamination.overlapFractions(docs, bench, "doc_id", "text", "question")
+        .select("doc_id", "n_grams", "n_matched", "overlap")
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 hard-negative mining (r9): per query, top-10 most-similar
+    // vectors with a DIFFERENT label — contrastive-training negatives;
+    // broadcast brute-force contract, label filter before ranking.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.similarity.Similarity.hardNegatives(
+          emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", "label")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 group-leakage-safe splits (r9): split by SOURCE, not by doc —
+    // all docs of a publisher land in the same split, the standard guard
+    // against train/test leakage through shared provenance. Same
+    // engine-independent md5 buckets as q_split_assign, keyed on source.
+    "q_group_split" -> ((s, dir) => {
+      Sampling.assignSplit(Tables.load(s, dir, "documents"), "source",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 50 === 0).select(col("text").as("question"))
@@ -3209,6 +3242,53 @@ object SparkEntry {
     // compares murmur hashes of the same grams — equal modulo hash
     // collisions); same tokenizer semantics (lower, split \W+, drop
     // empties), same short-doc whole-text gram rule
+    "q_decontaminate_fuzzy" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |gramt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+        |         ELSE [array_to_string(t[i:i+12], ' ') FOR i IN range(1, len(t) - 11)]
+        |    END AS grams
+        |  FROM toks
+        |),
+        |dg AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM gramt),
+        |bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+        |m AS (SELECT doc_id, count(*) AS n_matched
+        |      FROM dg JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, n_grams,
+        |  coalesce(n_matched, 0) AS n_matched,
+        |  CAST(coalesce(n_matched, 0) AS DOUBLE) / n_grams AS overlap
+        |FROM tot t LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    list_sum(list_transform(list_zip(q.qe, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, embeddings c WHERE c.label <> q.ql),
+        |r AS (SELECT q_id, n_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INTEGER) AS rnk
+        |      FROM s)
+        |SELECT q_id, n_id, rnk, cosine FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "q_group_split" ->
+      """SELECT doc_id, source, CASE
+        |    WHEN substr(md5(source || 'graft'), 1, 8) < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5(source || 'graft'), 1, 8) < 'e6666666' THEN 'valid'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate" ->
       raw"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t

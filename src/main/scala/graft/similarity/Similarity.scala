@@ -37,6 +37,30 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label — the highest-loss negatives a triplet/InfoNCE
+    * trainer wants. Same broadcast brute-force contract as
+    * [[bruteForceTopK]] (queries small, corpus scanned once); the label
+    * filter runs BEFORE ranking so same-label near-neighbors never crowd
+    * the k slots. For corpus-sized query sets, bucket with [[lshTopK]]
+    * first and label-filter its candidates the same way.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"))
+    c.crossJoin(q)
+      .where(col("n_label") =!= col("q_label"))
+      .withColumn("cosine", Dedup.cosineExact(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cosine")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nLists cells; each query probes its nProbe nearest cells and
     * ranks candidates by exact cosine. The classic trade: one-off train +

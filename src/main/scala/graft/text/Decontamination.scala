@@ -37,6 +37,44 @@ object Decontamination {
       .where(col("__m") >= minMatches).select(idCol)
   }
 
+  /** Fuzzy decontamination metric (overlap fraction): for every corpus
+    * doc, the share of its DISTINCT n-grams that appear anywhere in the
+    * benchmark set — the GPT-4/PaLM-report contamination measure. Exact
+    * matching flags a doc on ONE shared gram (over-fires on idioms);
+    * thresholding the fraction catches paraphrased or partially-copied
+    * eval items while tolerating incidental overlap. Same scale shape as
+    * [[contaminatedIds]]: corpus text never shuffles — only (id, gram)
+    * pairs move, benchmark grams broadcast.
+    */
+  def overlapFractions(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13): DataFrame = {
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val benchGrams = benchmark
+      .select(explode(expr(s"shingle_hashes(`$benchTextCol`, $ngram)")).as("gram"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(expr(s"shingle_hashes(`$textCol`, $ngram)")).as("gram"))
+      .distinct()
+    val totals = corpusGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val matched = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("overlap", col("n_matched").cast("double") / col("n_grams"))
+  }
+
+  /** Drop docs whose benchmark n-gram overlap fraction reaches
+    * `maxOverlap` (1-gram incidental matches survive; copied items die).
+    */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      ngram: Int = 13, maxOverlap: Double = 0.5): DataFrame =
+    corpus.join(
+      broadcast(overlapFractions(corpus, benchmark, idCol, textCol, benchTextCol, ngram)
+        .where(col("overlap") >= maxOverlap).select(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Drop contaminated docs from the corpus (broadcast anti-join). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,

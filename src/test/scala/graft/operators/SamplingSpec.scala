@@ -57,4 +57,15 @@ class SamplingSpec extends SparkSpec {
     val moreLight = more.where("grp = 'light'").select("k").collect().map(_.getLong(0)).toSet
     assert(keptLight.subsetOf(moreLight))
   }
+
+  test("assignSplit keyed on a group column is leakage-safe by construction") {
+    val df = spark.range(0, 300).selectExpr("id", "concat('src_', id % 7) AS source")
+    val splits = Sampling.assignSplit(df, "source",
+      Seq("train" -> 0.6, "valid" -> 0.2, "test" -> 0.2))
+    // every source maps to exactly ONE split: no group straddles the cut
+    val perSource = splits.groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(perSource.forall(_ == 1L))
+  }
 }

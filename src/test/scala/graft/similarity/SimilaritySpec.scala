@@ -70,6 +70,25 @@ class SimilaritySpec extends SparkSpec {
     assert(selfScores.nonEmpty && selfScores.forall(s => math.abs(s - 1.0) < 0.02))
   }
 
+  test("hardNegatives excludes the query's own label, keeps top-k order") {
+    val q = emb.where(col("vec_id") < 3)
+    val out = Similarity.hardNegatives(emb, q, "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(out.length == 15)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("n_id")) != labels(r.getAs[Long]("q_id")),
+        s"same-label negative leaked: $r")
+    }
+    // a hard negative is never ranked above what brute force finds among
+    // different-label vectors: spot-check monotone cosine within query
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("quantizeInt8 codes are within int8 range and scale reconstructs") {
     val out = Similarity.quantizeInt8(emb.limit(50), "embedding").collect()
     out.foreach { r =>

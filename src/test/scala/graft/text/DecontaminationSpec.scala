@@ -116,4 +116,25 @@ class DecontaminationSpec extends SparkSpec {
     val stats = Decontamination.piiStats(df, "text").collect()(0)
     assert(stats.getAs[Long]("<EMAIL>") == 1L && stats.getAs[Long]("<SSN>") == 1L)
   }
+
+  test("overlapFractions grades contamination; fuzzy drop spares idiom overlap") {
+    val bench = Seq("alpha beta gamma delta").toDF("question")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // full copy: overlap 1.0
+      (2L, "alpha beta gamma delta plus more however"), // partial copy
+      (3L, "unrelated gamma delta text here"), // shares a sub-gram only
+      (4L, "nothing shared at all today"))
+      .toDF("doc_id", "text")
+    val fr = Decontamination.overlapFractions(corpus, bench,
+        "doc_id", "text", "question", ngram = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("overlap")).toMap
+    assert(fr(1L) === 1.0)
+    assert(fr(2L) > 0.0 && fr(2L) < 1.0)
+    assert(fr(4L) === 0.0)
+    val kept = Decontamination.decontaminateFuzzy(corpus, bench,
+        "doc_id", "text", "question", ngram = 3, maxOverlap = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L)) // the copy dies
+    assert(kept.contains(4L) && kept.contains(3L)) // incidental overlap lives
+  }
 }
