@@ -657,6 +657,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 per-group z-score anomaly flags (r9): DECIMAL-exact moments
+    // broadcast back onto the rows; |z| > 3 marks outliers. Events never
+    // shuffle — only the 5-row stats table moves.
+    "q_anomaly" -> ((s, dir) => {
+      graft.operators.TimeSeries.zScores(
+          Tables.load(s, dir, "events").select("event_id", "event_type", "value"),
+          Seq("event_type"), "value")
+        .select("event_id", "event_type", "value", "z", "is_anomaly")
+        .orderBy("event_id")
+    }),
+
     // §2.6 per-(source, lang) corpus composition stats
     "q_source_stats" -> ((s, dir) => {
       TextAnalysis.groupedStats(Tables.load(s, dir, "documents"),
@@ -889,6 +900,40 @@ object SparkEntry {
         .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
           col("N_REGIONKEY").as("n_regionkey"))
         .orderBy("n_nationkey")
+    }),
+
+    // §2.5 sessionization through the REAL readStream path (r9):
+    // flatMapGroupsWithState with explicit per-key state — the custom-
+    // state API the batch/SQL form can't exercise. A far-future sentinel
+    // event per user closes every real session (append mode only emits
+    // CLOSED sessions; the sentinels' own sessions stay open and are
+    // never emitted), so the output equals batch sessionization of the
+    // base events — same oracle family as q_sessionize.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_fixtures/sess_${dir.replaceAll("\\W", "_")}"
+      ensureFixture(s"$base/a", sourceToken(dir, "events")) {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+        val sentinels = ev.groupBy("user_id")
+          .agg((max("ts_us") + lit(7200L * 1000000L)).as("ts_us"))
+        ev.unionByName(sentinels).coalesce(1)
+          .write.mode("overwrite").json(s"$base/a")
+      }
+      val stream = s.readStream
+        .schema(new StructType().add("user_id", LongType).add("ts_us", LongType))
+        .json(s"$base/a")
+        .selectExpr("user_id AS user", "ts_us * 1000 AS tsNs")
+        .as[graft.streaming.SessionEvent]
+      val name = s"stream_sess_${dir.replaceAll("\\W", "_")}"
+      val q = graft.streaming.StreamingOps
+        .sessionizeStream(stream, gapNs = 1800L * 1000000000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("user").as("user_id"), col("nEvents").cast("long").as("n_events"),
+          expr("startNs DIV 1000").as("start_us"), expr("endNs DIV 1000").as("end_us"))
+        .orderBy("user_id", "start_us")
     }),
 
     // §2.5 sessionization, batch/SQL form (streaming form spec-tested).
@@ -2727,6 +2772,19 @@ object SparkEntry {
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |x AS (SELECT user_id, tsn,
+        |  CASE WHEN lag(tsn) OVER w IS NULL THEN 1
+        |       WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+        |y AS (SELECT user_id, tsn,
+        |  SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, count(*) AS n_events,
+        |       min(tsn) // 1000 AS start_us, max(tsn) // 1000 AS end_us
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
         |x AS (SELECT user_id, tsn,
@@ -3082,6 +3140,21 @@ object SparkEntry {
         |FROM e GROUP BY gram ORDER BY n DESC, gram LIMIT 500""".stripMargin,
 
     "q_bpe_encode" -> bpeOracleSql,
+
+    "q_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type AS event_type, value,
+        |  CASE WHEN sq / n - (sm / n) * (sm / n) > 0
+        |       THEN (value - sm / n) / sqrt(sq / n - (sm / n) * (sm / n)) END AS z,
+        |  abs(CASE WHEN sq / n - (sm / n) * (sm / n) > 0
+        |       THEN (value - sm / n) / sqrt(sq / n - (sm / n) * (sm / n)) END) > 3.0
+        |    AS is_anomaly
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_rolling_features" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events)

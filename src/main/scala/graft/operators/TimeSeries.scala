@@ -37,4 +37,30 @@ object TimeSeries {
       .withColumn("prev_value", lag(col(valueCol), 1).over(prev))
       .withColumn("gap", col(tsCol) - lag(col(tsCol), 1).over(prev))
   }
+
+  /** Per-group z-score anomaly flags: one DECIMAL-exact moments pass
+    * (count/sum/sum-of-squares — a tiny stats table, broadcast back), one
+    * codegen'd projection computing `z = (v - mean)/sqrt(var)` per row.
+    * The float arithmetic is a FIXED formula over exactly-aggregated
+    * moments, so two engines agree bit-for-bit (sqrt is correctly rounded
+    * by IEEE-754; only summation ORDER is engine-dependent, and the sums
+    * happen in DECIMAL). Zero-variance groups yield null z, never a
+    * divide-by-zero artifact. At 100 TB: the events never shuffle — only
+    * the group stats move.
+    */
+  def zScores(df: DataFrame, keys: Seq[String], valueCol: String,
+      sigma: Double = 3.0): DataFrame = {
+    val dec = col(valueCol).cast(DecimalType(18, 2))
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sum(dec).cast("double").as("__sm"),
+      sum(dec * dec).cast("double").as("__sq"))
+    val mean = col("__sm") / col("__n")
+    val variance = col("__sq") / col("__n") - mean * mean
+    df.join(broadcast(stats), keys)
+      .withColumn("z",
+        when(variance > 0, (col(valueCol) - mean) / sqrt(variance)))
+      .withColumn("is_anomaly", abs(col("z")) > sigma)
+      .drop("__n", "__sm", "__sq")
+  }
 }

@@ -34,6 +34,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, None), (2L, Some(3.0))))
   }
 
+  test("zScores: hand-computed z per group; zero-variance yields null") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), // mean 2, var 2/3
+      (4L, "b", 5.0), (5L, "b", 5.0))                 // constant group
+      .toDF("event_id", "grp", "value")
+    val got = TimeSeries.zScores(df, Seq("grp"), "value")
+      .orderBy("event_id").select("event_id", "z")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // replicate the operator's exact float formula (sq/n - mean^2), not
+    // the algebraically-equal 2/3 — they differ in the last ulp
+    val sd = math.sqrt(14.0 / 3.0 - 2.0 * 2.0)
+    assert(got(0)._2.get === -1.0 / sd)
+    assert(got(1)._2.get === 0.0)
+    assert(got(2)._2.get === 1.0 / sd)
+    assert(got(3)._2.isEmpty && got(4)._2.isEmpty) // no divide-by-zero artifact
+  }
+
   test("plan: a single exchange+sort serves all features") {
     val df = Seq((1L, 1L, 10L, 1.0)).toDF("event_id", "k", "ts", "value")
     val plan = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value", 5, "event_id")
