@@ -657,6 +657,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 within-doc repeated-line removal (r9): pages synthesized the
+    // same way as q_c4_filter (' a ' -> newline), then every repeated
+    // line inside a page is dropped keeping the first occurrence — pure
+    // higher-order functions, no shuffle.
+    "q_line_dedup" -> ((s, dir) => {
+      val pages = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("replace(text, ' a ', '\n')").as("page"))
+      TextAnalysis.dedupLinesWithinDoc(pages, "doc_id", "page")
+        .select("doc_id", "cleaned")
+        .orderBy("doc_id")
+    }),
+
     // §2.6 per-group z-score anomaly flags (r9): DECIMAL-exact moments
     // broadcast back onto the rows; |z| > 3 marks outliers. Events never
     // shuffle — only the 5-row stats table moves.
@@ -3140,6 +3152,14 @@ object SparkEntry {
         |FROM e GROUP BY gram ORDER BY n DESC, gram LIMIT 500""".stripMargin,
 
     "q_bpe_encode" -> bpeOracleSql,
+
+    "q_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(replace(text, ' a ', chr(10)), chr(10)) AS ls
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(
+        |    list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS cleaned
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_anomaly" ->
       """WITH s AS (

@@ -307,6 +307,24 @@ object TextAnalysis {
     * tolerate. Docs with < 2 tokens have no bigrams and are absent from
     * the output.
     */
+  /** Within-document repeated-line removal — the REMOVAL counterpart to
+    * [[gopherRepetitionFlags]] (flags score, this cleans): keep only the
+    * FIRST occurrence of each distinct line inside a document, preserving
+    * order — boilerplate nav bars, cookie banners and scraped-page chrome
+    * repeat within a page long before they repeat across pages. Pure
+    * higher-order functions over the line array: zero shuffle, zero UDF,
+    * embarrassingly parallel. O(lines²) equality scans per doc — lines
+    * per page are bounded small; corpus-wide line dedup is [[c4SpanDedup]]'s
+    * job.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      outCol: String = "cleaned"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    df.withColumn(outCol, array_join(
+      filter(lines, (l, i) => array_position(lines, l) === (i + lit(1)).cast("long")),
+      "\n"))
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank every
     * document by LM likelihood and cut the corpus into `buckets` equal
     * slices — head = most in-distribution, tail = most surprising; CCNet

@@ -189,6 +189,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(100L, 100L)) // both docs are the bigram "a b"
   }
 
+  test("dedupLinesWithinDoc keeps first occurrence of each line, in order") {
+    val df = Seq(
+      (1L, "nav\ncontent one\nnav\ncontent two\nnav"),
+      (2L, "only\nunique\nlines"),
+      (3L, "same\nsame\nsame"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(df, "doc_id", "text")
+      .orderBy("doc_id").select("cleaned").collect().map(_.getString(0))
+    assert(out(0) === "nav\ncontent one\ncontent two")
+    assert(out(1) === "only\nunique\nlines")
+    assert(out(2) === "same")
+  }
+
   test("likelihoodBuckets: head gets the most in-distribution docs") {
     // docs 1-2 repeat the dominant continuation of context "x"; doc 3
     // takes the rare continuation (note: an unshared context like "q r"
