@@ -3163,7 +3163,7 @@ object SparkEntry {
 
     "q_anomaly" ->
       """WITH s AS (
-        |  SELECT event_type, count(*) AS n,
+        |  SELECT event_type, count(value) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
         |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |  FROM events GROUP BY event_type)
@@ -3182,7 +3182,7 @@ object SparkEntry {
         |  count(*) OVER win AS roll_n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS roll_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE)
-        |    / count(*) OVER win AS roll_mean,
+        |    / count(value) OVER win AS roll_mean,
         |  lag(value) OVER ord AS prev_value,
         |  t - lag(t) OVER ord AS gap_us
         |FROM e

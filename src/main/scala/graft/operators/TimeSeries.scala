@@ -30,10 +30,12 @@ object TimeSeries {
       .rowsBetween(-(lastN - 1), Window.currentRow)
     val prev = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val dec = col(valueCol).cast(DecimalType(18, 2))
+    // roll_n counts EVENTS in the frame; the mean divides by NON-NULL
+    // values only — a null measurement must not drag the average down
     df.withColumn("roll_n", count(lit(1)).over(frame))
       .withColumn("roll_sum", sum(dec).over(frame).cast("double"))
       .withColumn("roll_mean",
-        (sum(dec).over(frame).cast("double") / count(lit(1)).over(frame)))
+        (sum(dec).over(frame).cast("double") / count(dec).over(frame)))
       .withColumn("prev_value", lag(col(valueCol), 1).over(prev))
       .withColumn("gap", col(tsCol) - lag(col(tsCol), 1).over(prev))
   }
@@ -51,8 +53,9 @@ object TimeSeries {
   def zScores(df: DataFrame, keys: Seq[String], valueCol: String,
       sigma: Double = 3.0): DataFrame = {
     val dec = col(valueCol).cast(DecimalType(18, 2))
+    // moments over NON-NULL values only (null measurements carry no z)
     val stats = df.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("__n"),
+      count(dec).as("__n"),
       sum(dec).cast("double").as("__sm"),
       sum(dec * dec).cast("double").as("__sq"))
     val mean = col("__sm") / col("__n")

@@ -34,6 +34,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, None), (2L, Some(3.0))))
   }
 
+  test("null values don't drag rolling means or group moments") {
+    val df = Seq(
+      (1L, 1L, 10L, Some(2.0)), (2L, 1L, 20L, None), (3L, 1L, 30L, Some(4.0)))
+      .toDF("event_id", "k", "ts", "value")
+    val roll = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value",
+        lastN = 3, tieCol = "event_id")
+      .orderBy("event_id").select("roll_n", "roll_mean").collect()
+    assert(roll(2).getLong(0) === 3L)       // the null event still counts
+    assert(roll(2).getDouble(1) === 3.0)    // mean over non-null values only
+    val z = TimeSeries.zScores(df, Seq("k"), "value")
+      .orderBy("event_id").select("z").collect()
+    assert(z(1).isNullAt(0))                // null measurement: no z
+    assert(!z(0).isNullAt(0))               // moments from the 2 real values
+  }
+
   test("zScores: hand-computed z per group; zero-variance yields null") {
     val df = Seq(
       (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), // mean 2, var 2/3
