@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger — the logger prefixes every line with "[info] ", which
+// breaks the driver's JSON parse of Bench/Verify output (BENCH_r09.json
+// carried `"parsed": null` because the final line arrived as
+// `[info] {...}`).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

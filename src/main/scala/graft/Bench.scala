@@ -83,13 +83,30 @@ object Bench {
       (line.dropRight(1) + s""","reps_detail":$repsDetail}""" + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)
-    // The driver keeps only a bounded TAIL of stdout. The per-query line
-    // above can still be clipped at its head, so the composite summary is
-    // repeated as a short, final line that always survives the capture
-    // whole. Keep this the LAST stdout line Bench prints.
+    // The driver keeps only a ~2,000-char TAIL of stdout — the full named
+    // per-query line above (>2 KB at 120+ queries) is head-clipped there.
+    // Every query's time must still be recoverable from the captured tail,
+    // so it is repeated in the most compact lossless encoding available:
+    // values only, in centiseconds, in ALPHABETICAL order of the query
+    // names with the "q_" prefix stripped (exactly the order of the named
+    // map above and of `SparkEntry.queries.keys.toSeq.sorted`). Decoding:
+    // `zip(sorted(name.removeprefix("q_") for name in queries), values)`.
+    // ~130 values x ~4 chars ≈ 600 chars — fits the capture with room for
+    // the total line below.
+    val centiVals = results.map { case (_, v) => Math.max(1L, Math.round(v * 100)).toString }
+    println(
+      s"""{"metric":"per_query_centisec","order":"alphabetical q_-stripped query names",""" +
+      s""""n_queries":${results.size},"values":[${centiVals.mkString(",")}]}""")
+    // Composite summary as a short, final line that always survives the
+    // capture whole, enriched with the slowest queries by name (the ones a
+    // reader wants first). Keep this the LAST stdout line Bench prints.
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""n_queries":${results.size},"errors":${errNames.size},"reps":$reps,"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"errors":${errNames.size},"reps":$reps,""" +
+      s""""slowest":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -119,6 +119,16 @@ object SparkEntry {
     * means adjacent matches never share consumed characters, so ONE
     * replace per merge reproduces the canonical left-to-right
     * non-overlapping pass of `BpeTable.mergeOnce` exactly.
+    *
+    * Data contract (r9 ADVICE): the oracle equivalence assumes (a)
+    * non-null `text` — Spark's `size(encode(NULL))` is NULL while the
+    * oracle's `coalesce(flatten(...), [])` yields 0 tokens; and (b) no
+    * chr(31) inside the text — US is the oracle's delimiter and a literal
+    * occurrence would corrupt the replace chain. Both hold for the
+    * synthetic `documents` table (generated non-null printable ASCII);
+    * pipelines feeding arbitrary text through `Bpe.encode` itself are
+    * unaffected (the expression handles nulls and any characters — only
+    * the cross-engine ORACLE carries this restriction).
     */
   private val bpeMerges = Seq(
     "t a", "b l", "ta bl", "tabl e", "s c", "a n", "sc an", "k e", "ke y",
@@ -808,10 +818,13 @@ object SparkEntry {
     // §2.6 keyless interval-overlap join (r9): error windows that overlap
     // signup windows. Canonical-bin rule emits each overlapping pair
     // exactly once — no distinct pass after the binned equi-join.
+    // (value > 100, not 250: the tighter filter left ZERO qualifying
+    // windows at sf0.001/sf0.01, making the driver check vacuous — r9
+    // ADVICE. > 100 yields overlaps at every scale factor.)
     "q_range_overlap" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       def win(tpe: String, idCol: String, sCol: String, eCol: String) =
-        ev.where(col("event_type") === tpe && col("value") > 250)
+        ev.where(col("event_type") === tpe && col("value") > 100)
           .select(col("event_id").as(idCol), col("ts").as(sCol),
             (col("ts") + lit(600000000000L)).as(eCol))
       graft.operators.RangeJoin.intervalOverlap(
@@ -2742,10 +2755,10 @@ object SparkEntry {
     "q_range_overlap" ->
       """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s,
         |             epoch_us(ts) + 600000000 AS t
-        |           FROM events WHERE event_type = 'error' AND value > 250),
+        |           FROM events WHERE event_type = 'error' AND value > 100),
         |     g AS (SELECT event_id AS sig_id, epoch_us(ts) AS s,
         |             epoch_us(ts) + 600000000 AS t
-        |           FROM events WHERE event_type = 'signup' AND value > 250)
+        |           FROM events WHERE event_type = 'signup' AND value > 100)
         |SELECT err_id, sig_id FROM e JOIN g ON e.s <= g.t AND g.s <= e.t
         |ORDER BY err_id, sig_id""".stripMargin,
 

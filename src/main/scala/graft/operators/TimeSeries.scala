@@ -41,17 +41,29 @@ object TimeSeries {
   }
 
   /** Per-group z-score anomaly flags: one DECIMAL-exact moments pass
-    * (count/sum/sum-of-squares — a tiny stats table, broadcast back), one
-    * codegen'd projection computing `z = (v - mean)/sqrt(var)` per row.
+    * (count/sum/sum-of-squares — one row per group), one codegen'd
+    * projection computing `z = (v - mean)/sqrt(var)` per row.
     * The float arithmetic is a FIXED formula over exactly-aggregated
     * moments, so two engines agree bit-for-bit (sqrt is correctly rounded
     * by IEEE-754; only summation ORDER is engine-dependent, and the sums
     * happen in DECIMAL). Zero-variance groups yield null z, never a
-    * divide-by-zero artifact. At 100 TB: the events never shuffle — only
-    * the group stats move.
+    * divide-by-zero artifact.
+    *
+    * Cardinality contract: by default the stats table is BROADCAST back —
+    * correct when the group-key cardinality is bounded (sources, shards,
+    * sensors: thousands to low millions of groups). For high-cardinality
+    * keys (per-user over 10^8 users) the one-row-per-group table exceeds
+    * the broadcast limit — pass `hugeGroups = true` to join it with a
+    * plain key shuffle instead (AQE still upgrades to broadcast at runtime
+    * if the stats turn out small). Either way the events are exchanged at
+    * most once on the keys.
+    *
+    * Group keys join NULL-SAFELY (`<=>`): rows whose key is null form a
+    * group in the aggregation and keep their z in the output rather than
+    * being dropped by the join.
     */
   def zScores(df: DataFrame, keys: Seq[String], valueCol: String,
-      sigma: Double = 3.0): DataFrame = {
+      sigma: Double = 3.0, hugeGroups: Boolean = false): DataFrame = {
     val dec = col(valueCol).cast(DecimalType(18, 2))
     // moments over NON-NULL values only (null measurements carry no z)
     val stats = df.groupBy(keys.map(col): _*).agg(
@@ -60,10 +72,14 @@ object TimeSeries {
       sum(dec * dec).cast("double").as("__sq"))
     val mean = col("__sm") / col("__n")
     val variance = col("__sq") / col("__n") - mean * mean
-    df.join(broadcast(stats), keys)
+    val d = df.as("__z_l")
+    val s = (if (hugeGroups) stats else broadcast(stats)).as("__z_r")
+    val cond = keys.map(k => col(s"__z_l.$k") <=> col(s"__z_r.$k")).reduce(_ && _)
+    val left = df.columns.map(c => col(s"__z_l.$c").as(c))
+    d.join(s, cond)
       .withColumn("z",
-        when(variance > 0, (col(valueCol) - mean) / sqrt(variance)))
+        when(variance > 0, (col(s"__z_l.$valueCol") - mean) / sqrt(variance)))
       .withColumn("is_anomaly", abs(col("z")) > sigma)
-      .drop("__n", "__sm", "__sq")
+      .select(left.toSeq :+ col("z") :+ col("is_anomaly"): _*)
   }
 }

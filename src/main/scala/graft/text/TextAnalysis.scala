@@ -288,25 +288,6 @@ object TextAnalysis {
           .cast("int").as("n_chunk_tokens"))
   }
 
-  /** CCNet-style LM-likelihood scoring (Wenzek et al. 2020): score each
-    * document by the average conditional bigram probability p(w2|w1)
-    * estimated from the corpus itself — the signal behind perplexity
-    * bucketing in pretraining pipelines (high score = in-distribution
-    * text, low = noise/boilerplate). Probabilities are INTEGER-SCALED,
-    * `(c12 * scale) DIV c1`, so the whole score is exact integer
-    * arithmetic in any engine: IEEE ln/exp results differ across libms,
-    * and a bucketing threshold does not need sub-ppm precision. `c1` is
-    * the left-context count (bigrams starting with w1), so probabilities
-    * per context sum to ~`scale`.
-    *
-    * Scale shape: one explode projection builds doc bigrams (narrow); two
-    * count aggregations shuffle only (gram, count) pairs; the probability
-    * dimension joins back on the gram string — broadcastable at natural
-    * vocabulary sizes, hash join with AQE skew handling at web scale. The
-    * hot-key risk ("the the") sits on the probe side, which hash joins
-    * tolerate. Docs with < 2 tokens have no bigrams and are absent from
-    * the output.
-    */
   /** Within-document repeated-line removal — the REMOVAL counterpart to
     * [[gopherRepetitionFlags]] (flags score, this cleans): keep only the
     * FIRST occurrence of each distinct line inside a document, preserving
@@ -365,6 +346,25 @@ object TextAnalysis {
     scored.withColumn("bucket", bucketCol)
   }
 
+  /** CCNet-style LM-likelihood scoring (Wenzek et al. 2020): score each
+    * document by the average conditional bigram probability p(w2|w1)
+    * estimated from the corpus itself — the signal behind perplexity
+    * bucketing in pretraining pipelines (high score = in-distribution
+    * text, low = noise/boilerplate). Probabilities are INTEGER-SCALED,
+    * `(c12 * scale) DIV c1`, so the whole score is exact integer
+    * arithmetic in any engine: IEEE ln/exp results differ across libms,
+    * and a bucketing threshold does not need sub-ppm precision. `c1` is
+    * the left-context count (bigrams starting with w1), so probabilities
+    * per context sum to ~`scale`.
+    *
+    * Scale shape: one explode projection builds doc bigrams (narrow); two
+    * count aggregations shuffle only (gram, count) pairs; the probability
+    * dimension joins back on the gram string — broadcastable at natural
+    * vocabulary sizes, hash join with AQE skew handling at web scale. The
+    * hot-key risk ("the the") sits on the probe side, which hash joins
+    * tolerate. Docs with < 2 tokens have no bigrams and are absent from
+    * the output.
+    */
   def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
     val bigrams = df

@@ -66,6 +66,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(3)._2.isEmpty && got(4)._2.isEmpty) // no divide-by-zero artifact
   }
 
+  test("zScores: null group keys form a group and keep their rows (null-safe join)") {
+    val df = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 3.0),
+      (3L, None, 10.0), (4L, None, 20.0), (5L, None, 30.0))
+      .toDF("event_id", "grp", "value")
+    val got = TimeSeries.zScores(df, Seq("grp"), "value")
+      .orderBy("event_id").select("event_id", "grp", "z").collect()
+    assert(got.length === 5, "rows with a null key must not vanish")
+    val sd = math.sqrt(1400.0 / 3.0 - 20.0 * 20.0)
+    assert(got(2).isNullAt(1) && got(2).getDouble(2) === -10.0 / sd)
+    assert(got(4).getDouble(2) === 10.0 / sd)
+  }
+
+  test("zScores hugeGroups: no broadcast hint, identical results") {
+    val df = (1L to 40L).map(i => (i, s"g${i % 8}", (i % 5).toDouble))
+      .toDF("event_id", "grp", "value")
+    val small = TimeSeries.zScores(df, Seq("grp"), "value")
+    val huge = TimeSeries.zScores(df, Seq("grp"), "value", hugeGroups = true)
+    // the high-cardinality path must not plant a broadcast hint in the
+    // LOGICAL plan (AQE may still upgrade at runtime when stats are small
+    // — that is the point: the decision becomes size-driven, not forced)
+    assert(!huge.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(small.collect().sortBy(key).toSeq === huge.collect().sortBy(key).toSeq)
+  }
+
   test("plan: a single exchange+sort serves all features") {
     val df = Seq((1L, 1L, 10L, 1.0)).toDF("event_id", "k", "ts", "value")
     val plan = TimeSeries.rollingFeatures(df, Seq("k"), "ts", "value", 5, "event_id")
