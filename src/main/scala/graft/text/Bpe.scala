@@ -51,8 +51,60 @@ object Bpe {
       .limit(maxVocab) // bounded driver-side dictionary, NOT the corpus
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-    var vocab: Array[(Array[String], Long)] =
-      dict.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    learnMerges(dict.map { case (w, c) => (w.map(_.toString).toArray, c) },
+      numMerges)
+  }
+
+  /** text column -> array<string> of BPE tokens under the given merges. */
+  def encode(text: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(text), merges))
+
+  /** BYTE-LEVEL encode (the GPT-2 shape; Radford et al. 2019, public
+    * encoder spec): text column -> array<string> of byte-level BPE tokens.
+    * Pre-tokenization uses GPT-2's published regex (contractions, letter
+    * runs, number runs, punctuation runs — each optionally carrying its
+    * leading space); each pre-token's UTF-8 bytes map through the
+    * bytes→unicode table (256-symbol base alphabet; space becomes 'Ġ'),
+    * then merges apply RANK-GREEDILY (lowest-rank adjacent pair first),
+    * exactly the published bpe() loop. This is what real token budgets
+    * are counted in: whitespace is part of the token ("Ġworld"), unknown
+    * characters can't fall out of vocabulary (every byte has a base
+    * symbol), and no end-of-word marker is needed.
+    *
+    * Same execution shape as [[encode]]: a native codegen'd expression,
+    * merge table as a plan constant, per-executor Zipf memo cache keyed
+    * by pre-token.
+    */
+  def encodeBytes(text: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeByteEncodeExpr(ColumnBridge.expression(text), merges))
+
+  /** Learn `numMerges` BYTE-LEVEL merges. Distributed part: GPT-2
+    * regex pre-tokenization + one `groupBy(pretoken).count` — the corpus
+    * shuffles only (pre-token, count) pairs; the merge loop runs locally
+    * on the byte-mapped dictionary bounded by `maxVocab`, sharing
+    * [[learnMerges]] with the char-level trainer. Returned merges are in
+    * application order over byte-alphabet symbols ("Ġ t", "Ġt h", ...).
+    */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 100000): Seq[String] = {
+    val dict: Array[(String, Long)] = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(BpeByteTable.Gpt2Pattern), lit(0))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    learnMerges(dict.map { case (w, c) =>
+      (BpeByteTable.toByteSymbols(w), c) }, numMerges)
+  }
+
+  /** The shared dictionary merge loop (Sennrich et al. 2016 train):
+    * deterministic count-desc / lexicographic tie-break per step.
+    */
+  private[text] def learnMerges(dictVocab: Array[(Array[String], Long)],
+      numMerges: Int): Seq[String] = {
+    var vocab = dictVocab
     val merges = mutable.ArrayBuffer[String]()
     var i = 0
     while (i < numMerges) {
@@ -67,7 +119,6 @@ object Bpe {
       }
       if (pairCounts.isEmpty) { i = numMerges }
       else {
-        // deterministic: max count, then lexicographically first pair
         val ((a, b), _) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
         merges += s"$a $b"
         vocab = vocab.map { case (parts, c) => (BpeTable.mergeOnce(parts, a, b), c) }
@@ -76,10 +127,6 @@ object Bpe {
     }
     merges.toSeq
   }
-
-  /** text column -> array<string> of BPE tokens under the given merges. */
-  def encode(text: Column, merges: Seq[String]): Column =
-    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(text), merges))
 }
 
 /** The plan-constant merge table + per-executor word memo cache. */
@@ -121,8 +168,128 @@ object BpeTable {
   }
 }
 
+/** Byte-level BPE machinery (GPT-2 shape): plan-constant merge RANKS +
+  * per-executor pre-token memo cache. Unlike [[BpeTable]]'s in-order
+  * application, apply here is RANK-GREEDY — the published gpt-2 bpe()
+  * loop: repeatedly merge the lowest-rank adjacent pair until none of
+  * the remaining pairs has a rank. (For a merge table produced by
+  * training the two strategies coincide — each merge's operands are only
+  * producible by earlier merges, so no earlier pair can reappear after a
+  * later merge — which is what lets the DuckDB oracle replay the chain
+  * in order; `BpeByteSpec` asserts the agreement over the corpus.)
+  */
+final class BpeByteTable(mergeList: Seq[String]) extends Serializable {
+  private val ranks = {
+    val m = new java.util.HashMap[String, Integer]()
+    mergeList.zipWithIndex.foreach { case (s, i) =>
+      val sp = s.indexOf(' ')
+      require(sp > 0 && sp < s.length - 1, s"bad merge '$s': want 'left right'")
+      m.put(s, i)
+    }
+    m
+  }
+  private def rankOf(a: String, b: String): Int = {
+    val r = ranks.get(a + " " + b)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** One pre-token (regex match, raw text) -> byte-level BPE tokens. */
+  def encodePreToken(w: String): Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) return hit
+    var parts = BpeByteTable.toByteSymbols(w)
+    // gpt-2 bpe(): find the lowest-rank adjacent pair, merge ALL its
+    // occurrences left-to-right, repeat until no pair has a rank
+    var done = parts.length < 2
+    while (!done) {
+      var best = Int.MaxValue; var bi = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = rankOf(parts(i), parts(i + 1))
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0 || best == Int.MaxValue) done = true
+      else {
+        parts = BpeTable.mergeOnce(parts, parts(bi), parts(bi + 1))
+        if (parts.length < 2) done = true
+      }
+    }
+    if (cache.size < 100000) cache.put(w, parts) // Zipf head; bounded
+    parts
+  }
+}
+
+object BpeByteTable {
+  /** GPT-2's published pre-tokenization regex: contractions, letter runs,
+    * number runs, other-symbol runs (each with an optional leading
+    * space), then whitespace.
+    */
+  val Gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(Gpt2Pattern)
+
+  /** The GPT-2 bytes→unicode table: the 188 printable/latin bytes map to
+    * their own codepoints; the remaining 68 map to 256+n in table order —
+    * every byte gets a PRINTABLE stand-in character (space -> 'Ġ' =
+    * U+0120), so tokens are plain strings and the base alphabet is
+    * exactly 256 symbols.
+    */
+  private val byteChar: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Pre-token -> base symbols: UTF-8 bytes, each mapped through the
+    * bytes→unicode table, one symbol per byte.
+    */
+  def toByteSymbols(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(byteChar(bytes(i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Split text into GPT-2 pre-tokens (regex findall). */
+  def preTokenize(text: String): Array[String] = {
+    val m = compiled.matcher(text)
+    val out = mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+}
+
 /** Static entry point for codegen (object methods surface as Java statics). */
 object BpeHelpers {
+  def encodeBytesText(text: UTF8String, table: BpeByteTable): ArrayData = {
+    val pts = BpeByteTable.preTokenize(text.toString)
+    val out = mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    while (i < pts.length) {
+      val toks = table.encodePreToken(pts(i))
+      var j = 0
+      while (j < toks.length) { out += UTF8String.fromString(toks(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
   def encodeText(text: UTF8String, table: BpeTable): ArrayData = {
     val words = text.toString.trim.split("\\s+")
     val out = mutable.ArrayBuffer[UTF8String]()
@@ -151,5 +318,20 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.text.BpeHelpers.encodeText($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+case class BpeByteEncodeExpr(child: Expression, merges: Seq[String])
+  extends UnaryExpression {
+  @transient private lazy val table = new BpeByteTable(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_bytes"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeHelpers.encodeBytesText(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeByteTable", table, "graft.text.BpeByteTable")
+    defineCodeGen(ctx, ev, c => s"graft.text.BpeHelpers.encodeBytesText($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeByteEncodeExpr =
     copy(child = newChild)
 }
