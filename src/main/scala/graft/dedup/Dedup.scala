@@ -171,6 +171,81 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** SIGNATURE STORE for incremental dedup — the production shape
+    * [[incrementalMinHashPairs]]'s docstring promises: compute the
+    * corpus's band signatures and shingle-hash arrays ONCE and persist
+    * them, so daily deltas never re-signature the standing corpus.
+    *
+    * Layout: `path/bands` = (doc, band_idx, band_hash), range-partitioned
+    * and sorted on (band_idx, band_hash) so parquet min/max stats give
+    * every band-bucket probe file-level locality (the same layout trick
+    * as [[graft.operators.ScaleOps.zorderWrite]], exact here because the
+    * sort key IS the probe key); `path/shingles` = (doc, hashes) for the
+    * verify joins, keyed by doc. Pass `SaveMode.Append` from a daily job
+    * to fold each verified delta into the store.
+    */
+  def writeSignatures(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, cfg: MinHashConfig = MinHashConfig(),
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit = {
+    graft.plans.NativeExpressions.register(corpus.sparkSession)
+    val src = corpus.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .graftPersist // one text scan feeds both derived tables
+    src.select(col("doc"), posexplode(expr(
+        s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})"))
+        .as(Seq("band_idx", "band_hash")))
+      .repartitionByRange(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .write.mode(mode).parquet(s"$path/bands")
+    src.select(col("doc"),
+        expr(s"shingle_hashes(txt, ${cfg.shingleSize})").as("hashes"))
+      .write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  /** Incremental near-dup pairing against a persisted signature store:
+    * same result contract as [[incrementalMinHashPairs]] (pairs a full
+    * run over corpus ∪ delta would emit restricted to delta-touching,
+    * identical union-bucket cap behavior — the stored signatures are the
+    * same deterministic expressions a recompute would produce), but the
+    * corpus cost drops from a full text re-signature to a scan of the
+    * narrow (doc, band_idx, band_hash) table; only the DELTA is
+    * signatured. The corpus text is never read at all.
+    */
+  def incrementalFromStore(delta: DataFrame, storePath: String,
+      idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val spark = delta.sparkSession
+    graft.plans.NativeExpressions.register(spark)
+    val dsrc = delta.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .graftPersist
+    val deltaBands = dsrc.select(col("doc"), lit(true).as("is_delta"),
+        posexplode(expr(
+          s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})"))
+          .as(Seq("band_idx", "band_hash")))
+      .graftPersist // delta-sized; feeds the cap count + probe side
+    val banded = spark.read.parquet(s"$storePath/bands")
+      .select(col("doc"), lit(false).as("is_delta"), col("band_idx"), col("band_hash"))
+      .unionByName(deltaBands)
+    // cap applies to the UNION's buckets — identical to the recompute path
+    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
+    val probe = capped.where(col("is_delta"))
+      .select(col("band_idx"), col("band_hash"), col("doc").as("d"))
+    val build = capped.select(col("band_idx"), col("band_hash"), col("doc").as("o"))
+    val candidates = probe.join(build, Seq("band_idx", "band_hash"))
+      .where(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).as("id_a"),
+        greatest(col("d"), col("o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shingles = spark.read.parquet(s"$storePath/shingles")
+      .unionByName(dsrc.select(col("doc"),
+        expr(s"shingle_hashes(txt, ${cfg.shingleSize})").as("hashes")))
+    candidates
+      .join(shingles.select(col("doc").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
+      .join(shingles.select(col("doc").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
+      .withColumn("jaccard", expr("jaccard_long(h_a, h_b)"))
+      .where(col("jaccard") >= cfg.threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Greedy keep-first dedup from near-dup pairs: drop every doc that
     * appears as the larger id of a confirmed pair.
     */

@@ -62,6 +62,41 @@ class DedupSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("incrementalFromStore: store path equals the recompute path; corpus text never read") {
+    val corpus = docs
+    val delta = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      (50L, "gradient descent updates model weights using minibatch statistics nightly"),
+      (51L, "gradient descent updates model weights using minibatch statistics daily"),
+      (60L, "totally fresh content with no relatives anywhere in the lake"))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(threshold = 0.5)
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", store, cfg)
+    val fromStore = Dedup.incrementalFromStore(delta, store, "doc_id", "text", cfg)
+    // the plan reads the two store parquet tables, never the corpus rows
+    val scans = fromStore.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.nonEmpty, "expected parquet scans of the signature store")
+    val got = fromStore.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recompute = Dedup.incrementalMinHashPairs(corpus, delta, "doc_id", "text", cfg)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === recompute, "store path must equal the recompute path")
+    assert(got.contains((50L, 51L)) && got.exists { case (a, b) => a == 12L || b == 12L })
+    // daily-ingest append: folding the verified delta into the store makes
+    // the NEXT delta see it as corpus
+    Dedup.writeSignatures(delta, "doc_id", "text", store, cfg,
+      org.apache.spark.sql.SaveMode.Append)
+    val next = Seq((70L, "gradient descent updates model weights using minibatch statistics weekly"))
+      .toDF("doc_id", "text")
+    val nextPairs = Dedup.incrementalFromStore(next, store, "doc_id", "text", cfg)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nextPairs.exists { case (a, b) => b == 70L && (a == 50L || a == 51L) },
+      s"appended delta signatures must be probeable: $nextPairs")
+  }
+
   test("dropNearDups keeps the smaller id of each pair") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text", Dedup.MinHashConfig(threshold = 0.5))
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
