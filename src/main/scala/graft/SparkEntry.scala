@@ -950,6 +950,59 @@ object SparkEntry {
       s.table(name).orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // §2.5 STREAMING as-of join (r10; VERDICT r9 #7): clicks enriched
+    // with the latest purchase per user through the REAL readStream path
+    // — watermarked union-tag into flatMapGroupsWithState, lefts buffered
+    // until the watermark passes them (late dimension updates land
+    // correctly; spec'd), one far-future sentinel advances the watermark
+    // so every key flushes via event-time timeout. Same semantics and
+    // SAME ORACLE as the batch q_asof_join.
+    "q_stream_asof" -> ((s, dir) => {
+      val base = s"/tmp/graft_fixtures/asof_${dir.replaceAll("\\W", "_")}"
+      ensureFixture(s"$base/a", sourceToken(dir, "events")) {
+        val ev = Tables.load(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), expr("ts DIV 1000").as("ts_us"))
+        val sentinel = ev.agg((max("ts_us") + lit(7200L * 1000000L)).as("ts_us"))
+          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit("purchase").as("event_type"), lit(0.0).as("value"), col("ts_us"))
+        ev.unionByName(sentinel).coalesce(1)
+          .write.mode("overwrite").json(s"$base/a")
+      }
+      val src = s.readStream.schema(new StructType()
+          .add("event_id", LongType).add("user_id", LongType)
+          .add("event_type", StringType).add("value", DoubleType)
+          .add("ts_us", LongType))
+        .json(s"$base/a")
+        .withColumn("tsNs", col("ts_us") * 1000)
+      val tagged = graft.streaming.StreamingOps.asOfStreamInput(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"),
+        "user_id", "tsNs", "event_id", "value")
+      val name = s"stream_asof_${dir.replaceAll("\\W", "_")}"
+      val q = graft.streaming.StreamingOps.asOfStream(tagged, "10 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // the final flush rides the no-data batch that event-time timeouts
+        // trigger after the sentinel advances the watermark — wait for it
+        val expected = Tables.load(s, dir, "events")
+          .where(col("event_type") === "click").count()
+        val deadline = System.currentTimeMillis() + 60000
+        while (s.table(name).count() < expected &&
+            System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(name)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          expr("tsNs DIV 1000").as("ts_us"), col("value"),
+          expr("rTsNs DIV 1000").as("purchase_ts_us"),
+          col("rValue").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // §2.4 CDC capture through the DataSource V2 STREAMING source (r9):
     // readStream.format("graft-cdc") — Spark's own micro-batch engine
     // drives the hybrid snapshot→changelog handoff (first batch = chunk
@@ -2842,6 +2895,16 @@ object SparkEntry {
         |ORDER BY bucket_start, event_type""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |  epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // the streaming as-of reaches the same result as the batch operator
+    // through the real readStream path — identical oracle
+    "q_stream_asof" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
         |  epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l

@@ -12,6 +12,18 @@ final case class SessionEvent(user: Long, tsNs: Long)
 final case class SessionOut(user: Long, nEvents: Int, startNs: Long, endNs: Long)
 final case class SessionAcc(nEvents: Int, startNs: Long, endNs: Long)
 
+/** Rows of the streaming as-of join (top-level for state-encoder codegen).
+  * `side` 0 = right/dimension (id carries nothing), 1 = left event;
+  * `eventTime` is the watermarked column (micros of tsNs).
+  */
+final case class AsOfIn(key: Long, tsNs: Long, side: Int, id: Long,
+  value: Double, eventTime: java.sql.Timestamp)
+final case class AsOfBufL(tsNs: Long, id: Long, value: Double)
+final case class AsOfBufR(tsNs: Long, value: Double)
+final case class AsOfBuf(lefts: Seq[AsOfBufL], rights: Seq[AsOfBufR])
+final case class AsOfOutRow(key: Long, id: Long, tsNs: Long, value: Double,
+  rTsNs: Option[Long], rValue: Option[Double])
+
 /** Streaming pipeline operators (SURVEY §2.5).
   *
   * The reference runs streaming jobs on the Zeta engine (checkpointed
@@ -116,6 +128,92 @@ object StreamingOps {
             closed.result().iterator
           }
       }
+  }
+
+  // ---------- streaming as-of join ----------
+
+  /** STREAMING as-of (temporal) join — the CDC-fed lookup-join story: a
+    * left event stream enriched with the LATEST dimension version whose
+    * ts <= the event's ts, left-outer, optional staleness tolerance —
+    * [[graft.operators.AsOfJoin.asOf]]'s semantics through a real
+    * readStream path.
+    *
+    * Watermarked union-tag shape: both sides arrive as ONE tagged stream
+    * (`side` 0 = dimension version, 1 = event), grouped by key into
+    * `flatMapGroupsWithState`. Left events buffer until the event-time
+    * watermark passes their ts — only then can no dimension update with
+    * an older ts still arrive (this is what makes LATE-ARRIVING dimension
+    * updates within the watermark delay land on the right events, where a
+    * naive per-batch join would have matched the stale version). State
+    * per key is bounded: unflushed lefts (watermark-bounded) + dimension
+    * versions at-or-after the watermark + ONE latest version before it.
+    * Event-time timeouts flush idle keys as the watermark advances (a
+    * far-future row on any key advances it for all).
+    *
+    * Input columns: key, tsNs, side, id, value (build with
+    * [[asOfStreamInput]]); output mirrors the batch operator — one row
+    * per left event with (rTsNs, rValue) nulled when unmatched or
+    * stale.
+    */
+  def asOfStream(df: DataFrame, watermarkDelay: String,
+      toleranceNs: Option[Long] = None): Dataset[AsOfOutRow] = {
+    import df.sparkSession.implicits._
+    val ds = withEventTime(df, "tsNs", "eventTime")
+      .withWatermark("eventTime", watermarkDelay)
+      .select(col("key"), col("tsNs"), col("side"), col("id"), col("value"),
+        col("eventTime"))
+      .as[AsOfIn]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOutRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, events: Iterator[AsOfIn], state: GroupState[AsOfBuf]) =>
+          val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val (ls, rs) =
+            if (state.hasTimedOut) (prev.lefts, prev.rights)
+            else {
+              val evs = events.toSeq
+              (prev.lefts ++ evs.filter(_.side == 1)
+                 .map(e => AsOfBufL(e.tsNs, e.id, e.value)),
+               prev.rights ++ evs.filter(_.side == 0)
+                 .map(e => AsOfBufR(e.tsNs, e.value)))
+            }
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          // a left at lTs flushes once wm > lTs: every future dimension row
+          // has eventTime >= wm, hence ts > lTs — it cannot affect the match
+          val (flush, keepL) = ls.partition(_.tsNs < wmNs)
+          val rSorted = rs.sortBy(_.tsNs)
+          val out = flush.sortBy(l => (l.tsNs, l.id)).map { l =>
+            val m = rSorted.takeWhile(_.tsNs <= l.tsNs).lastOption
+              .filter(r => toleranceNs.forall(t => l.tsNs - r.tsNs <= t))
+            AsOfOutRow(key, l.id, l.tsNs, l.value, m.map(_.tsNs), m.map(_.value))
+          }
+          // future lefts have ts >= wm: versions before the watermark are
+          // all superseded by the LATEST one of them
+          val (old, fresh) = rSorted.partition(_.tsNs < wmNs)
+          val keepR = old.lastOption.toSeq ++ fresh
+          if (keepL.isEmpty && keepR.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(keepL, keepR))
+            if (keepL.nonEmpty)
+              state.setTimeoutTimestamp(keepL.map(_.tsNs).min / 1000000L + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** Tag + align the two as-of sides into the union stream [[asOfStream]]
+    * consumes. Works on batch or streaming frames.
+    */
+  def asOfStreamInput(left: DataFrame, right: DataFrame,
+      keyCol: String, tsNsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val l = left.select(col(keyCol).as("key"), col(tsNsCol).as("tsNs"),
+      lit(1).as("side"), col(idCol).as("id"),
+      col(valueCol).cast("double").as("value"))
+    val r = right.select(col(keyCol).as("key"), col(tsNsCol).as("tsNs"),
+      lit(0).as("side"), lit(0L).as("id"),
+      col(valueCol).cast("double").as("value"))
+    l.unionByName(r)
   }
 
   /** Event-time interval join (Flink-style): left rows join right rows
