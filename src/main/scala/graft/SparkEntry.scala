@@ -209,6 +209,61 @@ object SparkEntry {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** fmix64 as a DuckDB CTE chain (the 32-bit-split HUGEINT wrapping
+    * multiply idiom the simhash/minhash oracles pin): five stages from
+    * `from.(cols, inCol HUGEINT)` to `${p}5.(cols, outCol UBIGINT)`.
+    */
+  private def fmixCtes(p: String, from: String, cols: String,
+      inCol: String, outCol: String): String = {
+    val m1 = "18397679294719823053::HUGEINT" // 0xff51afd7ed558ccd unsigned
+    val m2 = "14181476777654086739::HUGEINT" // 0xc4ceb9fe1a85ec53 unsigned
+    def mul(m: String) =
+      s"(((__f // 4294967296) * $m) % 4294967296 * 4294967296 + " +
+      s"(__f % 4294967296) * $m) % 18446744073709551616::HUGEINT"
+    s"""${p}1 AS (SELECT $cols, xor(($inCol)::UBIGINT, ($inCol)::UBIGINT >> 33)::HUGEINT AS __f FROM $from),
+       |${p}2 AS (SELECT $cols, ${mul(m1)} AS __f FROM ${p}1),
+       |${p}3 AS (SELECT $cols, xor(__f::UBIGINT, __f::UBIGINT >> 33)::HUGEINT AS __f FROM ${p}2),
+       |${p}4 AS (SELECT $cols, ${mul(m2)} AS __f FROM ${p}3),
+       |${p}5 AS (SELECT $cols, xor(__f::UBIGINT, __f::UBIGINT >> 33) AS $outCol FROM ${p}4)""".stripMargin
+  }
+
+  /** q_cms_heavyhitters oracle: rebuild the count-min sketch's CELLS in
+    * SQL (word counts summed per (row, cell)), replay the row-hash
+    * schedule `cell_d = fmix64(hash64(w) ^ fmix64((42<<32)+d)) mod 2048`
+    * bit-for-bit, and take the min-cell estimate — the bloom-replica
+    * treatment applied to frequencies.
+    */
+  private def cmsOracleSql: String =
+    raw"""WITH words AS (
+       |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+       |                            w -> w <> '')) AS w
+       |  FROM documents
+       |), counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       |ph AS (
+       |  SELECT w, c, list_reduce(list_prepend(0::HUGEINT,
+       |    [ord(substring(w, i, 1))::HUGEINT FOR i IN range(1, length(w)+1)]),
+       |    (acc, cp) -> (acc*257 + cp) % 18446744073709551616::HUGEINT) AS h0
+       |  FROM counts),
+       |""".stripMargin +
+    fmixCtes("wh", "ph", "w, c", "h0", "h") + ",\n" +
+    raw"""ds AS (SELECT unnest(range(0, 4)) AS d),
+       |kh AS (SELECT d, (180388626432::HUGEINT + d) AS k0 FROM ds),
+       |""".stripMargin +
+    fmixCtes("kf", "kh", "d", "k0", "k") + ",\n" +
+    raw"""vx AS (SELECT w, c, d, xor(h, k)::HUGEINT AS v0 FROM wh5, kf5),
+       |""".stripMargin +
+    fmixCtes("vf", "vx", "w, c, d", "v0", "v") + ",\n" +
+    raw"""cellsrc AS (SELECT w, c, d, v % 2048 AS cell FROM vf5),
+       |cells AS (SELECT d, cell, sum(c) AS cellsum FROM cellsrc GROUP BY d, cell),
+       |est AS (
+       |  SELECT s.w, min(cl.cellsum) AS cms_est
+       |  FROM cellsrc s JOIN cells cl USING (d, cell) GROUP BY s.w),
+       |top AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 20)
+       |SELECT t.w AS word, CAST(t.c AS BIGINT) AS exact_count,
+       |  CAST(e.cms_est AS BIGINT) AS cms_est
+       |FROM top t JOIN est e ON t.w = e.w
+       |ORDER BY exact_count DESC, word""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -2029,6 +2084,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.6 count-min frequency sketch (r10): heavy-hitter words via a
+    // mergeable 2048x4 sketch — the frequency companion to q_hll_sketch.
+    // Only sketch bytes cross the exchange (map-side partials); the
+    // top-20 exact words probe the sketch and the oracle rebuilds every
+    // cell + the min-estimate bit-for-bit (recomputable poly-257+fmix64
+    // row hashes — the bloom-replica treatment for frequencies).
+    "q_cms_heavyhitters" -> ((s, dir) => {
+      graft.plans.NativeExpressions.register(s)
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+      val sketch = graft.operators.Sketches.countMinAgg(words, "w",
+        width = 2048, depth = 4, seed = 42)
+      val top = words.groupBy("w").agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), asc("w")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("w").as("word"), col("exact_count"),
+          graft.operators.Sketches.cmsEstimate(col("cms"), col("word")).as("cms_est"))
+        .orderBy(desc("exact_count"), asc("word"))
+    }),
+
     // §2.6 incremental near-dup against the persisted SIGNATURE STORE
     // (r10; VERDICT r9 #5): same delta/corpus split and same result
     // contract as q_dedup_incremental, but the corpus signatures come
@@ -3287,6 +3363,8 @@ object SparkEntry {
     "q_hll_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cms_heavyhitters" -> cmsOracleSql,
 
     "q_gopher_repetition" ->
       """WITH p AS (

@@ -46,4 +46,38 @@ object Sketches {
 
   /** Pairwise union of two sketch columns (row-level compose). */
   def union(a: Column, b: Column): Column = hll_union(a, b)
+
+  // ---------- count-min frequency sketches ----------
+
+  /** One count-min sketch of `itemCol`'s values per `byCols` group
+    * (binary column `cms`) — approximate FREQUENCIES where HLL answers
+    * cardinality: heavy hitters, boilerplate n-grams, hot keys. Map-side
+    * partials mean only width*depth*8 sketch bytes enter the exchange
+    * whatever the corpus size; sketches persist and merge across
+    * days/sources via [[cmsMerge]]. Hashing is the engine's recomputable
+    * poly-257+fmix64, so estimates are oracle-replayable
+    * ([[graft.plans.CountMin]]).
+    */
+  def countMinAgg(df: DataFrame, itemCol: String, width: Int = 2048,
+      depth: Int = 4, seed: Int = 42, byCols: Seq[String] = Nil): DataFrame = {
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val agg = expr(
+      s"graft_cms_agg(graft_hash64($itemCol), $width, $depth, $seed)").as("cms")
+    if (byCols.isEmpty) df.agg(agg) else df.groupBy(byCols.map(col): _*).agg(agg)
+  }
+
+  /** Elementwise-add previously built count-min sketches per group — the
+    * cross-stage merge (daily sketches -> monthly frequencies).
+    */
+  def cmsMerge(df: DataFrame, sketchCol: String, byCols: Seq[String] = Nil): DataFrame = {
+    graft.plans.NativeExpressions.register(df.sparkSession)
+    val agg = expr(s"graft_cms_merge_agg($sketchCol)").as("cms")
+    if (byCols.isEmpty) df.agg(agg) else df.groupBy(byCols.map(col): _*).agg(agg)
+  }
+
+  /** Point frequency estimate of a string item against a sketch column
+    * (always >= the true count; see [[graft.plans.CountMin]] bounds).
+    */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    call_function("cms_estimate", sketch, call_function("graft_hash64", item))
 }

@@ -263,6 +263,22 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whole-string poly-257+fmix64 hash (TextHashing.hash64) — the engine's
+  * recomputable-in-SQL item hash, exposed for sketch/bucketing callers
+  * (count-min rows key on it).
+  */
+case class Hash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.dedup.TextHashing.hash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.dedup.TextHashing.hash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
+    copy(child = newChild)
+}
+
 /** MinHash LSH band hashes as a native expression: text -> array<long> of
   * band bucket keys, one pass, codegen'd.
   */
@@ -559,6 +575,24 @@ object NativeExpressions {
     "might_contain" -> { args =>
       require(args.length == 2, s"might_contain(bloom, value): bad arg count ${args.length}")
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+    },
+    "graft_hash64" -> { args =>
+      require(args.length == 1, s"graft_hash64(str): bad arg count ${args.length}")
+      Hash64Expr(args.head)
+    },
+    "graft_cms_agg" -> { args =>
+      require(args.length == 4,
+        s"graft_cms_agg(hash, width, depth, seed): bad arg count ${args.length}")
+      def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
+      GraftCmsAggregate(args.head, lit(1), lit(2), lit(3))
+    },
+    "graft_cms_merge_agg" -> { args =>
+      require(args.length == 1, s"graft_cms_merge_agg(sketch): bad arg count ${args.length}")
+      GraftCmsMergeAggregate(args.head)
+    },
+    "cms_estimate" -> { args =>
+      require(args.length == 2, s"cms_estimate(sketch, hash): bad arg count ${args.length}")
+      CmsEstimateExpr(args(0), args(1))
     })
 
   /** Register the native functions in the session registry (idempotent). */
