@@ -169,13 +169,20 @@ object SparkEntry {
     "Ġ v", "a s", "Ġ f", "Ġ a", "a r", "p ar", "Ġ t", "j o", "jo in",
     "Ġ join", "as h", "h ash", "Ġ hash", "r ow")
 
-  private def bpeBytesOracleSql: String = {
+  /** The delimiter-guarded replace chain over one pre-token `w` (shared
+    * by the byte-BPE oracles).
+    */
+  private def bpeByteChainSql: String = {
     val D = "chr(31)"
     val base = s"$D||$D||regexp_replace(w, '(.)', '\\1'||$D||$D, 'g')"
-    val chain = bpeByteMerges.foldLeft(base) { (acc, m) =>
+    bpeByteMerges.foldLeft(base) { (acc, m) =>
       val Array(a, b) = m.split(" ")
       s"replace($acc, $D||'$a'||$D||$D||'$b'||$D, $D||'$a$b'||$D)"
     }
+  }
+
+  private def bpeBytesOracleSql: String = {
+    val chain = bpeByteChainSql
     s"""WITH t AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '),
        |                                w -> chr(288) || w) AS ws
@@ -207,6 +214,25 @@ object SparkEntry {
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  array_to_string(toks, ' ') AS tokens_str
        |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_token_budget oracle: per-source byte-BPE token totals — the same
+    * replace-chain replay as q_bpe_bytes, aggregated instead of dumped.
+    */
+  private def tokenBudgetOracleSql: String = {
+    val chain = bpeByteChainSql
+    s"""WITH t AS (
+       |  SELECT source, list_transform(string_split(text, ' '),
+       |                                w -> chr(288) || w) AS ws
+       |  FROM documents
+       |), e AS (
+       |  SELECT source, list_reduce(list_prepend(0, list_transform(ws,
+       |    w -> len(list_filter(string_split($chain, chr(31)), x -> x <> '')))),
+       |    (a, b) -> a + b) AS n
+       |  FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS bpe_tokens
+       |FROM e GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** fmix64 as a DuckDB CTE chain (the 32-bit-split HUGEINT wrapping
@@ -766,6 +792,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 per-source TOKEN BUDGET (r10): the composition real mixture
+    // planning runs — byte-level BPE token totals per source under the
+    // frozen merge table (what "1T tokens of web, 50B of books" is
+    // counted in). One narrow codegen'd encode pass + one grouped
+    // partial agg; no shuffle carries text.
+    "q_token_budget" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(graft.text.Bpe.encodeBytes(concat(lit(" "), col("text")),
+            bpeByteMerges)).cast("long").as("__n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__n").as("bpe_tokens"))
+        .orderBy("source")
+    }),
+
     // §2.6 per-key rolling/lag feature engineering (r9): last-5 rolling
     // count/sum/mean + previous value + event gap per user — ONE key
     // exchange + ONE sort feeds every window (Catalyst collapses
@@ -826,6 +867,16 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.25), defaultFraction = 1.0,
         salt = "mix")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // §2.6 exact-k stratified sampling (r10): 10 docs per source
+    // by (md5, key) rank — the quota form of mixture re-weighting;
+    // deterministic, monotone in k, WindowGroupLimit keeps the shuffle at
+    // O(k * groups * tasks).
+    "q_sample_k_per_group" -> ((s, dir) => {
+      Sampling.sampleKPerGroup(Tables.load(s, dir, "documents"),
+          "doc_id", "source", k = 10, salt = "quota")
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
@@ -3449,6 +3500,7 @@ object SparkEntry {
 
     "q_bpe_encode" -> bpeOracleSql,
     "q_bpe_bytes" -> bpeBytesOracleSql,
+    "q_token_budget" -> tokenBudgetOracleSql,
 
     "q_line_dedup" ->
       """WITH p AS (
@@ -3902,6 +3954,14 @@ object SparkEntry {
         |              WHEN 'src2' THEN '40000000'
         |              ELSE 'g' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_k_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(doc_id::VARCHAR || 'quota'), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT CASE

@@ -57,6 +57,28 @@ object Sampling {
     df.where(h < thr)
   }
 
+  /** Keep EXACTLY `k` rows per group (all rows when a group is smaller) —
+    * the quota form of [[stratifiedSample]]: mixture recipes are often
+    * stated as "n documents per source", which no fraction can hit
+    * exactly when group sizes drift between snapshots. Rows rank by
+    * (md5 bucket, key) inside each group, so the chosen set is
+    * deterministic, engine-independent, stable under repartitioning, and
+    * MONOTONE: raising k only adds rows, never swaps them.
+    *
+    * Scale shape: rank-filter windows compile to WindowGroupLimit
+    * (plan-asserted in the spec) — each map task keeps only its local
+    * top-k per group before the exchange, so the shuffle carries
+    * O(k * groups * tasks) rows, not the corpus.
+    */
+  def sampleKPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 0, s"sampleKPerGroup: k must be >= 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** Assign every row to a named split by cumulative hash ranges, e.g.
     * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). Weights must sum
     * to ~1; the last split absorbs rounding so every row lands somewhere.

@@ -68,4 +68,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n"))
     assert(perSource.forall(_ == 1L))
   }
+
+  test("sampleKPerGroup: exact quotas, monotone in k, repartition-stable, WindowGroupLimit plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val k10 = Sampling.sampleKPerGroup(df, "id", "grp", 10)
+    val counts = k10.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+    // small groups keep everything
+    val tiny = Sampling.sampleKPerGroup(df.where(col("id") <= 4), "id", "grp", 10)
+    assert(tiny.count() === 4)
+    // monotone: k=10 is a subset of k=20
+    val ids10 = k10.select("id").collect().map(_.getLong(0)).toSet
+    val ids20 = Sampling.sampleKPerGroup(df, "id", "grp", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids20))
+    // repartition-stable
+    val idsRep = Sampling.sampleKPerGroup(df.repartition(13), "id", "grp", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(idsRep === ids10)
+    // the rank filter compiles to WindowGroupLimit (map-side top-k)
+    assert(k10.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
