@@ -192,6 +192,37 @@ object ScaleBench {
           docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
           docs.where(pmod(col("doc_id"), lit(10)) === 0),
           "doc_id", "text").count())
+      // r10: the signature-STORE probe — the same delta as `incr` but the
+      // corpus signatures come from parquet (built once, untimed cost
+      // reported alongside). The sec-vs-incr gap IS the corpus
+      // re-signature cost the store amortizes away.
+      val incrStore = if (wanted("incr_store")) {
+        val store = s"/tmp/graft_scale_sigstore_${name.replaceAll("\\W", "_")}"
+        val (buildSec, _) = time(released {
+          Dedup.writeSignatures(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+            "doc_id", "text", store)
+          0L
+        })
+        point("incr_store")(
+          Dedup.incrementalFromStore(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+            store, "doc_id", "text").count())
+          .map { case (t, n) => (t, n, buildSec) }
+      } else None
+      // r10: byte-level BPE encode and the count-min sketch build
+      val bpeByteMerges = Seq("Ġ s", "e r", "i n", "o w", "o r", "Ġ c",
+        "m er", "a t", "l u", "Ġ b", "Ġ v", "a s", "Ġ f", "Ġ a", "a r",
+        "p ar", "Ġ t", "j o", "jo in", "Ġ join", "as h", "h ash",
+        "Ġ hash", "r ow")
+      val bpeB = point("bpe_bytes")(
+        docs.select(graft.text.Bpe.encodeBytes(
+            concat(lit(" "), col("text")), bpeByteMerges).as("t"))
+          .agg(sum(size(col("t")))).collect()(0).getLong(0))
+      val cms = point("cms") {
+        val words = docs
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .where(length(col("w")) > 0)
+        graft.operators.Sketches.countMinAgg(words, "w").count()
+      }
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -211,7 +242,11 @@ object ScaleBench {
         asof.map { case (t, n) => s""""asof":{"sec":$t,"matched":$n}""" },
         bpe.map { case (t, n) => s""""bpe":{"sec":$t,"tokens":$n}""" },
         lm.map { case (t, n) => s""""lm":{"sec":$t,"docs":$n}""" },
-        incr.map { case (t, n) => s""""incr":{"sec":$t,"pairs":$n}""" }).flatten
+        incr.map { case (t, n) => s""""incr":{"sec":$t,"pairs":$n}""" },
+        incrStore.map { case (t, n, b) =>
+          s""""incr_store":{"sec":$t,"pairs":$n,"store_build_sec":$b}""" },
+        bpeB.map { case (t, n) => s""""bpe_bytes":{"sec":$t,"tokens":$n}""" },
+        cms.map { case (t, n) => s""""cms":{"sec":$t,"sketches":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }
