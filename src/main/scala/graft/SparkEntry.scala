@@ -75,6 +75,48 @@ object SparkEntry {
     f.delete(); ()
   }
 
+  /** Pin the session's shuffle partitions to a stateful-stream-
+    * appropriate size for the duration of `body` (the streaming driver
+    * queries). Streaming state partitioning is FIXED at checkpoint
+    * creation — AQE coalesces batch shuffles at this data size to a few
+    * partitions, but cannot touch stream state — and every state store
+    * instance pays per-batch open/commit/maintenance cost: at this
+    * fixture scale, 32 partitions × 4 join-state stores measured ~2× the
+    * whole micro-batch time (probe in PLANS_r10.md); 8 keeps the scans
+    * parallel while sizing state to load, exactly how production
+    * streaming jobs set this conf per job. Restored after the stream
+    * drains; the batch read of the memory sink replans under the
+    * session default.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Fresh scratch checkpoint dir for the driver's ephemeral memory-sink
+    * streams. These queries build a brand-new checkpoint per call —
+    * there is nothing to resume, the state-store delta files are pure
+    * scratch — so they live on tmpfs (/dev/shm) where available: the
+    * micro-batch time then measures the ENGINE, not the test VM's fsync
+    * latency (state-store I/O was 75% of q_stream_interval_join's wall
+    * time on this box's disk). Production checkpoints go to durable
+    * storage via the normal `checkpointLocation` option; this helper is
+    * driver-query plumbing only. Wiped before use so a bench rep can
+    * never resume its predecessor's checkpoint (which would skip the
+    * data and corrupt the measurement).
+    */
+  private def scratchCheckpoint(tag: String): String = {
+    val root = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+      else sys.props("java.io.tmpdir") + "/graft_ckpt")
+    val dir = new java.io.File(root, tag)
+    rmTree(dir)
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
   /** Corpus (doc_id%10!=0) minhash signature store, built once per sfDir —
     * q_dedup_incr_store measures the FROM-STORE path (delta-only signature
     * cost), the operator's production shape; re-building the store every
@@ -1038,7 +1080,7 @@ object SparkEntry {
     // both sides, joined on user within [0, 15 min) event-time — the
     // append-mode stream-stream join whose state is bounded by the
     // watermark. Oracle is the equivalent DuckDB inequality join.
-    "q_stream_interval_join" -> ((s, dir) => {
+    "q_stream_interval_join" -> ((s, dir) => withStreamPartitions(s) {
       val src = streamFixture(s, dir)
       val clicks = src.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
@@ -1051,7 +1093,8 @@ object SparkEntry {
           Seq("user_id"), "c_et", "b_et", "0 seconds", "15 minutes",
           watermark = "2 hours")
         .select("user_id", "click_id", "buy_id", "value")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("user_id", "click_id", "buy_id")
     }),
@@ -1063,7 +1106,7 @@ object SparkEntry {
     // correctly; spec'd), one far-future sentinel advances the watermark
     // so every key flushes via event-time timeout. Same semantics and
     // SAME ORACLE as the batch q_asof_join.
-    "q_stream_asof" -> ((s, dir) => {
+    "q_stream_asof" -> ((s, dir) => withStreamPartitions(s) {
       val base = s"/tmp/graft_fixtures/asof_${dir.replaceAll("\\W", "_")}"
       ensureFixture(s"$base/a", sourceToken(dir, "events")) {
         val ev = Tables.load(s, dir, "events")
@@ -1088,7 +1131,8 @@ object SparkEntry {
         "user_id", "tsNs", "event_id", "value")
       val name = s"stream_asof_${dir.replaceAll("\\W", "_")}"
       val q = graft.streaming.StreamingOps.asOfStream(tagged, "10 seconds")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try {
         q.processAllAvailable()
         // the final flush rides the no-data batch that event-time timeouts
@@ -1115,7 +1159,7 @@ object SparkEntry {
     // splits + window, offset = CL_SEQ head in Spark's WAL). The stream
     // delivers into a memory sink; the merged replay is oracle-checked
     // against the same closed-form end state as q_cdc_capture.
-    "q_cdc_v2" -> ((s, dir) => {
+    "q_cdc_v2" -> ((s, dir) => withStreamPartitions(s) {
       val url = "jdbc:derby:memory:graftcapv2;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
       val st = conn.createStatement()
@@ -1134,7 +1178,8 @@ object SparkEntry {
       val q = s.readStream.format("graft-cdc")
         .option("url", url).option("table", "NATION_V2")
         .option("pk", "N_NATIONKEY").option("chunkSize", "8").load()
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try {
         q.processAllAvailable() // snapshot batch
         st.executeUpdate("UPDATE NATION_V2 SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
@@ -1162,7 +1207,7 @@ object SparkEntry {
     // CLOSED sessions; the sentinels' own sessions stay open and are
     // never emitted), so the output equals batch sessionization of the
     // base events — same oracle family as q_sessionize.
-    "q_stream_sessionize" -> ((s, dir) => {
+    "q_stream_sessionize" -> ((s, dir) => withStreamPartitions(s) {
       import s.implicits._
       val base = s"/tmp/graft_fixtures/sess_${dir.replaceAll("\\W", "_")}"
       ensureFixture(s"$base/a", sourceToken(dir, "events")) {
@@ -1181,7 +1226,8 @@ object SparkEntry {
       val name = s"stream_sess_${dir.replaceAll("\\W", "_")}"
       val q = graft.streaming.StreamingOps
         .sessionizeStream(stream, gapNs = 1800L * 1000000000L)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name)
         .select(col("user").as("user_id"), col("nEvents").cast("long").as("n_events"),
@@ -1759,7 +1805,7 @@ object SparkEntry {
     // appended, so the stream sees every event_id%3==0 row twice;
     // dropDuplicatesWithinWatermark must restore the exact distinct set,
     // oracle-checked against the source table.
-    "q_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => withStreamPartitions(s) {
       val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
       val ev = Tables.load(s, dir, "events").select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
@@ -1774,7 +1820,8 @@ object SparkEntry {
       val name = s"stream_dedup_${dir.replaceAll("\\W", "_")}"
       val q = graft.streaming.StreamingOps.streamingDedup(stream, Seq("event_id"), "et")
         .select("event_id", "user_id", "event_type", "value", "ts_us")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("event_id")
     }),
@@ -1783,7 +1830,7 @@ object SparkEntry {
     // (r8; q_window_agg is the batch plan of the same operator): file
     // stream -> event-time windows -> complete-mode memory sink, identical
     // oracle to the batch side.
-    "q_stream_window" -> ((s, dir) => {
+    "q_stream_window" -> ((s, dir) => withStreamPartitions(s) {
       val stream = streamFixture(s, dir)
         .withColumn("et", timestamp_micros(col("ts_us")))
       val name = s"stream_window_${dir.replaceAll("\\W", "_")}"
@@ -1792,7 +1839,8 @@ object SparkEntry {
           keys = Seq("event_type"))
         .select(col("window.start").cast("long").as("bucket_start"),
           col("event_type"), col("n"), col("sum_value"))
-        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("bucket_start", "event_type")
     }),
@@ -1802,7 +1850,7 @@ object SparkEntry {
     // dimension (BroadcastHashJoin in the micro-batch plan, the 100 TB
     // dimension-enrichment shape), oracle-checked against the equivalent
     // batch join.
-    "q_stream_static_join" -> ((s, dir) => {
+    "q_stream_static_join" -> ((s, dir) => withStreamPartitions(s) {
       val dim = broadcast(Tables.load(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("nk"), col("n_name")))
       val name = s"stream_ssj_${dir.replaceAll("\\W", "_")}"
@@ -1810,7 +1858,8 @@ object SparkEntry {
         .withColumn("nk", pmod(col("user_id"), lit(25)))
         .join(dim, "nk")
         .select("event_id", "user_id", "n_name")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratchCheckpoint(name)).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("event_id")
     }),
