@@ -221,11 +221,21 @@ object Dedup {
         posexplode(expr(
           s"minhash_bands(txt, ${cfg.shingleSize}, ${cfg.numPerms}, ${cfg.numBands}, ${cfg.seed})"))
           .as(Seq("band_idx", "band_hash")))
-      .graftPersist // delta-sized; feeds the cap count + probe side
+      .graftPersist // delta-sized; feeds touched-keys, cap count + probe
+    // candidate pairs only arise in buckets the DELTA touches, and the
+    // bucket cap is irrelevant for buckets without a delta row — so the
+    // store scan is semi-joined down to delta-touched bucket keys before
+    // anything else. The broadcast is delta-sized, and because the store
+    // is range-partitioned + sorted on exactly (band_idx, band_hash),
+    // parquet min/max stats prune untouched row groups: the corpus band
+    // table is READ in proportion to the delta, not the corpus.
+    val touched = deltaBands.select("band_idx", "band_hash").distinct()
     val banded = spark.read.parquet(s"$storePath/bands")
       .select(col("doc"), lit(false).as("is_delta"), col("band_idx"), col("band_hash"))
       .unionByName(deltaBands)
-    // cap applies to the UNION's buckets — identical to the recompute path
+      .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_semi")
+    // cap counts over the union's (touched) buckets — identical behavior
+    // to the recompute path for every bucket that can produce a pair
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)
     val probe = capped.where(col("is_delta"))
       .select(col("band_idx"), col("band_hash"), col("doc").as("d"))

@@ -1,0 +1,131 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.dedup.TextHashing
+import graft.plans.NearestCentroidsExpr
+
+/** Product quantization (Jégou et al. 2011 — the faiss IVF-PQ building
+  * block): split each dim-D vector into M subspaces, quantize every
+  * subspace to its nearest codebook centroid, and store M small codes
+  * instead of D floats (64-dim float32 → 8 bytes at M=8: 32×). Search is
+  * ADC (asymmetric distance computation): per query, precompute the M×K
+  * table of subspace distances once, then every corpus vector's distance
+  * is just M table lookups summed — no float vector is ever touched on
+  * the scan side.
+  *
+  * At 100 TB this is the memory-scale ANN path: the corpus's PQ codes
+  * fit where its vectors never could (and compose with [[IvfIndex]]
+  * cells for the full IVFADC shape — cell-restrict, then ADC-rank).
+  *
+  * Spark-first: encode is M native `nearest_centroids` calls over
+  * codegen'd slices (codebooks ride the plan as reference objects);
+  * the ADC tables are built per query IN the plan from literal
+  * codebooks (pure higher-order functions); scoring is
+  * `zip_with(code, table, element_at) → aggregate` — sequential folds,
+  * so scores are bit-reproducible in any engine. Ranking reuses the
+  * documented broadcast-brute-force contract of the ANN family, with
+  * WindowGroupLimit keeping only top-k per query on the executors.
+  */
+final case class PqCodebooks(subspaces: Int, k: Int, subDim: Int,
+    centroids: Array[Array[Array[Double]]]) { // [m][k][subDim]
+  require(centroids.length == subspaces &&
+    centroids.forall(m => m.length == k && m.forall(_.length == subDim)),
+    "PqCodebooks: shape mismatch")
+  def dim: Int = subspaces * subDim
+}
+
+object PqIndex {
+
+  /** Train per-subspace codebooks on one bounded driver-side sample
+    * (k-means++ per subspace — the faiss recipe; deterministic per
+    * seed). Training cost is independent of corpus size, like
+    * [[IvfIndex.build]].
+    */
+  def build(corpus: DataFrame, vecCol: String, dim: Int,
+      subspaces: Int = 8, k: Int = 16, sampleSize: Int = 65536,
+      maxIter: Int = 10, seed: Long = 42): PqCodebooks = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cap = math.min(sampleSize, math.max(k * 2048, 4096))
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) === dim)
+    val first = vecs.limit(cap + 1).collect()
+    val rows =
+      if (first.length <= cap) first
+      else {
+        val total = vecs.count()
+        val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+        vecs.sample(withReplacement = false, frac, seed).limit(cap).collect()
+      }
+    val sample = rows.map(_.getSeq[Double](0).toArray)
+    val cents = Array.tabulate(subspaces) { m =>
+      IvfIndex.localKMeans(
+        sample.map(_.slice(m * subDim, (m + 1) * subDim)), k, maxIter, seed + m)
+    }
+    PqCodebooks(subspaces, k, subDim, cents)
+  }
+
+  /** Closed-form fmix64-derived codebooks: centroid[m][j][d] =
+    * signed(fmix64((seed<<32) + m*65536 + j*256 + d)) / 2^63 ∈ [-1, 1).
+    * Distribution-blind (no training) but recomputable outside the JVM —
+    * the hash path's pinning trick, same role the fmix64 Rademacher
+    * planes play for LSH; recall work uses [[build]].
+    */
+  def closedForm(dim: Int, subspaces: Int = 8, k: Int = 16,
+      seed: Int = 42): PqCodebooks = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cents = Array.tabulate(subspaces, k, subDim) { (m, j, d) =>
+      TextHashing.fmix64((seed.toLong << 32) + m * 65536 + j * 256 + d)
+        .toDouble / 9.223372036854775808e18
+    }
+    PqCodebooks(subspaces, k, subDim, cents)
+  }
+
+  /** Vectors → M codes (`code`: array<int>, code[m] = nearest centroid of
+    * subspace m; ties take the lowest index). M codegen'd
+    * `nearest_centroids` over slices — the full-corpus encode scan stays
+    * in WholeStageCodegen, no UDF.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val vf = col(vecCol).cast("array<float>")
+    val codeCols = (0 until cb.subspaces).map { m =>
+      element_at(ColumnBridge.column(NearestCentroidsExpr(
+        ColumnBridge.expression(slice(vf, m * cb.subDim + 1, cb.subDim)),
+        cb.centroids(m), 1)), 1)
+    }
+    df.select(col(idCol), array(codeCols: _*).as("code"))
+  }
+
+  /** ADC top-k by squared L2 (the canonical PQ metric): corpus encodes
+    * once; each query broadcasts its M×K distance table (built in-plan
+    * from the literal codebooks); a corpus row costs M lookups + a sum.
+    * Returns (q_id, n_id, rnk, dist2), rnk by (dist2 asc, n_id).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks, k: Int = 10): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol, cb)
+      .select(col(idCol).as("n_id"), col("code"))
+    val vd = col(vecCol).cast("array<double>")
+    val tables = array((0 until cb.subspaces).map { m =>
+      val cents = array(cb.centroids(m).map(cv => array(cv.map(lit): _*)): _*)
+      transform(cents, cvec =>
+        aggregate(zip_with(slice(vd, m * cb.subDim + 1, cb.subDim), cvec,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), tables.as("__qt")))
+    codes.crossJoin(q)
+      .withColumn("dist2", aggregate(
+        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "dist2")
+  }
+}
