@@ -223,6 +223,11 @@ object ScaleBench {
           .where(length(col("w")) > 0)
         graft.operators.Sketches.countMinAgg(words, "w").count()
       }
+      val pq = point("ann_pq") {
+        val cb = graft.similarity.PqIndex.closedForm(dim = 64)
+        graft.similarity.PqIndex.adcTopK(emb,
+          emb.orderBy("vec_id").limit(50), "vec_id", "embedding", cb).count()
+      }
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -246,7 +251,8 @@ object ScaleBench {
         incrStore.map { case (t, n, b) =>
           s""""incr_store":{"sec":$t,"pairs":$n,"store_build_sec":$b}""" },
         bpeB.map { case (t, n) => s""""bpe_bytes":{"sec":$t,"tokens":$n}""" },
-        cms.map { case (t, n) => s""""cms":{"sec":$t,"sketches":$n}""" }).flatten
+        cms.map { case (t, n) => s""""cms":{"sec":$t,"sketches":$n}""" },
+        pq.map { case (t, n) => s""""ann_pq":{"sec":$t,"results":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }

@@ -332,6 +332,55 @@ object SparkEntry {
        |FROM top t JOIN est e ON t.w = e.w
        |ORDER BY exact_count DESC, word""".stripMargin
 
+  /** q_ann_pq oracle: full PQ replay. Closed-form codebooks
+    * c[m][j][d] = signed(fmix64((42<<32) + m*65536 + j*256 + d)) / 2^63,
+    * per-(vector, subspace) argmin encode (ties -> lowest j, Spark's
+    * first-wins insertion), per-query ADC tables, scores as SEQUENTIAL
+    * list folds over m (the aggregate/zip_with order), rank by
+    * (dist2 asc, n_id).
+    */
+  private def pqOracleSql: String =
+    raw"""WITH g AS (
+       |  SELECT m.m, j.j, d.d,
+       |    (180388626432::HUGEINT + m.m*65536 + j.j*256 + d.d) AS k0
+       |  FROM (SELECT unnest(range(0, 8)) AS m) m,
+       |       (SELECT unnest(range(0, 16)) AS j) j,
+       |       (SELECT unnest(range(0, 8)) AS d) d),
+       |""".stripMargin +
+    fmixCtes("pqf", "g", "m, j, d", "k0", "craw") + ",\n" +
+    raw"""cent AS (
+       |  SELECT m, j, d,
+       |    (CASE WHEN craw >= 9223372036854775808::HUGEINT
+       |          THEN craw::HUGEINT - 18446744073709551616::HUGEINT
+       |          ELSE craw::HUGEINT END)::DOUBLE / 9223372036854775808.0 AS c
+       |  FROM pqf5),
+       |cvecs AS (SELECT m, j, list(c ORDER BY d) AS cv FROM cent GROUP BY m, j),
+       |vecs AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |         FROM embeddings),
+       |enc0 AS (
+       |  SELECT vec_id, m, j,
+       |    list_reduce(list_prepend(0.0,
+       |      [ (v[m*8 + i + 1] - cv[i+1]) * (v[m*8 + i + 1] - cv[i+1])
+       |        FOR i IN range(0, 8)]), (a, b) -> a + b) AS d2
+       |  FROM vecs, cvecs),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM enc0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+       |pairs AS (
+       |  SELECT e.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_reduce(list_prepend(0.0, list(e.d2 ORDER BY e.m)),
+       |      (a, b) -> a + b) AS dist2
+       |  FROM codes c
+       |  JOIN enc0 e ON e.m = c.m AND e.j = c.code AND e.vec_id < 5
+       |  GROUP BY e.vec_id, c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, dist2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, n_id) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, n_id, CAST(rnk AS INTEGER) AS rnk, dist2
+       |FROM rk WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -753,6 +802,21 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nLists = 8, nProbe = 8)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 product-quantized ANN (r10): the faiss IVF-PQ building block —
+    // corpus vectors collapse to 8 one-byte-ish codes, search is M table
+    // lookups per row (ADC). Codebooks here are the CLOSED-FORM
+    // fmix64-derived ones (recomputable outside the JVM — the pinning
+    // trick the LSH planes use), so the oracle replays codebooks, encode
+    // argmins, ADC tables, sequential-fold scores, and the ranking
+    // bit-for-bit; trained-codebook quality is spec-tested (PqAnnSpec).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16)
+      graft.similarity.PqIndex.adcTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", cb, k = 10)
         .orderBy("q_id", "rnk")
     }),
 
@@ -2761,6 +2825,8 @@ object SparkEntry {
     // scored once), so the oracle is the same exact-cosine top-k the
     // brute-force query uses — equality exercises the assign/route/rerank
     // plumbing end-to-end.
+    "q_ann_pq" -> pqOracleSql,
+
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |s AS (
