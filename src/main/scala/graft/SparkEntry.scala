@@ -820,6 +820,20 @@ object SparkEntry {
         .orderBy("q_id", "rnk")
     }),
 
+    // §2.6 IVFADC — IVF cells × PQ codes composed (r10): probing ALL
+    // cells makes the result provably equal plain ADC (the q_ann_ivf
+    // trick), so the same bit-exact PQ oracle gates cell assignment,
+    // routing, and the code path end-to-end; pruned-probe recall is
+    // spec-tested.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16)
+      val ivf = graft.similarity.IvfIndex.cached(emb, "embedding", nLists = 8)
+      graft.similarity.PqIndex.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", cb, ivf, nProbe = 8, k = 10)
+        .orderBy("q_id", "rnk")
+    }),
+
     // §2.6 language-ID heuristic (pure Column exprs, codegen'd)
     "q_text_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -2826,6 +2840,8 @@ object SparkEntry {
     // brute-force query uses — equality exercises the assign/route/rerank
     // plumbing end-to-end.
     "q_ann_pq" -> pqOracleSql,
+    // all-cells probe == plain ADC, so IVFADC shares the PQ replay oracle
+    "q_ann_ivfpq" -> pqOracleSql,
 
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

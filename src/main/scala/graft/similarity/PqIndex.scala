@@ -102,6 +102,45 @@ object PqIndex {
     df.select(col(idCol), array(codeCols: _*).as("code"))
   }
 
+  /** IVF + PQ — the full faiss IVFADC shape (sans residual encoding:
+    * codes quantize raw vectors; cells restrict the candidate set).
+    * Corpus rows carry their nearest IVF cell from encode time; a query
+    * ADC-ranks only rows in its `nProbe` nearest cells, so the scan cost
+    * drops by ~nLists/nProbe on top of PQ's 32× size cut. With
+    * `nProbe = ivf.nLists` the cell restriction is a no-op and the
+    * result provably equals [[adcTopK]] — which is how the driver query
+    * puts the assignment/routing path on the hash path (the q_ann_ivf
+    * trick); pruned-probe recall is spec-tested.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks, ivf: IvfIndex, nProbe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val vf = col(vecCol).cast("array<float>")
+    def cells(take: Int): Column = ColumnBridge.column(NearestCentroidsExpr(
+      ColumnBridge.expression(vf), ivf.centroids, take))
+    val codes = encode(corpus, idCol, vecCol, cb)
+      .join(corpus.select(col(idCol), element_at(cells(1), 1).as("__cell")), Seq(idCol))
+      .select(col(idCol).as("n_id"), col("code"), col("__cell"))
+    val vd = col(vecCol).cast("array<double>")
+    val tables = array((0 until cb.subspaces).map { m =>
+      val cents = array(cb.centroids(m).map(cv => array(cv.map(lit): _*)): _*)
+      transform(cents, cvec =>
+        aggregate(zip_with(slice(vd, m * cb.subDim + 1, cb.subDim), cvec,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+    }: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), tables.as("__qt"),
+        explode(cells(math.min(nProbe, ivf.nLists))).as("__cell")))
+    codes.join(q, Seq("__cell"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "dist2")
+  }
+
   /** ADC top-k by squared L2 (the canonical PQ metric): corpus encodes
     * once; each query broadcasts its M×K distance table (built in-plan
     * from the literal codebooks); a corpus row costs M lookups + a sum.

@@ -84,6 +84,23 @@ class PqAnnSpec extends SparkSpec {
     assert(meanSelfDist(trained) < meanSelfDist(closed))
   }
 
+  test("ivfPqTopK: all-cells probe equals plain ADC; pruned probes keep useful recall") {
+    val cb = PqIndex.closedForm(dim = 64)
+    val ivf = IvfIndex.build(emb, "embedding", nLists = 8)
+    val q = emb.where(col("vec_id") < 5)
+    val full = PqIndex.adcTopK(emb, q, "vec_id", "embedding", cb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = PqIndex.ivfPqTopK(emb, q, "vec_id", "embedding", cb, ivf,
+        nProbe = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all === full, "probing every cell must equal plain ADC")
+    val pruned = PqIndex.ivfPqTopK(emb, q, "vec_id", "embedding", cb, ivf,
+        nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = full.count { case (a, b, _) => pruned((a, b)) }.toDouble / full.size
+    assert(recall >= 0.3, s"nProbe=3/8 recall collapsed: $recall")
+  }
+
   test("WindowGroupLimit prunes to per-query top-k on the executors") {
     val cb = PqIndex.closedForm(dim = 64)
     val plan = PqIndex.adcTopK(emb, emb.where(col("vec_id") < 5),
