@@ -942,6 +942,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.6 CCNet bucketing, SCALE-PATH form on the hash path (r10): cut
+    // on FIXED precomputed thresholds (CCNet's production shape — no
+    // global sort, no sketch, one codegen'd comparison per row). Cuts
+    // frozen near this corpus's terciles; oracle derived from the proven
+    // q_lm_likelihood oracle plus the same CASE.
+    "q_ccnet_threshold" -> ((s, dir) => {
+      TextAnalysis.likelihoodBucketsByThreshold(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          fixedCuts = Some(Array(34000.0, 35000.0)))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 CCNet head/middle/tail corpus split (r9): ntile over the
     // LM-likelihood score — the bucketing CCNet trains/downweights on.
     // (likelihoodBucketsByThreshold is the no-global-sort scale path;
@@ -2537,11 +2549,35 @@ object SparkEntry {
     require(minhash.contains(fullCand) && minhash.contains(fullTail),
       "q_dedup_incremental oracle derivation: q_dedup_minhash shape changed")
     val incremental = minhash.replace(fullCand, incCand).replace(fullTail, incTail)
+    // q_ccnet_threshold derives from the proven q_lm_likelihood oracle:
+    // same scoring, plus the fixed-cut bucket CASE (the scale path's
+    // precomputed-threshold form) — derived, not duplicated
+    val lmTail =
+      """SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(pp) AS BIGINT) AS score_sum,
+        |  CAST(sum(pp) AS DOUBLE) / count(*) AS score_avg
+        |FROM b JOIN p USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    val lm = base("q_lm_likelihood")
+    require(lm.endsWith(lmTail),
+      "q_ccnet_threshold oracle derivation: q_lm_likelihood shape changed")
+    val thrTail =
+      """, s AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(pp) AS BIGINT) AS score_sum,
+        |    CAST(sum(pp) AS DOUBLE) / count(*) AS score_avg
+        |  FROM b JOIN p USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, score_sum, score_avg,
+        |  CAST(CASE WHEN score_avg < 34000.0 THEN 3
+        |            WHEN score_avg < 35000.0 THEN 2 ELSE 1 END AS INTEGER) AS bucket
+        |FROM s ORDER BY doc_id""".stripMargin
+    val threshold = lm.dropRight(lmTail.length) + thrTail
     // q_dedup_incr_store has the SAME result contract (store signatures
     // are the same deterministic expressions a recompute produces), so it
     // shares the derived oracle
     base + ("q_dedup_incremental" -> incremental) +
-      ("q_dedup_incr_store" -> incremental)
+      ("q_dedup_incr_store" -> incremental) +
+      ("q_ccnet_threshold" -> threshold)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

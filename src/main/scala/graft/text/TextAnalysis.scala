@@ -331,14 +331,20 @@ object TextAnalysis {
     * points of `score_avg` — one aggregation pass for the sketch, one
     * codegen'd comparison per row, no global sort. Bucket sizes are
     * approximate within the sketch's relativeError (CCNet itself cuts on
-    * precomputed percentile thresholds the same way).
+    * precomputed percentile thresholds the same way). Pass `fixedCuts`
+    * (ascending) to skip the sketch entirely and cut on
+    * precomputed/published thresholds — CCNet's own production shape,
+    * and the form an external engine can replay exactly.
     */
   def likelihoodBucketsByThreshold(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 3, scale: Long = 1000000L,
-      relativeError: Double = 0.001): DataFrame = {
+      relativeError: Double = 0.001,
+      fixedCuts: Option[Array[Double]] = None): DataFrame = {
     val scored = bigramLikelihood(df, idCol, textCol, scale)
-    val probs = (1 until buckets).map(i => i.toDouble / buckets).toArray
-    val cuts = scored.stat.approxQuantile("score_avg", probs, relativeError)
+    val cuts = fixedCuts.getOrElse {
+      val probs = (1 until buckets).map(i => i.toDouble / buckets).toArray
+      scored.stat.approxQuantile("score_avg", probs, relativeError)
+    }
     // bucket 1 = highest scores (head), matching likelihoodBuckets
     val bucketCol = cuts.reverse.zipWithIndex.foldLeft(lit(1)) {
       case (acc, (cut, i)) => when(col("score_avg") < cut, lit(i + 2)).otherwise(acc)
