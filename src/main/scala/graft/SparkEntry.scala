@@ -912,6 +912,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.6 byte-level BPE LOSSLESSNESS (r10): decode(encode(text)) must
+    // reproduce the input byte-for-byte under ANY merge table — the
+    // property that makes byte-level tokenizers usable as storage/
+    // transport codecs. The oracle is the rawest possible: the text
+    // itself.
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.Bpe.decodeBytes(
+            graft.text.Bpe.encodeBytes(concat(lit(" "), col("text")),
+              bpeByteMerges)).as("restored"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 per-source TOKEN BUDGET (r10): the composition real mixture
     // planning runs — byte-level BPE token totals per source under the
     // frozen merge table (what "1T tokens of web, 50B of books" is
@@ -3667,6 +3681,8 @@ object SparkEntry {
 
     "q_bpe_encode" -> bpeOracleSql,
     "q_bpe_bytes" -> bpeBytesOracleSql,
+    "q_bpe_roundtrip" ->
+      "SELECT doc_id, ' ' || text AS restored FROM documents ORDER BY doc_id",
     "q_token_budget" -> tokenBudgetOracleSql,
 
     "q_line_dedup" ->

@@ -78,6 +78,16 @@ object Bpe {
   def encodeBytes(text: Column, merges: Seq[String]): Column =
     ColumnBridge.column(BpeByteEncodeExpr(ColumnBridge.expression(text), merges))
 
+  /** Inverse of [[encodeBytes]]: byte-level BPE is LOSSLESS (every byte
+    * has a base symbol; merges only concatenate), so decoding is
+    * concatenate tokens → map each stand-in char back to its byte →
+    * UTF-8 decode. `decodeBytes(encodeBytes(t, m)) === t` for every
+    * merge table and every input (round-trip spec'd and on the hash
+    * path via q_bpe_roundtrip).
+    */
+  def decodeBytes(tokens: Column): Column =
+    ColumnBridge.column(BpeByteDecodeExpr(ColumnBridge.expression(tokens)))
+
   /** Learn `numMerges` BYTE-LEVEL merges. Distributed part: GPT-2
     * regex pre-tokenization + one `groupBy(pretoken).count` — the corpus
     * shuffles only (pre-token, count) pairs; the merge loop runs locally
@@ -253,6 +263,32 @@ object BpeByteTable {
     out
   }
 
+  /** Inverse of [[byteChar]]: stand-in char -> original byte. */
+  private val charByte: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte]()
+    var b = 0
+    while (b < 256) { m.put(byteChar(b), b.toByte); b += 1 }
+    m
+  }
+
+  /** Token string -> original bytes (decode side). */
+  def fromByteSymbols(tokens: ArrayData): UTF8String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < tokens.numElements()) {
+      sb.append(tokens.getUTF8String(i).toString); i += 1
+    }
+    val s = sb.toString
+    val out = new Array[Byte](s.length)
+    var j = 0
+    while (j < s.length) {
+      val b = charByte.get(s.charAt(j))
+      require(b != null, f"not a byte-level BPE symbol char: U+${s.charAt(j).toInt}%04X")
+      out(j) = b; j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** Pre-token -> base symbols: UTF-8 bytes, each mapped through the
     * bytes→unicode table, one symbol per byte.
     */
@@ -278,6 +314,9 @@ object BpeByteTable {
 
 /** Static entry point for codegen (object methods surface as Java statics). */
 object BpeHelpers {
+  def decodeBytesTokens(tokens: ArrayData): UTF8String =
+    BpeByteTable.fromByteSymbols(tokens)
+
   def encodeBytesText(text: UTF8String, table: BpeByteTable): ArrayData = {
     val pts = BpeByteTable.preTokenize(text.toString)
     val out = mutable.ArrayBuffer[UTF8String]()
@@ -318,6 +357,17 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.text.BpeHelpers.encodeText($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+case class BpeByteDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_bytes"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeHelpers.decodeBytesTokens(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.BpeHelpers.decodeBytesTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeByteDecodeExpr =
     copy(child = newChild)
 }
 

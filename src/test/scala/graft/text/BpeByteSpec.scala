@@ -68,6 +68,18 @@ class BpeByteSpec extends SparkSpec {
       Seq("a a", "Ġ aa"))
   }
 
+  test("decode inverts encode for any merge table, any bytes (losslessness)") {
+    val samples = Seq("Hello world", "it's up!! 42 ok", "a\nb\ttab  two",
+      "héllo wörld é", "", "   ", "mixed 123 #!?")
+    for (m <- Seq(Nil, helloMerges)) {
+      val got = samples.toDF("text")
+        .select(col("text"),
+          Bpe.decodeBytes(Bpe.encodeBytes(col("text"), m)).as("r"))
+        .as[(String, String)].collect()
+      got.foreach { case (t, r) => assert(r === t, s"roundtrip broke on '$t'") }
+    }
+  }
+
   test("trained tables: rank-greedy apply == in-order replay (the oracle contract)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(concat(lit(" "), col("text")).as("text"))
