@@ -87,15 +87,15 @@ object Bench {
     // per-query line above (>2 KB at 120+ queries) is head-clipped there.
     // Every query's time must still be recoverable from the captured tail,
     // so it is repeated in the most compact lossless encoding available:
-    // values only, in centiseconds, in ALPHABETICAL order of the query
-    // names with the "q_" prefix stripped (exactly the order of the named
-    // map above and of `SparkEntry.queries.keys.toSeq.sorted`). Decoding:
-    // `zip(sorted(name.removeprefix("q_") for name in queries), values)`.
-    // ~130 values x ~4 chars ≈ 600 chars — fits the capture with room for
-    // the total line below.
+    // values only, in centiseconds, ordered by the FULL query name sorted
+    // (`SparkEntry.queries.keys.toSeq.sorted` — note "q1_agg" sorts BEFORE
+    // every "q_*" name because '1' < '_'; this is also exactly the order
+    // of the named per-query map above). Decoding:
+    // `zip(sorted(queries), values)`. ~134 values x ~4 chars ≈ 600 chars —
+    // fits the capture with room for the total line below.
     val centiVals = results.map { case (_, v) => Math.max(1L, Math.round(v * 100)).toString }
     println(
-      s"""{"metric":"per_query_centisec","order":"alphabetical q_-stripped query names",""" +
+      s"""{"metric":"per_query_centisec","order":"full query names sorted (q1_agg first)",""" +
       s""""n_queries":${results.size},"values":[${centiVals.mkString(",")}]}""")
     // Composite summary as a short, final line that always survives the
     // capture whole, enriched with the slowest queries by name (the ones a
