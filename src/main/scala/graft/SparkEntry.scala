@@ -2273,6 +2273,26 @@ object SparkEntry {
       s.read.parquet(base).orderBy("n_nationkey")
     }),
 
+    // §2.6 keyed snapshot DIFF (r10): recover the change set between two
+    // materialized table versions — the QA complement to SCD2/MERGE
+    // (those apply known changes; this audits what a pipeline change
+    // actually rewrote). One full-outer key join; per-column null-safe
+    // compare. Synthesized new version: evens renamed, fifths deleted,
+    // three keys inserted.
+    "q_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val old = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      val neu = old.where(pmod(col("n_nationkey"), lit(5)) =!= 0)
+        .withColumn("n_name", when(pmod(col("n_nationkey"), lit(2)) === 0,
+          concat(col("n_name"), lit("_v2"))).otherwise(col("n_name")))
+        .unionByName(Seq((100L, "new_100", 0L), (101L, "new_101", 1L),
+          (102L, "new_102", 2L)).toDF("n_nationkey", "n_name", "n_regionkey"))
+      graft.operators.Diff.snapshotDiff(old, neu, Seq("n_nationkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // §2.6 INCREMENTAL near-dup pairing (r9): the daily-ingest shape —
     // delta (doc_id%10=0) pairs against the standing corpus and itself,
     // never corpus×corpus; cap semantics identical to a full run over the
@@ -3367,6 +3387,32 @@ object SparkEntry {
         |UNION ALL SELECT o_orderkey, o_totalprice, '+U' FROM orders WHERE o_orderstatus = 'O'
         |UNION ALL SELECT o_orderkey, o_totalprice, '-D' FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY o_orderkey, __row_kind""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |             CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation),
+        |n AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM o WHERE n_nationkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'new_100', CAST(0 AS BIGINT)),
+        |    (CAST(101 AS BIGINT), 'new_101', CAST(1 AS BIGINT)),
+        |    (CAST(102 AS BIGINT), 'new_102', CAST(2 AS BIGINT)))
+        |    AS t(n_nationkey, n_name, n_regionkey))
+        |SELECT coalesce(o.n_nationkey, n.n_nationkey) AS n_nationkey,
+        |  coalesce(o.n_nationkey IS NOT NULL AND n.n_nationkey IS NOT NULL
+        |    AND o.n_name IS DISTINCT FROM n.n_name, false) AS n_name_changed,
+        |  coalesce(o.n_nationkey IS NOT NULL AND n.n_nationkey IS NOT NULL
+        |    AND o.n_regionkey IS DISTINCT FROM n.n_regionkey, false) AS n_regionkey_changed,
+        |  CASE WHEN o.n_nationkey IS NULL THEN 'added'
+        |       WHEN n.n_nationkey IS NULL THEN 'removed'
+        |       WHEN o.n_name IS DISTINCT FROM n.n_name
+        |         OR o.n_regionkey IS DISTINCT FROM n.n_regionkey THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.n_nationkey = n.n_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_cdc_write" ->
       """WITH ch AS (
