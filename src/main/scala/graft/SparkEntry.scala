@@ -1001,6 +1001,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.6 inverted index (r10): term -> sorted posting list + df, the
+    // sparse-retrieval primitive; maxDf caps stopword-grade terms the
+    // way the dedup bucket cap does. Postings surface as a CSV string
+    // for the hash compare.
+    "q_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxDf = 400)
+        .select(col("term"), col("df"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"))
+        .orderBy("term")
+    }),
+
+    // §2.6 per-source length distribution (r10): exact linear-interp
+    // percentiles of the whitespace token count — the curator's length
+    // profile per source. Spark `percentile` and DuckDB `quantile_cont`
+    // share the (n-1)*p linear interpolation on doubles.
+    "q_length_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("double").as("n"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n, 0.25)").as("p25"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.75)").as("p75"),
+          max("n").as("mx"))
+        .orderBy("source")
+    }),
+
     // §2.6 per-(source, lang) corpus composition stats
     "q_source_stats" -> ((s, dir) => {
       TextAnalysis.groupedStats(Tables.load(s, dir, "documents"),
@@ -3814,6 +3843,26 @@ object SparkEntry {
         |  CAST(sum(pp) AS DOUBLE) / count(*) AS score_avg
         |FROM b JOIN p USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      raw"""WITH t AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) AS term
+        |    FROM documents))
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM t GROUP BY term HAVING count(*) <= 400
+        |ORDER BY term""".stripMargin,
+
+    "q_length_percentiles" ->
+      raw"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
+        |  quantile_cont(n, 0.75) AS p75, max(n) AS mx
+        |FROM (SELECT source,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_stats" ->
       """SELECT source, lang, count(*) AS n_docs,

@@ -250,6 +250,27 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("gram")).limit(topK)
   }
 
+  /** Inverted index: term → sorted posting list of doc ids (+ df) — the
+    * retrieval primitive behind keyword search / sparse-retrieval
+    * pipelines over the corpus. `maxDf` drops stopword-grade terms
+    * (posting lists proportional to the corpus are storage poison and
+    * carry no signal — the same cap philosophy as the dedup bucket cap).
+    * Scale shape: explode → distinct (term, doc) → one hash exchange on
+    * the term → sort_array'd collect_list; list sizes are bounded by
+    * maxDf so no reducer can be swamped by a hot term.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 1000): DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    terms.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+      .where(col("df") <= maxDf)
+  }
+
   /** Per-group corpus composition stats (docs / chars / whitespace
     * tokens) — the mixture report a data curator reads before weighting
     * sources. One partial-agg exchange on the (small) group key.

@@ -222,4 +222,20 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(thr(1) === 1 && thr(3) > thr(1))
   }
+
+  test("invertedIndex: distinct per-doc terms, sorted postings, maxDf cap") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "alpha beta alpha"), // alpha twice in one doc: counted once
+      (1L, "alpha gamma"),
+      (2L, "beta common"), (4L, "common"), (5L, "common"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    assert(idx("alpha") === (2L, Seq(1L, 3L))) // sorted, deduped per doc
+    assert(idx("beta") === (2L, Seq(2L, 3L)))
+    assert(idx("gamma") === (1L, Seq(1L)))
+    assert(!idx.contains("common"), "df=3 > maxDf=2 must be dropped")
+  }
 }
