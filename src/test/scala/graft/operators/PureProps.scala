@@ -13,6 +13,27 @@ object PureProps extends Properties("PureKernels") {
         ((a <= b) == (ha <= hb) || ha == hb)
     }
 
+  property("byte-level BPE: pre-tokens partition the text; tokens decode to the input") =
+    forAll { (s0: String, mergeSeed: Long) =>
+      // canonical valid-unicode form (unpaired surrogates are lossy
+      // through ANY UTF-8 encoder; byte-level BPE is lossless on bytes)
+      val s = new String(s0.getBytes("UTF-8"), "UTF-8")
+      val pts = graft.text.BpeByteTable.preTokenize(s)
+      val base = pts.flatMap(graft.text.BpeByteTable.toByteSymbols)
+      val rnd = new scala.util.Random(mergeSeed)
+      val merges = (0 until math.min(5, math.max(0, base.length - 1)))
+        .map { _ =>
+          val i = rnd.nextInt(base.length - 1)
+          s"${base(i)} ${base(i + 1)}"
+        }
+      val table = new graft.text.BpeByteTable(merges)
+      val toks = pts.flatMap(table.encodePreToken)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      pts.mkString == s &&
+        graft.text.BpeByteTable.fromByteSymbols(arr).toString == s
+    }
+
   private val dimGen = Gen.choose(1, 12)
 
   property("resizeNearest integer upscale then downscale is the identity") =
