@@ -381,6 +381,90 @@ object SparkEntry {
        |FROM rk WHERE rnk <= 10
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** q_ann_ivfpq_res oracle: the RESIDUAL IVFADC (faiss IVFPQ) replayed
+    * end to end — closed-form coarse centroids (seed 7, full-dim grid)
+    * and PQ codebooks (seed 42), coarse assignment argmins, residuals,
+    * residual-code argmins, per-(query, cell) ADC tables, fold-ordered
+    * scores, ranking. Every reduction is a sequential list fold matching
+    * the engine's aggregate/zip_with order.
+    */
+  private def pqResidualOracleSql: String =
+    raw"""WITH g AS (
+       |  SELECT m.m, j.j, d.d,
+       |    (180388626432::HUGEINT + m.m*65536 + j.j*256 + d.d) AS k0
+       |  FROM (SELECT unnest(range(0, 8)) AS m) m,
+       |       (SELECT unnest(range(0, 16)) AS j) j,
+       |       (SELECT unnest(range(0, 8)) AS d) d),
+       |""".stripMargin +
+    fmixCtes("pqf", "g", "m, j, d", "k0", "craw") + ",\n" +
+    raw"""cent AS (
+       |  SELECT m, j, d,
+       |    (CASE WHEN craw >= 9223372036854775808::HUGEINT
+       |          THEN craw::HUGEINT - 18446744073709551616::HUGEINT
+       |          ELSE craw::HUGEINT END)::DOUBLE / 9223372036854775808.0 AS c
+       |  FROM pqf5),
+       |cvecs AS (SELECT m, j, list(c ORDER BY d) AS cv FROM cent GROUP BY m, j),
+       |cg AS (
+       |  SELECT j.j, d.d, (30064771072::HUGEINT + j.j*256 + d.d) AS k0
+       |  FROM (SELECT unnest(range(0, 8)) AS j) j,
+       |       (SELECT unnest(range(0, 64)) AS d) d),
+       |""".stripMargin +
+    fmixCtes("ccf", "cg", "j, d", "k0", "craw") + ",\n" +
+    raw"""ccent AS (
+       |  SELECT j, d,
+       |    (CASE WHEN craw >= 9223372036854775808::HUGEINT
+       |          THEN craw::HUGEINT - 18446744073709551616::HUGEINT
+       |          ELSE craw::HUGEINT END)::DOUBLE / 9223372036854775808.0 AS c
+       |  FROM ccf5),
+       |ccvecs AS (SELECT j AS cell, list(c ORDER BY d) AS ccv FROM ccent GROUP BY j),
+       |vecs AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |         FROM embeddings),
+       |ca AS (
+       |  SELECT vec_id, cell,
+       |    list_reduce(list_prepend(0.0,
+       |      [ (v[i+1] - ccv[i+1]) * (v[i+1] - ccv[i+1]) FOR i IN range(0, 64)]),
+       |      (a, b) -> a + b) AS cd2
+       |  FROM vecs, ccvecs),
+       |cells AS (
+       |  SELECT vec_id, cell FROM ca
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd2, cell) = 1),
+       |resid AS (
+       |  SELECT v.vec_id, c.cell,
+       |    [v.v[i+1] - cv.ccv[i+1] FOR i IN range(0, 64)] AS r
+       |  FROM vecs v JOIN cells c USING (vec_id) JOIN ccvecs cv ON cv.cell = c.cell),
+       |enc0 AS (
+       |  SELECT rr.vec_id, rr.cell, m, j,
+       |    list_reduce(list_prepend(0.0,
+       |      [ (rr.r[m*8 + i + 1] - cv[i+1]) * (rr.r[m*8 + i + 1] - cv[i+1])
+       |        FOR i IN range(0, 8)]), (a, b) -> a + b) AS d2
+       |  FROM resid rr, cvecs),
+       |codes AS (
+       |  SELECT vec_id, cell, m, j AS code FROM enc0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+       |qresid AS (
+       |  SELECT v.vec_id AS q_id, cv.cell,
+       |    [v.v[i+1] - cv.ccv[i+1] FOR i IN range(0, 64)] AS r
+       |  FROM vecs v, ccvecs cv WHERE v.vec_id < 5),
+       |qtab AS (
+       |  SELECT qr.q_id, qr.cell, m, j,
+       |    list_reduce(list_prepend(0.0,
+       |      [ (qr.r[m*8 + i + 1] - cv[i+1]) * (qr.r[m*8 + i + 1] - cv[i+1])
+       |        FOR i IN range(0, 8)]), (a, b) -> a + b) AS t
+       |  FROM qresid qr, cvecs),
+       |pairs AS (
+       |  SELECT t.q_id, c.vec_id AS n_id,
+       |    list_reduce(list_prepend(0.0, list(t.t ORDER BY t.m)),
+       |      (a, b) -> a + b) AS dist2
+       |  FROM codes c JOIN qtab t ON t.cell = c.cell AND t.m = c.m AND t.j = c.code
+       |  GROUP BY t.q_id, c.vec_id),
+       |rk AS (
+       |  SELECT q_id, n_id, dist2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, n_id) AS rnk
+       |  FROM pairs)
+       |SELECT q_id, n_id, CAST(rnk AS INTEGER) AS rnk, dist2
+       |FROM rk WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -831,6 +915,24 @@ object SparkEntry {
       val ivf = graft.similarity.IvfIndex.cached(emb, "embedding", nLists = 8)
       graft.similarity.PqIndex.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", cb, ivf, nProbe = 8, k = 10)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 RESIDUAL IVFADC — the true faiss IVFPQ (r10): corpus rows
+    // PQ-encode their residual against their coarse cell; queries rank
+    // with per-probed-cell ADC tables. Closed-form coarse centroids
+    // (seed 7) + codebooks (seed 42) make the ENTIRE index — assignment,
+    // residuals, codes, tables, scores — replayable bit-for-bit; the
+    // oracle does exactly that. Trained-codebook quality spec'd.
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = graft.similarity.IvfIndex(
+        graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 1, k = 8,
+          seed = 7).centroids(0))
+      val cb = graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16)
+      graft.similarity.PqIndex.ivfPqResidualTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", cb, coarse,
+          nProbe = 8, k = 10)
         .orderBy("q_id", "rnk")
     }),
 
@@ -2941,6 +3043,7 @@ object SparkEntry {
     "q_ann_pq" -> pqOracleSql,
     // all-cells probe == plain ADC, so IVFADC shares the PQ replay oracle
     "q_ann_ivfpq" -> pqOracleSql,
+    "q_ann_ivfpq_res" -> pqResidualOracleSql,
 
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -124,6 +124,42 @@ object ExprHelpers {
     new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
   }
 
+  /** [[nearestCentroids]] over a DOUBLE-typed vector (residual-PQ encode
+    * works on double residuals — rounding them through float would put a
+    * second rounding layer between the engine and its oracle).
+    */
+  def nearestCentroidsDouble(v: ArrayData, centroids: Array[Array[Double]],
+      take: Int): ArrayData = {
+    val k = math.min(take, centroids.length)
+    val bestIdx = new Array[Int](k)
+    val bestDist = new Array[Double](k)
+    var filled = 0
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0
+      var j = 0
+      val n = math.min(c.length, v.numElements())
+      while (j < n) { val t = c(j) - v.getDouble(j); d += t * t; j += 1 }
+      if (filled < k) {
+        var p = filled
+        while (p > 0 && bestDist(p - 1) > d) {
+          bestDist(p) = bestDist(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestDist(p) = d; bestIdx(p) = i
+        filled += 1
+      } else if (d < bestDist(k - 1)) {
+        var p = k - 1
+        while (p > 0 && bestDist(p - 1) > d) {
+          bestDist(p) = bestDist(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestDist(p) = d; bestIdx(p) = i
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 §4 "robust
     * winnowing"): k-token gram hashes, min per sliding window of `w`
     * (rightmost tie-break), deduplicated. Any substring of at least
@@ -395,6 +431,22 @@ case class NearestCentroidsExpr(child: Expression,
       s"graft.plans.ExprHelpers.nearestCentroids($c, $ref, $take)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroidsExpr]] over array<double> input (residual-PQ encode). */
+case class NearestCentroidsDExpr(child: Expression,
+    centroids: Array[Array[Double]], take: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_d"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprHelpers.nearestCentroidsDouble(input.asInstanceOf[ArrayData], centroids, take)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ExprHelpers.nearestCentroidsDouble($c, $ref, $take)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsDExpr =
     copy(child = newChild)
 }
 

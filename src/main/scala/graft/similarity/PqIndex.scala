@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.dedup.TextHashing
-import graft.plans.NearestCentroidsExpr
+import graft.plans.{NearestCentroidsDExpr, NearestCentroidsExpr}
 
 /** Product quantization (Jégou et al. 2011 — the faiss IVF-PQ building
   * block): split each dim-D vector into M subspaces, quantize every
@@ -100,6 +100,119 @@ object PqIndex {
         cb.centroids(m), 1)), 1)
     }
     df.select(col(idCol), array(codeCols: _*).as("code"))
+  }
+
+  /** Train RESIDUAL codebooks — the true faiss IVFPQ: PQ quantizes
+    * `v - coarseCentroid(cell(v))`, which has far less variance than the
+    * raw vectors (the coarse quantizer already explains the cluster
+    * structure), so the same code budget buys much finer resolution.
+    * One bounded driver-side sample serves assignment + every subspace.
+    */
+  def buildResidual(corpus: DataFrame, vecCol: String, dim: Int,
+      ivf: IvfIndex, subspaces: Int = 8, k: Int = 16, sampleSize: Int = 65536,
+      maxIter: Int = 10, seed: Long = 42): PqCodebooks = {
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cap = math.min(sampleSize, math.max(k * 2048, 4096))
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) === dim)
+    val first = vecs.limit(cap + 1).collect()
+    val rows =
+      if (first.length <= cap) first
+      else {
+        val total = vecs.count()
+        val frac = math.min(1.0, cap.toDouble * 1.2 / total)
+        vecs.sample(withReplacement = false, frac, seed).limit(cap).collect()
+      }
+    val sample = rows.map(_.getSeq[Double](0).toArray)
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < ivf.centroids.length) {
+        val c = ivf.centroids(j)
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = c(i) - v(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      val c = ivf.centroids(best)
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val cents = Array.tabulate(subspaces) { m =>
+      IvfIndex.localKMeans(
+        residuals.map(_.slice(m * subDim, (m + 1) * subDim)), k, maxIter, seed + m)
+    }
+    PqCodebooks(subspaces, k, subDim, cents)
+  }
+
+  /** RESIDUAL IVFADC search — the faiss IVFPQ index end to end: corpus
+    * rows assign to their coarse cell, PQ-encode their RESIDUAL
+    * (v - cellCentroid), and a query probing cell c ranks with per-cell
+    * ADC tables built from ITS residual against c. All arithmetic runs
+    * in double through codegen'd HOFs with sequential folds, so (with
+    * closed-form codebooks) the whole index — assignment, residuals,
+    * codes, tables, scores — replays bit-for-bit outside the JVM.
+    * With `nProbe = ivf.nLists` every (query, row) pair is scored
+    * exactly once through its row's cell.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebooks, ivf: IvfIndex, nProbe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val codes = encodeResidual(corpus, idCol, vecCol, cb, ivf)
+      .select(col(idCol).as("n_id"), col("code"), col("__cell"))
+    // queries explode to their nProbe cells; the ADC table is built from
+    // the query's residual AGAINST THAT CELL (each probed cell has its
+    // own table — the residual geometry differs per cell)
+    val vd = col(vecCol).cast("array<double>")
+    val probeCells = ColumnBridge.column(NearestCentroidsDExpr(
+      ColumnBridge.expression(vd), ivf.centroids, math.min(nProbe, ivf.nLists)))
+    val q0 = queries.select(col(idCol).as("q_id"), vd.as("__qv"),
+      explode(probeCells).as("__cell"))
+    val rq = residualCol(col("__qv"), col("__cell"), ivf)
+    val tables = array((0 until cb.subspaces).map { m =>
+      val cents = array(cb.centroids(m).map(cv => array(cv.map(lit): _*)): _*)
+      transform(cents, cvec =>
+        aggregate(zip_with(slice(rq, m * cb.subDim + 1, cb.subDim), cvec,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+    }: _*)
+    val q = broadcast(q0.select(col("q_id"), col("__cell"), tables.as("__qt")))
+    codes.join(q, Seq("__cell"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "dist2")
+  }
+
+  /** Vectors → (cell, residual codes): coarse-assign, subtract the cell
+    * centroid (double, elementwise), PQ-encode the residual. Pure
+    * codegen'd projection — coarse centroids and codebooks ride the plan
+    * as constants/literals.
+    */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks, ivf: IvfIndex): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val cell = element_at(ColumnBridge.column(NearestCentroidsDExpr(
+      ColumnBridge.expression(vd), ivf.centroids, 1)), 1)
+    val withCell = df.select(col(idCol), vd.as("__v"), cell.as("__cell"))
+    val r = residualCol(col("__v"), col("__cell"), ivf)
+    val codeCols = (0 until cb.subspaces).map { m =>
+      element_at(ColumnBridge.column(NearestCentroidsDExpr(
+        ColumnBridge.expression(slice(r, m * cb.subDim + 1, cb.subDim)),
+        cb.centroids(m), 1)), 1)
+    }
+    withCell.select(col(idCol), col("__cell"), array(codeCols: _*).as("code"))
+  }
+
+  /** `v - coarseCentroid(cell)` as a Column (double, elementwise; the
+    * centroid table rides as a nested literal indexed by cell).
+    */
+  private def residualCol(v: Column, cell: Column,
+      ivf: IvfIndex): Column = {
+    val centLit = array(ivf.centroids.map(c => array(c.map(lit): _*)): _*)
+    zip_with(v, element_at(centLit, cell + 1), (a, b) => a - b)
   }
 
   /** IVF + PQ — the full faiss IVFADC shape (sans residual encoding:

@@ -101,6 +101,37 @@ class PqAnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"nProbe=3/8 recall collapsed: $recall")
   }
 
+  test("residual IVFPQ: trained residual codebooks beat raw-vector PQ quantization error") {
+    // clustered data (the regime IVFPQ exists for): the coarse quantizer
+    // explains the clusters, so residuals have far less variance and the
+    // same code budget resolves finer structure
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8, 64)(rnd.nextGaussian().toFloat * 2f)
+    val pts = (0L until 240L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.2f).toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val ivf = IvfIndex.build(df, "embedding", nLists = 8, seed = 3)
+    val raw = PqIndex.build(df, "embedding", dim = 64, subspaces = 8, k = 16, seed = 5)
+    val res = PqIndex.buildResidual(df, "embedding", dim = 64, ivf,
+      subspaces = 8, k = 16, seed = 5)
+    def meanSelf(top: org.apache.spark.sql.DataFrame): Double =
+      top.where(col("q_id") === col("n_id"))
+        .agg(avg("dist2")).collect()(0).getDouble(0)
+    val rawErr = meanSelf(PqIndex.adcTopK(df, df, "vec_id", "embedding", raw, k = 1000000))
+    val resErr = meanSelf(PqIndex.ivfPqResidualTopK(df, df, "vec_id", "embedding",
+      res, ivf, nProbe = 8, k = 1000000))
+    assert(resErr < rawErr,
+      s"residual encoding must cut quantization error: residual $resErr vs raw $rawErr")
+    // and it stays deterministic under repartition
+    val a = PqIndex.encodeResidual(df, "vec_id", "embedding", res, ivf)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val b = PqIndex.encodeResidual(df.repartition(7), "vec_id", "embedding", res, ivf)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("WindowGroupLimit prunes to per-query top-k on the executors") {
     val cb = PqIndex.closedForm(dim = 64)
     val plan = PqIndex.adcTopK(emb, emb.where(col("vec_id") < 5),
