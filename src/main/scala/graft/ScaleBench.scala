@@ -228,6 +228,15 @@ object ScaleBench {
         graft.similarity.PqIndex.adcTopK(emb,
           emb.orderBy("vec_id").limit(50), "vec_id", "embedding", cb).count()
       }
+      val pqRes = point("ann_ivfpq_res") {
+        val coarse = graft.similarity.IvfIndex(
+          graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 1, k = 8,
+            seed = 7).centroids(0))
+        val cb = graft.similarity.PqIndex.closedForm(dim = 64)
+        graft.similarity.PqIndex.ivfPqResidualTopK(emb,
+          emb.orderBy("vec_id").limit(50), "vec_id", "embedding", cb, coarse,
+          nProbe = 2).count()
+      }
       val parts = Seq(
         exact.map { case (t, n) => s""""exact":{"sec":$t,"rows":$n}""" },
         min.map { case (t, n) => s""""minhash":{"sec":$t,"pairs":$n}""" },
@@ -252,7 +261,8 @@ object ScaleBench {
           s""""incr_store":{"sec":$t,"pairs":$n,"store_build_sec":$b}""" },
         bpeB.map { case (t, n) => s""""bpe_bytes":{"sec":$t,"tokens":$n}""" },
         cms.map { case (t, n) => s""""cms":{"sec":$t,"sketches":$n}""" },
-        pq.map { case (t, n) => s""""ann_pq":{"sec":$t,"results":$n}""" }).flatten
+        pq.map { case (t, n) => s""""ann_pq":{"sec":$t,"results":$n}""" },
+        pqRes.map { case (t, n) => s""""ann_ivfpq_res":{"sec":$t,"results":$n}""" }).flatten
       println(
         s"""{"scale":"$name","docs":$nDocs,""" + parts.mkString(",") + "}")
     }
