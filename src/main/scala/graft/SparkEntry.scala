@@ -1118,7 +1118,11 @@ object SparkEntry {
     // §2.6 per-source length distribution (r10): exact linear-interp
     // percentiles of the whitespace token count — the curator's length
     // profile per source. Spark `percentile` and DuckDB `quantile_cont`
-    // share the (n-1)*p linear interpolation on doubles.
+    // share the (n-1)*p linear interpolation on doubles. Scale note:
+    // exact percentile state is proportional to the DISTINCT value
+    // domain per group — fine for token counts (small bounded ints,
+    // partial-agg-combinable); for unbounded continuous columns use
+    // approx_percentile at corpus scale.
     "q_length_percentiles" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("source"),
