@@ -209,10 +209,20 @@ object Dedup {
     * corpus cost drops from a full text re-signature to a scan of the
     * narrow (doc, band_idx, band_hash) table; only the DELTA is
     * signatured. The corpus text is never read at all.
+    *
+    * Envelope: the touched-bucket-keys semi-join is a BroadcastHashJoin
+    * only while the delta's distinct (band_idx, band_hash) set fits
+    * `broadcastTouchedBytes` (default 1 GiB ≈ 22M keys at 48 B/row —
+    * a ~1.4M-doc delta at 16 bands); a larger daily delta degrades to a
+    * shuffle left_semi on the same keys instead of OOMing the driver
+    * (the [[nGramJaccardPairs]] `broadcastVerifyBytes` pattern; result
+    * identical either way — the store's range-partitioned layout still
+    * prunes row groups, the join just exchanges instead of broadcasting).
     */
   def incrementalFromStore(delta: DataFrame, storePath: String,
       idCol: String, textCol: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig(),
+      broadcastTouchedBytes: Long = 1L << 30): DataFrame = {
     val spark = delta.sparkSession
     graft.plans.NativeExpressions.register(spark)
     val dsrc = delta.select(col(idCol).as("doc"), col(textCol).as("txt"))
@@ -229,11 +239,16 @@ object Dedup {
     // is range-partitioned + sorted on exactly (band_idx, band_hash),
     // parquet min/max stats prune untouched row groups: the corpus band
     // table is READ in proportion to the delta, not the corpus.
-    val touched = deltaBands.select("band_idx", "band_hash").distinct()
+    val touched = deltaBands.select("band_idx", "band_hash").distinct().graftPersist
+    // 48 B/key ≈ (int + long) + unsafe-row overhead; counting the persisted
+    // delta-derived table is delta-cost, never corpus-cost.
+    val touchedBytes = touched.count() * 48L
+    val touchedKeyed =
+      if (touchedBytes <= broadcastTouchedBytes) broadcast(touched) else touched
     val banded = spark.read.parquet(s"$storePath/bands")
       .select(col("doc"), lit(false).as("is_delta"), col("band_idx"), col("band_hash"))
       .unionByName(deltaBands)
-      .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_semi")
+      .join(touchedKeyed, Seq("band_idx", "band_hash"), "left_semi")
     // cap counts over the union's (touched) buckets — identical behavior
     // to the recompute path for every bucket that can produce a pair
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_hash"), cfg.maxBucketSize)

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.plans.{CmsEstimateExpr, GraftCmsAggregate, GraftCmsMergeAggregate, Hash64Expr}
 
 /** Mergeable cardinality sketches (SURVEY §2.6 profiling scale path).
   *
@@ -60,9 +62,12 @@ object Sketches {
     */
   def countMinAgg(df: DataFrame, itemCol: String, width: Int = 2048,
       depth: Int = 4, seed: Int = 42, byCols: Seq[String] = Nil): DataFrame = {
-    graft.plans.NativeExpressions.register(df.sparkSession)
-    val agg = expr(
-      s"graft_cms_agg(graft_hash64($itemCol), $width, $depth, $seed)").as("cms")
+    // Expressions built directly (not via the name registry) so the op
+    // works on any session and on any column name, backticks or not
+    // (ADVICE r10 — call_function/expr interpolation broke both).
+    val hash = Hash64Expr(ColumnBridge.expression(col(itemCol)))
+    val agg = ColumnBridge.column(
+      GraftCmsAggregate(hash, width, depth, seed).toAggregateExpression()).as("cms")
     if (byCols.isEmpty) df.agg(agg) else df.groupBy(byCols.map(col): _*).agg(agg)
   }
 
@@ -70,14 +75,18 @@ object Sketches {
     * cross-stage merge (daily sketches -> monthly frequencies).
     */
   def cmsMerge(df: DataFrame, sketchCol: String, byCols: Seq[String] = Nil): DataFrame = {
-    graft.plans.NativeExpressions.register(df.sparkSession)
-    val agg = expr(s"graft_cms_merge_agg($sketchCol)").as("cms")
+    val agg = ColumnBridge.column(
+      GraftCmsMergeAggregate(ColumnBridge.expression(col(sketchCol)))
+        .toAggregateExpression()).as("cms")
     if (byCols.isEmpty) df.agg(agg) else df.groupBy(byCols.map(col): _*).agg(agg)
   }
 
   /** Point frequency estimate of a string item against a sketch column
     * (always >= the true count; see [[graft.plans.CountMin]] bounds).
+    * Session-independent: the expressions are constructed directly, so a
+    * persisted sketch probes fine with no `NativeExpressions.register`.
     */
   def cmsEstimate(sketch: Column, item: Column): Column =
-    call_function("cms_estimate", sketch, call_function("graft_hash64", item))
+    ColumnBridge.column(CmsEstimateExpr(ColumnBridge.expression(sketch),
+      Hash64Expr(ColumnBridge.expression(item))))
 }

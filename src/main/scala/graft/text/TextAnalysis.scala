@@ -255,20 +255,29 @@ object TextAnalysis {
     * pipelines over the corpus. `maxDf` drops stopword-grade terms
     * (posting lists proportional to the corpus are storage poison and
     * carry no signal — the same cap philosophy as the dedup bucket cap).
-    * Scale shape: explode → distinct (term, doc) → one hash exchange on
-    * the term → sort_array'd collect_list; list sizes are bounded by
-    * maxDf so no reducer can be swamped by a hot term.
+    * Scale shape: explode → distinct (term, doc) → per-term df on the
+    * narrow pairs → left_semi of the df<=maxDf terms back onto the pairs
+    * BEFORE the collect_list — so a stopword-grade hot term is dropped
+    * while still a (term, count) row and never materializes its
+    * corpus-proportional posting list on any reducer (the same
+    * filter-before-the-expensive-op shape as
+    * [[graft.dedup.Dedup.dropOversizedBuckets]]; ADVICE r10 — the cap
+    * used to run AFTER the collect_list).
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 1000): DataFrame = {
+    import graft.GraftCaches.PersistOps
     val terms = df
       .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
       .distinct()
-    terms.groupBy("term")
+      .graftPersist // feeds both the df count and the postings agg
+    val keep = terms.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .where(col("df") <= maxDf)
+    terms.join(keep, Seq("term"), "left_semi")
+      .groupBy("term")
       .agg(count(lit(1)).cast("long").as("df"),
         sort_array(collect_list(col(idCol))).as("postings"))
-      .where(col("df") <= maxDf)
   }
 
   /** Per-group corpus composition stats (docs / chars / whitespace

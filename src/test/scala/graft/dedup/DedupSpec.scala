@@ -97,6 +97,45 @@ class DedupSpec extends SparkSpec {
       s"appended delta signatures must be probeable: $nextPairs")
   }
 
+  test("incrementalFromStore: over-budget touched set degrades to shuffle semi-join, same pairs") {
+    val corpus = docs
+    val delta = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      (50L, "gradient descent updates model weights using minibatch statistics nightly"),
+      (51L, "gradient descent updates model weights using minibatch statistics daily"))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashConfig(threshold = 0.5)
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore-gate").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", store, cfg)
+    def pairs(budget: Long) =
+      Dedup.incrementalFromStore(delta, store, "doc_id", "text", cfg,
+        broadcastTouchedBytes = budget)
+    // 1-byte budget forces the shuffle left_semi fallback; results identical
+    val gated = pairs(1L).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val broad = pairs(1L << 30).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === broad, "gated fallback must emit the same pairs")
+    assert(gated.contains((50L, 51L)))
+    // With size-estimated broadcasts disabled, the only broadcasts left are
+    // explicit hints: the in-budget plan still has one (the touched-keys
+    // semi join), the gated plan has none — i.e. over budget we genuinely
+    // stop FORCING a driver-sized broadcast and let the join exchange.
+    // (dropOversizedBuckets keeps its own explicit LeftAnti broadcast —
+    // only the touched-keys LeftSemi join is under this gate)
+    def semiLines(budget: Long): Seq[String] =
+      pairs(budget).queryExecution.sparkPlan.toString
+        .linesIterator.filter(_.contains("LeftSemi")).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(semiLines(1L << 30).exists(_.contains("BroadcastHashJoin")))
+      val gatedSemis = semiLines(1L)
+      assert(gatedSemis.nonEmpty && gatedSemis.forall(!_.contains("BroadcastHashJoin")),
+        s"over-budget plan must not force a broadcast of the touched keys:\n${gatedSemis.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dropNearDups keeps the smaller id of each pair") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text", Dedup.MinHashConfig(threshold = 0.5))
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)

@@ -65,6 +65,24 @@ class CountMinSpec extends SparkSpec {
     assert(back.cells.toSeq === buf.cells.toSeq)
   }
 
+  test("ops work with no function registration and on backtick-hostile column names") {
+    // a fresh session that never ran NativeExpressions.register: the ops
+    // build expressions directly, so a persisted sketch still probes
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    val odd = (Seq.fill(9)("a") ++ Seq.fill(4)("b")).map(Tuple1(_))
+      .toDF("the word") // space: breaks naive SQL-string interpolation
+    val sketch = Sketches.countMinAgg(odd, "the word", width = 128, depth = 3)
+    val got = odd.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("the word"),
+        Sketches.cmsEstimate(col("cms"), col("the word")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 9L, "b" -> 4L))
+    val merged = Sketches.cmsMerge(sketch, "cms").collect()(0).getAs[Array[Byte]](0)
+    assert(merged.nonEmpty)
+  }
+
   test("merge rejects shape mismatches") {
     val a = new CountMin.Buffer(64, 4, 42)
     val b = new CountMin.Buffer(32, 4, 42)
