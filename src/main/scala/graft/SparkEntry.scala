@@ -1879,6 +1879,63 @@ object SparkEntry {
       finally server.stop(0)
     }),
 
+    // §2.4 Socket source + sink (r11; reference connector-socket): an
+    // embedded line server serves nation pipe-delimited; SocketSource
+    // .readBounded consumes it (single-client bounded contract), the
+    // parsed rows go back out through SocketSink as JSON lines to an
+    // embedded collector, and the collected lines are schema-parsed —
+    // the full source→sink round trip sits on the hash path. Both
+    // servers stop before the returned plan runs (bounded fixture,
+    // q_src_http treatment).
+    "q_src_socket" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "nation").orderBy("n_nationkey").collect()
+      val lines = rows.map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getInt(2)}")
+      // line server: replays the fixture once per accepted connection
+      val src = new java.net.ServerSocket(0, 50,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val srcThread = new Thread(() =>
+        try while (true) {
+          val c = src.accept()
+          val out = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+          lines.foreach(l => out.write(l + "\n"))
+          out.flush(); c.close()
+        } catch { case _: java.io.IOException => () })
+      srcThread.setDaemon(true); srcThread.start()
+      // collector: accepts the sink's per-partition connections
+      val snk = new java.net.ServerSocket(0, 50,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val snkThread = new Thread(() =>
+        try while (true) {
+          val c = snk.accept()
+          new Thread(() => {
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+            var line = r.readLine()
+            while (line != null) { got.add(line); line = r.readLine() }
+            c.close()
+          }).start()
+        } catch { case _: java.io.IOException => () })
+      snkThread.setDaemon(true); snkThread.start()
+      try {
+        val read = graft.sources.SocketSource.readBounded(s, "127.0.0.1", src.getLocalPort)
+          .select(split(col("value"), "\\|").as("f"))
+          .select(col("f")(0).cast("int").as("n_nationkey"),
+            col("f")(1).as("n_name"), col("f")(2).cast("int").as("n_regionkey"))
+        graft.sinks.SocketSink.write(read,
+          graft.sinks.SocketSink.Config("127.0.0.1", snk.getLocalPort))
+        val deadline = System.nanoTime() + 30e9.toLong
+        while (got.size < rows.length && System.nanoTime() < deadline) Thread.sleep(20)
+        val schema = new StructType().add("n_nationkey", IntegerType)
+          .add("n_name", StringType).add("n_regionkey", IntegerType)
+        s.createDataset(got.toArray(Array.empty[String]).toSeq).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+          .orderBy("n_nationkey")
+      } finally { src.close(); snk.close() }
+    }),
+
     // §2.4 JDBC primary-key upsert (r8): seed Derby from nation, upsert a
     // change batch (region-1 renames + 3 fresh keys) TWICE — the
     // double-apply puts idempotency on the hash path — and read back.
@@ -3616,6 +3673,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_src_http" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_src_socket" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_jdbc_upsert" ->

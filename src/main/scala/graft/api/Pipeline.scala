@@ -95,7 +95,7 @@ object Pipeline {
   // ---------- HOCON config (the reference's native syntax) ----------
 
   private val canonicalPlugins: Map[String, String] = Seq(
-    "FakeSource", "LocalFile", "File", "Jdbc", "Http", "Kafka", "Rate",
+    "FakeSource", "LocalFile", "File", "Jdbc", "Http", "Kafka", "Rate", "Socket",
     "Github", "Gitlab", "Jira", "Klaviyo", "Lemlist", "Notion",
     "OneSignal", "PersistIQ",
     "Console", "Assert", "Memory", "InMemory",
@@ -330,6 +330,10 @@ object Pipeline {
       } else throw new UnsupportedOperationException(
         s"Http source: endpoint unreachable and this environment has no " +
           s"egress (validated config: url=$url, method=$method)")
+    case "Socket" =>
+      // reference connector-socket source in BOUNDED mode: single client
+      // connection, newline-split rows, column `value`
+      graft.sources.SocketSource.readBounded(spark, p.str("host"), p.str("port").toInt)
     case other => throw new IllegalArgumentException(s"unknown source plugin: $other")
   }
 
@@ -669,6 +673,11 @@ object Pipeline {
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach(r => graft.operators.NlpHttp.postJson(url, r.getString(0), headers))
         }
+    case "Socket" =>
+      // reference connector-socket sink: JSON-line rows to host:port with
+      // connect retries (SocketSinkConfigOptions max_retries default 3)
+      graft.sinks.SocketSink.write(df, graft.sinks.SocketSink.Config(
+        p.str("host"), p.str("port").toInt, p.int("max_retries", 3)))
     case other => throw new IllegalArgumentException(s"unknown sink plugin: $other")
   }
 
@@ -1075,6 +1084,11 @@ object Pipeline {
         if (m.equalsIgnoreCase("earliest")) "earliest" else "latest"))
       p.map("options").foreach { case (k, v) => r = r.option(k, v) }
       r.load()
+    case "Socket" =>
+      // reference connector-socket in UNBOUNDED mode = Spark's own socket
+      // streaming source (same line-split client contract, same `value`
+      // column)
+      graft.sources.SocketSource.readStream(spark, p.str("host"), p.str("port").toInt)
     case other => throw new IllegalArgumentException(s"unknown streaming source plugin: $other")
   }
 
@@ -1177,6 +1191,12 @@ object Pipeline {
             .outputMode(s.strOpt("output_mode").getOrElse("append"))
           if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
           triggered(w).start()
+        case "Socket" =>
+          graft.sinks.SocketSink.writeStream(df,
+            graft.sinks.SocketSink.Config(s.str("host"), s.str("port").toInt,
+              s.int("max_retries", 3)),
+            s.strOpt("checkpoint").getOrElse(
+              java.nio.file.Files.createTempDirectory("graft-socket-ckpt").toString))
         case other => throw new IllegalArgumentException(s"unknown streaming sink plugin: $other")
       }
     }
