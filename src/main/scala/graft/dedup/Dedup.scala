@@ -212,8 +212,9 @@ object Dedup {
     *
     * Envelope: the touched-bucket-keys semi-join is a BroadcastHashJoin
     * only while the delta's distinct (band_idx, band_hash) set fits
-    * `broadcastTouchedBytes` (default 1 GiB ≈ 22M keys at 48 B/row —
-    * a ~1.4M-doc delta at 16 bands); a larger daily delta degrades to a
+    * `broadcastTouchedBytes` (default 512 MiB ≈ 2M keys at the
+    * conservative 256 B/row build-side estimate — a ~130k-doc delta at 16
+    * bands); a larger daily delta degrades to a
     * shuffle left_semi on the same keys instead of OOMing the driver
     * (the [[nGramJaccardPairs]] `broadcastVerifyBytes` pattern; result
     * identical either way — the store's range-partitioned layout still
@@ -222,7 +223,7 @@ object Dedup {
   def incrementalFromStore(delta: DataFrame, storePath: String,
       idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig(),
-      broadcastTouchedBytes: Long = 1L << 30): DataFrame = {
+      broadcastTouchedBytes: Long = 512L << 20): DataFrame = {
     val spark = delta.sparkSession
     graft.plans.NativeExpressions.register(spark)
     val dsrc = delta.select(col(idCol).as("doc"), col(textCol).as("txt"))
@@ -240,9 +241,16 @@ object Dedup {
     // parquet min/max stats prune untouched row groups: the corpus band
     // table is READ in proportion to the delta, not the corpus.
     val touched = deltaBands.select("band_idx", "band_hash").distinct().graftPersist
-    // 48 B/key ≈ (int + long) + unsafe-row overhead; counting the persisted
-    // delta-derived table is delta-cost, never corpus-cost.
-    val touchedBytes = touched.count() * 48L
+    // 256 B/key: the raw (int, long) UnsafeRow is ~32 B, but a broadcast
+    // build side ALSO pays the driver-side collect copy, the serialized
+    // broadcast blob, and the HashedRelation map (key array + page table)
+    // simultaneously — several multiples of the row bytes. The estimate is
+    // deliberately conservative because the failure mode it gates is a
+    // driver OOM and the fallback (shuffle left_semi) is result-identical
+    // (ADVICE r11 — 48 B/key undercounted the hashed-relation overhead).
+    // Counting the persisted delta-derived table is delta-cost, never
+    // corpus-cost.
+    val touchedBytes = touched.count() * 256L
     val touchedKeyed =
       if (touchedBytes <= broadcastTouchedBytes) broadcast(touched) else touched
     val banded = spark.read.parquet(s"$storePath/bands")

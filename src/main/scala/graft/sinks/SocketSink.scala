@@ -58,22 +58,26 @@ object SocketSink {
     throw new IllegalStateException("unreachable")
   }
 
-  private def writePartition(lines: Iterator[String], cfg: Config): Unit = {
+  private[graft] def writePartition(lines: Iterator[String], cfg: Config): Unit = {
     var socket = connectWithRetry(cfg)
-    var out = new java.io.BufferedOutputStream(socket.getOutputStream)
+    var out = socket.getOutputStream
     try {
       lines.foreach { line =>
         val bytes = (line + "\n").getBytes("UTF-8")
-        try out.write(bytes)
+        // write+flush PER ROW, the reference SocketClient contract: every
+        // already-written line has left this process before the next one
+        // starts, so the reconnect path below replaying only the CURRENT
+        // line is lossless — buffering across rows would silently drop the
+        // unflushed tail on a mid-partition reconnect (ADVICE r11).
+        try { out.write(bytes); out.flush() }
         catch { case _: java.io.IOException =>
           // reference SocketClient: reconnect once and replay the row
           try socket.close() catch { case _: java.io.IOException => () }
           socket = connectWithRetry(cfg)
-          out = new java.io.BufferedOutputStream(socket.getOutputStream)
-          out.write(bytes)
+          out = socket.getOutputStream
+          out.write(bytes); out.flush()
         }
       }
-      out.flush()
     } finally socket.close()
   }
 }

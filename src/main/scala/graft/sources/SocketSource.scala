@@ -36,17 +36,43 @@ object SocketSource {
       maxLines: Int = 1 << 20): DataFrame = {
     val socket = new java.net.Socket()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var truncated = false
     try {
       socket.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
       socket.setSoTimeout(readTimeoutMs)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(socket.getInputStream, "UTF-8"))
-      var line = reader.readLine() // readLine strips \n and \r\n (ref contract)
-      while (line != null && lines.size < maxLines) {
-        lines += line
-        line = reader.readLine()
+      val reader = new java.io.InputStreamReader(socket.getInputStream, "UTF-8")
+      // Split on '\n' ONLY, stripping one trailing '\r' — the exact
+      // SocketSourceReader.pollNext contract. BufferedReader.readLine would
+      // additionally treat a lone '\r' as a terminator, turning the
+      // reference's one row "a\rb" into two (ADVICE r11).
+      val sb = new java.lang.StringBuilder
+      val buf = new Array[Char](8192)
+      var n = reader.read(buf)
+      var done = false
+      while (n >= 0 && !done) {
+        var i = 0
+        while (i < n && !done) {
+          val c = buf(i)
+          if (c == '\n') {
+            val len = sb.length
+            if (len > 0 && sb.charAt(len - 1) == '\r') sb.setLength(len - 1)
+            lines += sb.toString
+            sb.setLength(0)
+            if (lines.size >= maxLines) { done = true; truncated = true }
+          } else sb.append(c)
+          i += 1
+        }
+        if (!done) n = reader.read(buf)
+      }
+      if (!done && sb.length > 0) { // unterminated final line: one row (EOF bounds it)
+        if (sb.charAt(sb.length - 1) == '\r') sb.setLength(sb.length - 1)
+        lines += sb.toString
       }
     } finally socket.close()
+    if (truncated)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"SocketSource.readBounded($host:$port): maxLines=$maxLines reached — " +
+        "result is TRUNCATED, not a complete drain; an unbounded peer belongs on readStream")
     import spark.implicits._
     spark.createDataset(lines.toSeq).toDF("value")
   }

@@ -54,6 +54,53 @@ class SocketConnectorSpec extends SparkSpec {
     } finally stop()
   }
 
+  test("readBounded: lone \\r is NOT a terminator; unterminated final line is one row") {
+    // reference SocketSourceReader splits on '\n' only (strip trailing
+    // '\r'): "a\rb\n" is ONE row — BufferedReader.readLine would split it
+    // in two (ADVICE r11)
+    val (port, stop) = lineServer(Seq("a\rb\n", "tail-no-newline"))
+    try {
+      val got = SocketSource.readBounded(spark, "127.0.0.1", port)
+        .as[String].collect().toSeq
+      assert(got == Seq("a\rb", "tail-no-newline"))
+    } finally stop()
+  }
+
+  test("readBounded: maxLines caps the read (truncation is logged, result bounded)") {
+    val (port, stop) = lineServer(Seq("l1\n", "l2\n", "l3\n", "l4\n"))
+    try {
+      val got = SocketSource.readBounded(spark, "127.0.0.1", port, maxLines = 2)
+        .as[String].collect().toSeq
+      assert(got == Seq("l1", "l2"))
+    } finally stop()
+  }
+
+  test("sink flushes per line: a row is on the wire before the next one is produced") {
+    // reference SocketClient writes+flushes per row, which is what makes
+    // its single-row reconnect replay lossless (ADVICE r11). Proven here
+    // by gating the input iterator on the COLLECTOR having received the
+    // previous line — with cross-row buffering this would deadlock until
+    // the 5 s deadline and fail.
+    val (port, got, stop) = collectorServer()
+    try {
+      val lines = Seq("""{"n":1}""", """{"n":2}""", """{"n":3}""")
+      val gated: Iterator[String] = new Iterator[String] {
+        private var i = 0
+        def hasNext: Boolean = i < lines.length
+        def next(): String = {
+          val deadline = System.nanoTime() + 5e9.toLong
+          while (got.size < i && System.nanoTime() < deadline) Thread.sleep(10)
+          assert(got.size >= i, s"line $i not flushed before line ${i + 1} was requested")
+          i += 1; lines(i - 1)
+        }
+      }
+      SocketSink.writePartition(gated, SocketSink.Config("127.0.0.1", port))
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (got.size < 3 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(got.toArray(Array.empty[String]).toSeq == lines)
+    } finally stop()
+  }
+
   test("sink write: every row lands as one JSON line; one connection per partition") {
     val (port, got, stop) = collectorServer()
     try {
