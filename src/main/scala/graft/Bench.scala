@@ -45,12 +45,43 @@ object Bench {
     // compile and the median lied. The data cache is still cleared between
     // timed reps, so every rep recomputes from parquet; median measures
     // the plan, min shows the uncontended floor.
-    val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      GraftCaches.releaseAll(spark) // drop tracked intermediates + registry
+    //
+    // r12 — the long-lived-JVM second-order effect (VERDICT r11 "What's
+    // wrong" #1; four memory-heavy queries reported 2-3x over fresh-JVM
+    // steady state with min == median, i.e. EVERY rep inflated): the
+    // session accumulates dead broadcast blobs + cached-codegen garbage
+    // across 139x4 plans, and Spark only reclaims broadcasts when the
+    // ContextCleaner's WEAK references get collected — which a big -Xmx8g
+    // heap under G1 defers until a query with real memory pressure forces
+    // a collection INSIDE its timed region, charging earlier queries'
+    // garbage to whoever runs next. Countermeasures, all OUTSIDE the
+    // timed region: (a) tracked-intermediate unpersist is BLOCKING so
+    // eviction work can't bleed into the next rep; (b) one System.gc()
+    // per query before its timed reps drains the reference queue and
+    // lets the ContextCleaner reclaim broadcast/accumulator state at a
+    // known point; (c) per-query GC time during timed reps is recorded
+    // ("gc_sec" in the detail artifact) so residual inflation is
+    // ATTRIBUTABLE to collector pressure vs the plan. Streaming queries
+    // additionally run >= 5 reps (micro-batch floor dominates them; the
+    // extra reps cost ~10 s total and tighten the round-over-round
+    // signal — VERDICT r11 #8).
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
+    }
+    def stabilize(): Unit = {
+      GraftCaches.releaseAll(spark, blocking = true)
       spark.catalog.clearCache()
+      System.gc()
+    }
+    val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      stabilize()
       try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-      val runs = (1 to reps).map { _ =>
-        GraftCaches.releaseAll(spark)
+      stabilize()
+      val gc0 = gcMillis()
+      val qReps = if (name.contains("stream")) math.max(reps, 5) else reps
+      val runs = (1 to qReps).map { _ =>
+        GraftCaches.releaseAll(spark, blocking = true)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val err =
@@ -60,14 +91,14 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, runs)
+      (name, runs, (gcMillis() - gc0) / 1e3)
     }
-    val (ok, bad) = raw.partition { case (_, runs) => runs.exists(_._2.isEmpty) }
-    val results = ok.map { case (name, runs) =>
+    val (ok, bad) = raw.partition { case (_, runs, _) => runs.exists(_._2.isEmpty) }
+    val results = ok.map { case (name, runs, _) =>
       val s = runs.collect { case (t, None) => t }.sorted
       name -> s(s.length / 2)
     }.sortBy(_._1)
-    val mins = ok.map { case (name, runs) =>
+    val mins = ok.map { case (name, runs, _) =>
       name -> runs.collect { case (t, None) => t }.min
     }.toMap
     // Per-query map with "q_" prefixes stripped and 2-decimal values keeps
@@ -81,8 +112,10 @@ object Bench {
       s""""n_queries":${results.size},"errors":${errNames.size},""" +
       s""""error_queries":[${errNames.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""reps":$reps,"sf":"$sfDir"}"""
-    // Full per-rep detail + error messages, execution order, to a side file.
-    val repsDetail = raw.map { case (k, runs) =>
+    // Full per-rep detail + error messages + per-query GC attribution
+    // (seconds of collector time during the timed reps), execution order,
+    // to a side file.
+    val repsDetail = raw.map { case (k, runs, _) =>
       "\"" + k + "\":[" + runs.map {
         case (t, None)    => f"$t%.3f"
         case (t, Some(m)) => "{\"t\":" + f"$t%.3f" + ",\"err\":\"" +
@@ -90,8 +123,11 @@ object Bench {
                       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\"}"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val gcDetail = raw.map { case (k, _, gcSec) => "\"" + k + "\":" + f"$gcSec%.3f" }
+      .mkString("{", ",", "}")
     try Files.write(Paths.get(detailPath),
-      (line.dropRight(1) + s""","reps_detail":$repsDetail}""" + "\n").getBytes("UTF-8"))
+      (line.dropRight(1) + s""","reps_detail":$repsDetail,"gc_sec":$gcDetail}""" + "\n")
+        .getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)
     // The driver keeps only a ~2,000-char TAIL of stdout — the full named

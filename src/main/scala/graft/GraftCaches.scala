@@ -34,11 +34,15 @@ object GraftCaches {
         df.persist(level)
       }
 
-    /** Unpersist every intermediate tracked by THIS scope (non-blocking)
-      * and forget them; other scopes are untouched.
+    /** Unpersist every intermediate tracked by THIS scope and forget
+      * them; other scopes are untouched. Non-blocking by default (a
+      * pipeline moving to its next job shouldn't wait on block eviction);
+      * `blocking = true` waits until the blocks are actually gone — the
+      * bench host uses it so eviction work never bleeds into the next
+      * query's timed reps.
       */
-    def release(): Unit = synchronized {
-      live.foreach(df => df.unpersist(blocking = false))
+    def release(blocking: Boolean = false): Unit = synchronized {
+      live.foreach(df => df.unpersist(blocking))
       live.clear()
     }
 
@@ -69,7 +73,8 @@ object GraftCaches {
   /** Release the session-global default scope (hosts like Verify/Bench
     * call this between queries; scoped pipelines release their own).
     */
-  def releaseAll(spark: SparkSession): Unit = global.release()
+  def releaseAll(spark: SparkSession, blocking: Boolean = false): Unit =
+    global.release(blocking)
 
   /** Tracked count of the session-global default scope — for specs. */
   def trackedCount: Int = global.trackedCount
