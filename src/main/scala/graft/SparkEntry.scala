@@ -1115,6 +1115,16 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    // §2.6 BM25 ranking (r12; VERDICT r11 #3): the scoring layer over the
+    // inverted index — integer-scaled idf x rational-arithmetic tf
+    // saturation (k1=1.2, b=0.75), so DuckDB recomputes the identical
+    // longs. Query terms fixed; all docs surface (score 0 when unmatched).
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(Tables.load(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "join", "window"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 per-source length distribution (r10): exact linear-interp
     // percentiles of the whitespace token count — the curator's length
     // profile per source. Spark `percentile` and DuckDB `quantile_cont`
@@ -1312,6 +1322,67 @@ object SparkEntry {
           .withColumn(kind, lit("+I")).withColumn("ord", lit(4L)))
       graft.operators.Scd2.fromChangelog(ch, Seq("n_nationkey"), "ord")
         .orderBy("n_nationkey", "valid_from")
+    }),
+
+    // §2.5+§2.4 streaming CDC -> SCD2 composition (r12; VERDICT r11 #4):
+    // the warehouse-history story end to end — captureStream (hybrid
+    // snapshot->changelog as ONE streaming job) delivers into a parquet
+    // changelog accumulator via foreachBatch, and Scd2.fromChangelog
+    // turns the accumulated stream into versioned dimension history.
+    // CL_SEQ values are runtime-assigned, so the validity ord is
+    // normalized to a per-key VERSION index for the closed-form oracle;
+    // interval semantics (open/close/delete) stay fully on the hash path.
+    "q_stream_scd2" -> ((s, dir) => withStreamPartitions(s) {
+      import graft.sources.CdcCapture
+      val url = "jdbc:derby:memory:graftscd2s;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      val st = conn.createStatement()
+      def tryDrop(t: String): Unit =
+        try { st.executeUpdate(s"DROP TABLE $t"); () }
+        catch { case _: java.sql.SQLException => () } // absent on first run
+      Seq("CL_NATION_SCD", "NATION_SCD").foreach(tryDrop)
+      st.executeUpdate(
+        """CREATE TABLE NATION_SCD (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
+          |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("N_NATIONKEY"),
+          col("n_name").as("N_NAME"), col("n_regionkey").cast("long").as("N_REGIONKEY"))
+      Jdbc.write(nation, Jdbc.JdbcSinkConfig(url, "NATION_SCD", mode = "append"))
+      CdcCapture.installChangelog(url, "NATION_SCD")
+      val base = s"/tmp/graft_fixtures/streamscd2_${dir.replaceAll("\\W", "_")}"
+      rmTree(new java.io.File(base))
+      val acc = s"$base/changelog"
+      val nSnap = nation.count()
+      val nChanges = 2 * nation.where(col("N_REGIONKEY") === 0).count() +
+        nation.where(col("N_NATIONKEY") >= 20).count() + 3
+      // poll the accumulator; a read racing an in-flight append counts 0
+      def accCount(): Long =
+        try s.read.parquet(acc).count() catch { case _: Throwable => 0L }
+      def waitFor(target: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (accCount() < target && System.currentTimeMillis() < deadline)
+          Thread.sleep(150)
+      }
+      val q = CdcCapture.captureStream(s, url, "NATION_SCD", "N_NATIONKEY",
+        chunkSize = 8, statePath = s"$base/state.properties",
+        onBatch = (df, _) => df.write.mode("append").parquet(acc),
+        pollsPerSecond = 10.0)
+      try {
+        waitFor(nSnap) // snapshot delivered before the mutation script runs
+        st.executeUpdate("UPDATE NATION_SCD SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
+        st.executeUpdate("DELETE FROM NATION_SCD WHERE N_NATIONKEY >= 20")
+        st.executeUpdate(
+          "INSERT INTO NATION_SCD VALUES (100, 'new_100', 0), (101, 'new_101', 1), (102, 'new_102', 2)")
+        waitFor(nSnap + nChanges)
+      } finally { q.stop(); st.close(); conn.close() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("N_NATIONKEY").orderBy("valid_from")
+      graft.operators.Scd2.fromChangelog(
+          s.read.parquet(acc), Seq("N_NATIONKEY"), "CL_SEQ")
+        .select(col("N_NATIONKEY").as("n_nationkey"), col("N_NAME").as("n_name"),
+          col("N_REGIONKEY").as("n_regionkey"),
+          row_number().over(w).cast("long").as("version"), col("is_current"))
+        .orderBy("n_nationkey", "version")
     }),
 
     // §2.5 stream-stream interval join through the REAL readStream path
@@ -2141,6 +2212,85 @@ object SparkEntry {
       s.table(name).orderBy("bucket_start", "event_type")
     }),
 
+    // §2.4+§2.5 SOCKET STREAMING leg on the hash path (r12; VERDICT r11
+    // #6; q_src_socket covers the bounded round trip): live socket server
+    // -> SocketSource.readStream (Spark's socket micro-batch source) ->
+    // watermarked hourly windowed agg in APPEND mode (a far-future
+    // sentinel line advances the watermark past every real window) ->
+    // SocketSink.writeStream (foreachBatch JSON lines) -> embedded
+    // collector, parsed back and checked against the q_window_agg batch
+    // oracle. The sentinel's own window never closes, so the emitted set
+    // equals the batch aggregation exactly.
+    "q_stream_socket" -> ((s, dir) => withStreamPartitions(s) {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
+      val lines = ev.select(concat_ws("|", col("event_type"),
+          col("value").cast("string"), col("ts_us").cast("string")).as("l"))
+        .as[String].collect()
+      val maxUs = ev.agg(max("ts_us")).collect()(0).getLong(0)
+      val sentinel = s"zzz_sentinel|0.0|${maxUs + 365L * 86400L * 1000000L}"
+      val expected = ev
+        .select((col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("b"),
+          col("event_type")).distinct().count()
+      val src = new java.net.ServerSocket(0, 50,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val srcThread = new Thread(() =>
+        try while (true) {
+          val c = src.accept()
+          val out = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+          (lines :+ sentinel).foreach(l => out.write(l + "\n"))
+          out.flush() // connection stays open: EOF must not race the drain
+        } catch { case _: java.io.IOException => () })
+      srcThread.setDaemon(true); srcThread.start()
+      val snk = new java.net.ServerSocket(0, 50,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val snkThread = new Thread(() =>
+        try while (true) {
+          val c = snk.accept()
+          new Thread(() => {
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(c.getInputStream, "UTF-8"))
+            var line = r.readLine()
+            while (line != null) { got.add(line); line = r.readLine() }
+            c.close()
+          }).start()
+        } catch { case _: java.io.IOException => () })
+      snkThread.setDaemon(true); snkThread.start()
+      val name = s"stream_socket_${dir.replaceAll("\\W", "_")}"
+      try {
+        val parsed = graft.sources.SocketSource
+          .readStream(s, "127.0.0.1", src.getLocalPort)
+          .select(split(col("value"), "\\|").as("f"))
+          .select(col("f")(0).as("event_type"), col("f")(1).cast("double").as("value"),
+            timestamp_micros(col("f")(2).cast("long")).as("et"))
+        val agg = graft.streaming.StreamingOps.windowedAgg(parsed, "et", "1 hour",
+            Seq(count(lit(1)).as("n"), dsum("value").as("sum_value")),
+            keys = Seq("event_type"))
+          .select(col("window.start").cast("long").as("bucket_start"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = graft.sinks.SocketSink.writeStream(agg,
+          graft.sinks.SocketSink.Config("127.0.0.1", snk.getLocalPort),
+          checkpoint = scratchCheckpoint(name), queryName = name)
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          while (got.size < expected && System.currentTimeMillis() < deadline) {
+            q.processAllAvailable(); Thread.sleep(100)
+          }
+        } finally q.stop()
+        val schema = new StructType().add("bucket_start", LongType)
+          .add("event_type", StringType).add("n", LongType)
+          .add("sum_value", DoubleType)
+        s.createDataset(got.toArray(Array.empty[String]).toSeq).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(col("r.bucket_start").as("bucket_start"),
+            col("r.event_type").as("event_type"), col("r.n").as("n"),
+            col("r.sum_value").as("sum_value"))
+          .orderBy("bucket_start", "event_type")
+      } finally { src.close(); snk.close() }
+    }),
+
     // §2.5 stream-static broadcast join through the real readStream path
     // (r8): each micro-batch joins the event stream against a broadcast
     // dimension (BroadcastHashJoin in the micro-batch plan, the 100 TB
@@ -2438,6 +2588,20 @@ object SparkEntry {
           floor(col("value")).cast("long").as("__vb"))
         .select(col("event_id"),
           ScaleOps.zValue2(col("user_id"), col("__vb")).as("z_val"))
+        .orderBy("event_id")
+    }),
+
+    // §5 3-D z-order values (r12; VERDICT r11 #5): Morton interleave of
+    // (user_id, value bucket, day-of-epoch) at 15 bits/dim — the
+    // N-dimensional curve key (file pruning on ANY of three filter
+    // columns); per-file bbox VOLUME locality is spec-asserted, the
+    // curve value is oracle-checked bit for bit here.
+    "q_zorder3" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          ScaleOps.zValueN(Seq(col("user_id"),
+            floor(col("value")).cast("long"),
+            expr("ts div 86400000000000")), bits = 15).as("z_val"))
         .orderBy("event_id")
     }),
 
@@ -3415,6 +3579,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    // identical aggregation to q_window_agg — the stream path (socket in,
+    // append-mode windows, socket out) must reproduce the batch result
+    "q_stream_socket" ->
+      """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
         |  epoch_us(r.ts) AS purchase_ts_us, r.value AS purchase_value
@@ -3489,6 +3662,30 @@ object SparkEntry {
         |  ord AS valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM led WHERE k <> '-D'
         |ORDER BY n_nationkey, valid_from""".stripMargin,
+
+    // closed-form SCD2 history of the captureStream mutation script:
+    // every seeded key opens v1 (+I snapshot); region-0 keys get a v2
+    // ('_x' update); keys >= 20 end with no current version (delete);
+    // three inserted keys open a current v1. Version index replaces the
+    // runtime CL_SEQ ord (normalized in the Spark query the same way).
+    "q_stream_scd2" ->
+      """WITH v1 AS (
+        |  SELECT n_nationkey, n_name, n_regionkey, 1 AS version,
+        |    (n_regionkey <> 0 AND n_nationkey < 20) AS is_current
+        |  FROM nation),
+        |v2 AS (
+        |  SELECT n_nationkey, n_name || '_x' AS n_name, n_regionkey, 2 AS version,
+        |    (n_nationkey < 20) AS is_current
+        |  FROM nation WHERE n_regionkey = 0),
+        |ins AS (
+        |  SELECT k AS n_nationkey, 'new_' || k AS n_name, r AS n_regionkey,
+        |    1 AS version, TRUE AS is_current
+        |  FROM (VALUES (100, 0), (101, 1), (102, 2)) AS t(k, r))
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(version AS BIGINT) AS version, is_current
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM ins)
+        |ORDER BY n_nationkey, version""".stripMargin,
 
     "q_ts_prune" ->
       """SELECT event_type, count(*) AS n,
@@ -4022,6 +4219,37 @@ object SparkEntry {
         |FROM t GROUP BY term HAVING count(*) <= 400
         |ORDER BY term""".stripMargin,
 
+    // BM25 recomputed in exact integer arithmetic: reciprocal-df idf
+    // scaled 1e6, tf saturation as cleared rationals over avgdl scaled
+    // 1000 — every term of the formula is integer division on BIGINTs,
+    // so both engines produce identical longs (the bigramLikelihood
+    // contract).
+    "q_bm25" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl
+        |      FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(((s.n * 1000000) // dfq.dft) *
+        |      ((22 * s.avgdl * tf.tf * 1000) //
+        |       (10 * s.avgdl * tf.tf + 3 * s.avgdl + 9000 * dl.dl)) AS BIGINT) AS sco
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+        |SELECT d.doc_id, CAST(coalesce(sum(sco), 0) AS BIGINT) AS bm25_scaled,
+        |  CAST(count(sco) AS BIGINT) AS n_terms_matched
+        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     "q_length_percentiles" ->
       raw"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  quantile_cont(n, 0.25) AS p25, quantile_cont(n, 0.5) AS p50,
@@ -4428,6 +4656,15 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, 21), i ->
         |    (((user_id >> i) & 1) << (2 * i)) |
         |    (((CAST(floor(value) AS BIGINT) >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS z_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_zorder3" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 15), i ->
+        |    (((user_id >> i) & 1) << (3 * i)) |
+        |    (((CAST(floor(value) AS BIGINT) >> i) & 1) << (3 * i + 1)) |
+        |    ((((epoch_us(ts) // 86400000000) >> i) & 1) << (3 * i + 2))
         |  )) AS BIGINT) AS z_val
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -53,34 +53,48 @@ object ScaleOps {
       keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
-  /** Z-order (Morton) interleave of two NON-NEGATIVE long columns: bit i
-    * of x lands at output bit 2i, bit i of y at 2i+1, so points close in
-    * BOTH dimensions are close on the curve. Pure Column bit arithmetic —
-    * codegen'd, no UDF; 21 bits/dimension keeps the result in a positive
-    * long.
+  /** Z-order (Morton) interleave of N >= 2 NON-NEGATIVE long columns:
+    * bit i of column j lands at output bit i*N + j, so points close in
+    * EVERY dimension are close on the curve. Pure Column bit arithmetic —
+    * codegen'd, no UDF; N * bits <= 63 keeps the result in a positive
+    * long (21 bits/dim at N=2, 15 at N=3, 12 at N=4 — plenty for file-
+    * skipping layout keys, which bucket values before interleaving).
     */
-  def zValue2(x: Column, y: Column, bits: Int = 21): Column = {
-    require(bits >= 1 && bits <= 31, s"zValue2: bits in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"zValueN: at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"zValueN: need 1 <= bits and $n * bits <= 63, got bits=$bits")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** Write `df` laid out along the z-order curve of (xCol, yCol) — the
+  /** 2-D special case of [[zValueN]] (bit i of x at 2i, of y at 2i+1). */
+  def zValue2(x: Column, y: Column, bits: Int = 21): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** Write `df` laid out along the z-order curve of `zCols` — the
     * data-skipping layout behind Delta OPTIMIZE ZORDER / Iceberg sort
     * orders: each output file covers a compact z-range, i.e. a small
-    * RECTANGLE in (x, y) space, so parquet min/max file stats prune scans
-    * that filter on EITHER column, not just the leading sort key.
-    * `repartitionByRange` on the z-value gives contiguous non-overlapping
-    * file ranges (a hash repartition would scatter the curve and destroy
-    * locality).
+    * HYPER-RECTANGLE in the column space, so parquet min/max file stats
+    * prune scans that filter on ANY of the columns, not just the leading
+    * sort key. `repartitionByRange` on the z-value gives contiguous
+    * non-overlapping file ranges (a hash repartition would scatter the
+    * curve and destroy locality).
     */
-  def zorderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
-      files: Int, bits: Int = 21, format: String = "parquet"): Unit =
-    df.withColumn("__z", zValue2(col(xCol), col(yCol), bits))
+  def zorderWriteN(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int, format: String = "parquet"): Unit =
+    df.withColumn("__z", zValueN(zCols.map(col), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").format(format).save(path)
+
+  /** 2-D special case of [[zorderWriteN]]. */
+  def zorderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int, bits: Int = 21, format: String = "parquet"): Unit =
+    zorderWriteN(df, path, Seq(xCol, yCol), files, bits, format)
 }

@@ -280,6 +280,68 @@ object TextAnalysis {
         sort_array(collect_list(col(idCol))).as("postings"))
   }
 
+  /** BM25 ranking of the corpus against a (small) query term set — the
+    * scoring layer over [[invertedIndex]]'s retrieval primitive: keyword
+    * search / sparse-retrieval relevance for training-data curation
+    * (e.g. pulling topical documents for a domain mixture).
+    *
+    * Integer-scaled so the score is oracle-exact cross-engine (the
+    * [[bigramLikelihood]] contract — no libm, no double division):
+    *   - idf surrogate:  idf_scaled  = (N * 1e6) div df   (reciprocal-df;
+    *     monotone in the classic log idf, ranking-equivalent per term)
+    *   - BM25 tf saturation at k1 = 1.2, b = 0.75 in exact rationals.
+    *     With avgdl_scaled = (Σdl * 1000) div N,
+    *       tfc_scaled = (22 * avgdl_scaled * tf * 1000)
+    *         div (10 * avgdl_scaled * tf + 3 * avgdl_scaled + 9000 * dl)
+    *     is tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)) scaled by 1000 — the
+    *     rational constants 22/10, 3, 9000 are k1+1, k1(1-b), k1·b with
+    *     denominators cleared. Every operand is bounded by DOC length
+    *     (never corpus size), so nothing overflows a long below ~9e12
+    *     docs.
+    *   - score = Σ_terms idf_scaled * tfc_scaled  (≤ ~2.8e9/term).
+    *
+    * Scale shape: one explode filtered to the query terms (tf rows ≤
+    * docs × |query|), per-term df over those narrow rows, the df table
+    * and the 1-row corpus stats broadcast back — the corpus text is
+    * scanned once and only (doc, term, tf) longs ever shuffle. Docs
+    * matching no term surface with score 0 (left join, deterministic
+    * row count).
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank: at least one query term")
+    import graft.GraftCaches.PersistOps
+    val docs = df.select(col(idCol),
+        filter(split(trim(lower(col(textCol))), "\\s+"), w => length(w) > 0)
+          .as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+      .graftPersist // one text scan feeds stats, tf AND the left join
+    val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).as("dl_sum"))
+      .select(col("n_docs"), expr("dl_sum * 1000 div n_docs").as("avgdl_scaled"))
+    val tf = docs
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df_t"))
+    val scored = tf
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (expr("n_docs * 1000000 div df_t") *
+          expr(("(22 * avgdl_scaled * tf * 1000) div " +
+            "(10 * avgdl_scaled * tf + 3 * avgdl_scaled + 9000 * dl)")))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("__sum"), count(lit(1)).cast("long").as("__n"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sum"), lit(0L)).as("bm25_scaled"),
+        coalesce(col("__n"), lit(0L)).as("n_terms_matched"))
+  }
+
   /** Per-group corpus composition stats (docs / chars / whitespace
     * tokens) — the mixture report a data curator reads before weighting
     * sources. One partial-agg exchange on the (small) group key.

@@ -74,6 +74,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 1L, 2L, 39L, 63L))
   }
 
+  test("zValueN: 3-D hand-checked Morton codes; rejects overflowing widths") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (3L, 0L, 2L)).toDF("x", "y", "z")
+    val got = df.select(
+        ScaleOps.zValueN(Seq(col("x"), col("y"), col("z")), bits = 15).as("m"))
+      .collect().map(_.getLong(0))
+    // bit i of col j -> output bit 3i+j. (1,1,1) -> bits 0,1,2 = 7;
+    // (3,0,2): x bits 0,1 -> out 0,3; z bit 1 -> out 5 -> 1+8+32 = 41
+    assert(got.toSeq === Seq(0L, 1L, 2L, 4L, 7L, 41L))
+    intercept[IllegalArgumentException] {
+      ScaleOps.zValueN(Seq(col("x"), col("y"), col("z")), bits = 22)
+    }
+    intercept[IllegalArgumentException] { ScaleOps.zValueN(Seq(col("x")), 8) }
+  }
+
+  test("zorderWriteN: every output file covers a compact (x,y,z) box") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3").toString + "/t"
+    val grid = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 4)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    ScaleOps.zorderWriteN(grid, dir, Seq("x", "y", "z"), files = 16, bits = 15)
+    val boxes = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"),
+        min("z").as("z0"), max("z").as("z1"), count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.map(_.getAs[Long]("n")).sum === 1024L)
+    // 1024 points over 16 files = 64/file; a contiguous 64-point z-curve
+    // run spans a bbox VOLUME well under the full 1024 (range-boundary
+    // jitter allowed; a random layout would give ~1024 each)
+    boxes.foreach { b =>
+      val vol = (b.getAs[Long]("x1") - b.getAs[Long]("x0") + 1) *
+        (b.getAs[Long]("y1") - b.getAs[Long]("y0") + 1) *
+        (b.getAs[Long]("z1") - b.getAs[Long]("z0") + 1)
+      assert(vol <= 256, s"file bbox volume $vol too large: $b")
+    }
+  }
+
   test("zorderWrite: every output file covers a compact (x,y) rectangle") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"

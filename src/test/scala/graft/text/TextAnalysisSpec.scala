@@ -238,4 +238,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(idx("gamma") === (1L, Seq(1L)))
     assert(!idx.contains("common"), "df=3 > maxDf=2 must be dropped")
   }
+
+  test("bm25Rank: hand-computed integer-scaled scores, zero for unmatched docs") {
+    import spark.implicits._
+    // corpus: N=3, dl = 4,2,2 -> avgdl_scaled = (8*1000) div 3 = 2666
+    val df = Seq(
+      (1L, "spark spark join xx"), // tf(spark)=2, tf(join)=1, dl=4
+      (2L, "spark yy"),            // tf(spark)=1, dl=2
+      (3L, "zz ww"))               // no query terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(df, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // df(spark)=2, df(join)=1; idf_scaled: spark = 3e6 div 2 = 1500000,
+    // join = 3e6 div 1 = 3000000
+    def tfc(tf: Long, dl: Long): Long =
+      (22L * 2666 * tf * 1000) / (10L * 2666 * tf + 3L * 2666 + 9000L * dl)
+    val d1 = 1500000L * tfc(2, 4) + 3000000L * tfc(1, 4)
+    val d2 = 1500000L * tfc(1, 2)
+    assert(out(1L) === (d1, 2L))
+    assert(out(2L) === (d2, 1L))
+    assert(out(3L) === (0L, 0L), "unmatched doc surfaces with score 0")
+    // more occurrences of a rarer term at equal length must outrank
+    assert(d1 > d2)
+  }
 }
