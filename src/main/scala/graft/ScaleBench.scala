@@ -35,11 +35,14 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
 
-    def docsAt(sf: String): DataFrame = Tables.load(spark, s"$root/$sf", "documents")
-    def embAt(sf: String): DataFrame =
-      Tables.load(spark, s"$root/$sf", "embeddings").select("vec_id", "embedding")
-    def eventsAt(sf: String): DataFrame = Tables.load(spark, s"$root/$sf", "events")
+    def docsIn(dir: String): DataFrame = Tables.load(spark, dir, "documents")
+    def embIn(dir: String): DataFrame =
+      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    def eventsIn(dir: String): DataFrame = Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
+    def docsAt(sf: String): DataFrame = docsIn(s"$root/$sf")
+    def embAt(sf: String): DataFrame = embIn(s"$root/$sf")
+    def eventsAt(sf: String): DataFrame = eventsIn(s"$root/$sf")
 
     def replicate(df: DataFrame, k: Int): DataFrame =
       (0 until k).map { i =>
@@ -71,11 +74,20 @@ object ScaleBench {
     val opFilter = args.lift(2).map(_.split(",").toSet)
     def wanted(op: String): Boolean = opFilter.forall(_.contains(op))
 
-    val scales: Seq[(String, DataFrame, DataFrame, DataFrame)] = Seq(
+    // "sf1" is the MATERIALIZED 10x parquet from Sf1Gen (r12): same
+    // replication semantics as the in-plan sf0.1x10 point, but the scan,
+    // file parallelism, and row-group pruning are real at 10x bytes.
+    // Included when the dir exists (generate with `runMain graft.Sf1Gen`).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    val sf1 =
+      if (new java.io.File(s"$sf1Dir/documents.parquet").exists())
+        Seq(("sf1", docsIn(sf1Dir), embIn(sf1Dir), eventsIn(sf1Dir)))
+      else Nil
+    val scales: Seq[(String, DataFrame, DataFrame, DataFrame)] = (Seq(
       ("sf0.01", docsAt("sf0.01"), embAt("sf0.01"), eventsAt("sf0.01")),
       ("sf0.1", docsAt("sf0.1"), embAt("sf0.1"), eventsAt("sf0.1")),
       ("sf0.1x10", replicate(docsAt("sf0.1"), 10), replicateEmb(embAt("sf0.1"), 10),
-        replicateEvents(eventsAt("sf0.1"), 10)))
+        replicateEvents(eventsAt("sf0.1"), 10))) ++ sf1)
       .filter { case (name, _, _, _) => scaleFilter.forall(_.contains(name)) }
 
     scales.foreach { case (name, docs0, emb, events) =>
