@@ -1337,10 +1337,7 @@ object SparkEntry {
       val url = "jdbc:derby:memory:graftscd2s;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
       val st = conn.createStatement()
-      def tryDrop(t: String): Unit =
-        try { st.executeUpdate(s"DROP TABLE $t"); () }
-        catch { case _: java.sql.SQLException => () } // absent on first run
-      Seq("CL_NATION_SCD", "NATION_SCD").foreach(tryDrop)
+      CdcCapture.reset(url, "NATION_SCD") // triggers->CL->table, rep-safe
       st.executeUpdate(
         """CREATE TABLE NATION_SCD (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
           |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
@@ -1473,10 +1470,7 @@ object SparkEntry {
       val url = "jdbc:derby:memory:graftcapv2;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
       val st = conn.createStatement()
-      def tryDrop(t: String): Unit =
-        try { st.executeUpdate(s"DROP TABLE $t"); () }
-        catch { case _: java.sql.SQLException => () } // absent on first run
-      Seq("CL_NATION_V2", "NATION_V2").foreach(tryDrop)
+      graft.sources.CdcCapture.reset(url, "NATION_V2") // triggers->CL->table, rep-safe
       st.executeUpdate(
         """CREATE TABLE NATION_V2 (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
           |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)
@@ -1803,10 +1797,7 @@ object SparkEntry {
       val url = "jdbc:derby:memory:graftcap;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
       val st = conn.createStatement()
-      def tryDrop(t: String): Unit =
-        try { st.executeUpdate(s"DROP TABLE $t"); () }
-        catch { case _: java.sql.SQLException => () } // absent on first run
-      Seq("CL_NATION_CAP", "NATION_CAP").foreach(tryDrop)
+      CdcCapture.reset(url, "NATION_CAP") // triggers->CL->table, rep-safe
       st.executeUpdate(
         """CREATE TABLE NATION_CAP (N_NATIONKEY BIGINT NOT NULL PRIMARY KEY,
           |N_NAME VARCHAR(64), N_REGIONKEY BIGINT)""".stripMargin)

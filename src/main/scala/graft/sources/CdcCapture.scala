@@ -146,6 +146,30 @@ object CdcCapture {
     }
   }
 
+  /** Tear down a capture fixture: drop the triggers, the changelog, and
+    * the base table if present, in dependency order. Derby REFUSES to drop
+    * `CL_<table>` while `table`'s triggers reference it in their action
+    * body (error X0Y25) — a `DROP TABLE CL_..., DROP TABLE <table>`
+    * sequence with swallowed exceptions leaves the STALE changelog in
+    * place, and the subsequent [[installChangelog]] no-ops on the
+    * existing-CL check, so the re-created base table has NO capture
+    * triggers: a re-run in the same JVM silently captures nothing (the
+    * r12 bench showed exactly this — rep 2+ of the Derby-backed driver
+    * queries returned snapshot-only results after a full poll-deadline
+    * stall). Triggers first, then the changelog, then the base table.
+    */
+  def reset(url: String, table: String): Unit = withConn(url) { conn =>
+    val st = conn.createStatement()
+    def tryExec(sql: String): Unit =
+      try { st.executeUpdate(sql); () }
+      catch { case _: java.sql.SQLException => () } // absent on first run
+    try {
+      Seq("I", "UB", "UA", "D").foreach(s => tryExec(s"DROP TRIGGER TRG_${table}_$s"))
+      tryExec(s"DROP TABLE ${changelogTable(table)}")
+      tryExec(s"DROP TABLE $table")
+    } finally st.close()
+  }
+
   /** Install the capture edge for `table`: a CL_<table> changelog (CL_SEQ
     * identity + CL_OP row-kind + the source columns) and AFTER triggers for
     * insert/delete/update. The two update triggers are created before/after

@@ -25,10 +25,10 @@ class CdcCaptureSpec extends SparkSpec {
     val conn = DriverManager.getConnection(url)
     val st = conn.createStatement()
     try {
-      for (t <- Seq(s"CL_$table", table)) {
-        try st.executeUpdate(s"DROP TABLE $t")
-        catch { case _: java.sql.SQLException => () } // absent on first run
-      }
+      // triggers -> CL -> table: Derby refuses to drop CL while the base
+      // table's triggers reference it, so a tables-only drop leaves a
+      // stale CL and the next installChangelog no-ops (no capture)
+      CdcCapture.reset(url, table)
       st.executeUpdate(
         s"CREATE TABLE $table (ID BIGINT NOT NULL PRIMARY KEY, NAME VARCHAR(40), SCORE DOUBLE)")
       val ps = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
@@ -63,6 +63,27 @@ class CdcCaptureSpec extends SparkSpec {
     assert(cl.slice(1, 5).map(_._1) == Seq("-U", "-U", "+U", "+U"))
     assert(cl.slice(1, 3).map(_._2).sorted == Seq(1L, 2L))
     assert(cl.last == ("-D", 3L))
+  }
+
+  test("reset + reinstall re-arms capture (stale-CL regression)") {
+    // the failure shape this guards: dropping only the TABLES leaves CL_T
+    // in place (Derby X0Y25 — the base table's triggers depend on it),
+    // installChangelog no-ops on the existing CL, and the re-created
+    // table captures NOTHING. Driver-bench rep 2+ of the Derby-backed
+    // queries returned snapshot-only results this way (r12).
+    fresh("TRST", 3)
+    CdcCapture.installChangelog(url, "TRST")
+    exec("UPDATE TRST SET SCORE = 1.0 WHERE ID = 1")
+    // full fixture reset, as a query re-run does it
+    fresh("TRST", 3)
+    CdcCapture.installChangelog(url, "TRST")
+    exec("INSERT INTO TRST VALUES (10, 'ten', 10.0)",
+      "DELETE FROM TRST WHERE ID = 2")
+    val cl = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "CL_TRST").load()
+      .orderBy("CL_SEQ").select(trim($"CL_OP"), $"ID").as[(String, Long)].collect().toSeq
+    // only the post-reset mutations, captured from CL_SEQ 1
+    assert(cl == Seq(("+I", 10L), ("-D", 2L)))
   }
 
   test("snapshot splits cover the table, one spark partition per chunk") {
