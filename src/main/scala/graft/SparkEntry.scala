@@ -2226,12 +2226,14 @@ object SparkEntry {
           col("event_type")).distinct().count()
       val src = new java.net.ServerSocket(0, 50,
         java.net.InetAddress.getByName("127.0.0.1"))
+      val sent = new java.util.concurrent.atomic.AtomicBoolean(false)
       val srcThread = new Thread(() =>
         try while (true) {
           val c = src.accept()
           val out = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
           (lines :+ sentinel).foreach(l => out.write(l + "\n"))
           out.flush() // connection stays open: EOF must not race the drain
+          sent.set(true)
         } catch { case _: java.io.IOException => () })
       srcThread.setDaemon(true); srcThread.start()
       val snk = new java.net.ServerSocket(0, 50,
@@ -2266,6 +2268,16 @@ object SparkEntry {
           checkpoint = scratchCheckpoint(name), queryName = name)
         try {
           val deadline = System.currentTimeMillis() + 60000
+          // Let the server finish flushing the whole payload before the
+          // first drain: Spark's socket reader thread ingests the stream
+          // into its batch buffer continuously, so draining mid-send
+          // carves the input into dozens of tiny micro-batches, each
+          // paying the full windowed-state open/commit cost (measured
+          // 10-13 s/rep at sf0.1; ~2 s once the drain starts after the
+          // flush). The poll loop below stays as the correctness path.
+          while (!sent.get && System.currentTimeMillis() < deadline)
+            Thread.sleep(20)
+          Thread.sleep(200) // grace: reader thread drains the socket buffer
           while (got.size < expected && System.currentTimeMillis() < deadline) {
             q.processAllAvailable(); Thread.sleep(100)
           }
