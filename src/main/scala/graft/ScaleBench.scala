@@ -78,11 +78,13 @@ object ScaleBench {
     // replication semantics as the in-plan sf0.1x10 point, but the scan,
     // file parallelism, and row-group pruning are real at 10x bytes.
     // Included when the dir exists (generate with `runMain graft.Sf1Gen`).
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
-    val sf1 =
-      if (new java.io.File(s"$sf1Dir/documents.parquet").exists())
-        Seq(("sf1", docsIn(sf1Dir), embIn(sf1Dir), eventsIn(sf1Dir)))
+    def materialized(name: String, dir: String) =
+      if (new java.io.File(s"$dir/documents.parquet").exists())
+        Seq((name, docsIn(dir), embIn(dir), eventsIn(dir)))
       else Nil
+    val sf1 =
+      materialized("sf1", sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")) ++
+      materialized("sf10", sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10"))
     val scales: Seq[(String, DataFrame, DataFrame, DataFrame)] = (Seq(
       ("sf0.01", docsAt("sf0.01"), embAt("sf0.01"), eventsAt("sf0.01")),
       ("sf0.1", docsAt("sf0.1"), embAt("sf0.1"), eventsAt("sf0.1")),
