@@ -17,7 +17,12 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata stores each table as a single file; Sf1Gen dirs
+        # are Spark-written parquet DIRECTORIES -- glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
