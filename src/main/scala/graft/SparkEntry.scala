@@ -520,10 +520,15 @@ object SparkEntry {
 
     // §2.1.5 FilterRow — predicate pushes to the parquet scan
     "q_filter_rows" -> ((s, dir) => {
+      // ORDER BY every output column: (l_orderkey, l_linenumber) is NOT
+      // unique in the driver data (118k duplicate pairs at sf0.1), so a
+      // partial sort leaves tie order engine-dependent — first observed
+      // as row swaps in the sf1 sweep; full-row order makes the
+      // positional compare total (identical full rows swap invisibly)
       RowOps.filterRows(Tables.load(s, dir, "lineitem"),
           "l_quantity > 45.0 AND l_discount < 0.05")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     }),
 
     // §2.1.6 Split
@@ -721,7 +726,8 @@ object SparkEntry {
           |  SIGN(l_discount - 0.05) AS sg,
           |  POWER(l_linenumber, 2) AS pw,
           |  truncate(l_extendedprice, 1) AS tr
-          |FROM input ORDER BY l_orderkey, l_linenumber""".stripMargin)
+          |FROM input
+          |ORDER BY l_orderkey, l_linenumber, ab, ce, fl, rd, sq, md, sg, pw, tr""".stripMargin)
     }),
 
     // §2.3 zeta date/time functions
@@ -3095,7 +3101,7 @@ object SparkEntry {
     "q_filter_rows" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
 
     "q_split" ->
       """SELECT p_partkey, p_name,
@@ -3216,7 +3222,8 @@ object SparkEntry {
         |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sg,
         |  POWER(l_linenumber, 2) AS pw,
         |  FLOOR(l_extendedprice * 10) / 10 AS tr
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, ab, ce, fl, rd, sq, md, sg, pw, tr""".stripMargin,
 
     "q_fn_datetime" ->
       """SELECT o_orderkey,
@@ -4351,8 +4358,8 @@ object SparkEntry {
         |  CAST(len(CASE WHEN r.removed IS NULL THEN d.s
         |       ELSE list_filter(d.s, (x, i) -> NOT list_contains(r.removed, i - 1)) END) AS INTEGER) AS n_kept_sentences,
         |  CAST(coalesce(len(r.removed), 0) AS INTEGER) AS n_removed,
-        |  md5(array_to_string(CASE WHEN r.removed IS NULL THEN d.s
-        |       ELSE list_filter(d.s, (x, i) -> NOT list_contains(r.removed, i - 1)) END, ' ')) AS clean_digest
+        |  md5(coalesce(array_to_string(CASE WHEN r.removed IS NULL THEN d.s
+        |       ELSE list_filter(d.s, (x, i) -> NOT list_contains(r.removed, i - 1)) END, ' '), '')) AS clean_digest
         |FROM sents d LEFT JOIN rem_lists r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -388,13 +388,19 @@ object BinaryOps {
     * downstream is integer-exact.
     */
   def neardupFixturePng(id: Long): Array[Byte] = {
-    val grp = (id / 2).toInt
+    // Long + floorMod throughout: `(id / 2).toInt` overflowed for ids
+    // beyond 2^32 (the sf1 replica offsets are i*1e9), turning the moduli
+    // negative and silently diverging from the DuckDB oracle's
+    // exact-integer closed form. For every non-negative id below 2^31
+    // (all driver testdata scales) the values are bit-identical to the
+    // old Int arithmetic, so the hash contract at the gate is unchanged.
+    val grp = id / 2
     val odd = id % 2 == 1
     val px = new Array[Byte](72 * 3)
     var i = 0
     while (i < 72) {
-      var v = (i * i * 3 + i * (grp % 97) + grp * 11) % 256
-      if (odd && (i * 7 + grp) % 13 == 0) v = (v + 5) % 256
+      var v = Math.floorMod(i * i * 3 + i * Math.floorMod(grp, 97L) + grp * 11L, 256L).toInt
+      if (odd && Math.floorMod(i * 7 + grp, 13L) == 0L) v = (v + 5) % 256
       px(i * 3) = v.toByte; px(i * 3 + 1) = v.toByte; px(i * 3 + 2) = v.toByte
       i += 1
     }
