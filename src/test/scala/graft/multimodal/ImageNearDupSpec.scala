@@ -96,6 +96,24 @@ class ImageNearDupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("neardupFixturePng matches the oracle's exact-integer closed form at big ids") {
+    // regression for the r12 sf1-sweep find: (id/2).toInt overflowed for
+    // ids past 2^31 (replica offsets are i*1e9), flipping moduli negative
+    // and silently diverging from the DuckDB oracle's pixel formula
+    for (id <- Seq(0L, 1L, 1641L, 1000000007L, 5000001641L, 9000001642L)) {
+      val png = BinaryOps.neardupFixturePng(id)
+      val (w, h, rgb) = BinaryOps.decodeImageRgbBytes(png).get
+      assert((w, h) == (9, 8))
+      val grp = id / 2
+      val odd = id % 2 == 1
+      (0 until 72).foreach { i =>
+        var v = Math.floorMod(i * i * 3 + i * Math.floorMod(grp, 97L) + grp * 11L, 256L).toInt
+        if (odd && Math.floorMod(i * 7 + grp, 13L) == 0L) v = (v + 5) % 256
+        assert((rgb(i * 3) & 0xff) == v, s"id=$id px=$i")
+      }
+    }
+  }
+
   test("bucket cap drops degenerate (e.g. solid-color) floods") {
     val (w, h) = (18, 16)
     // 30 identical solid images all share every band: over any cap < 30
