@@ -108,9 +108,12 @@ object Sf1Bench {
     val ok = rows.collect { case (n, Some(s), Some(l)) => (n, s, l) }
     val totS = ok.map(_._2._1).sum
     val totL = ok.map(_._3._1).sum
+    // totS==0 (every query failed at one scale) would print "NaN", which is
+    // not valid JSON for downstream parsers — emit null for the ratio then
+    val ratioJson = if (ok.nonEmpty && totS > 0) f"${totL / totS}%.2f" else "null"
     println(
       f"""{"metric":"sf1_total","queries":${ok.size},"sf0.1_sec":$totS%.2f,""" +
-      f""""sf1_sec":$totL%.2f,"ratio":${totL / totS}%.2f,""" +
+      f""""sf1_sec":$totL%.2f,"ratio":$ratioJson,""" +
       s""""small":"$small","large":"$large","reps":$reps}""")
     spark.stop()
   }

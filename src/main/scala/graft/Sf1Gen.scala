@@ -100,18 +100,33 @@ object Sf1Gen {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
       "lineitem", 32)
-    // events: shift each replica 35 days forward (micros arithmetic keeps
-    // the stored timestamp[us] physical type)
-    write(withRep(read("events"), k)
-      .select(off("event_id").as("event_id"),
-        // the driver file stores timestamp[us] NTZ; do the shift in micros
-        // and round-trip through the same NTZ type (identity under the UTC
-        // session) so the written physical type matches the source
-        timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
-          col("rep") * lit(35L * 86400L * 1000000L))
-          .cast(read("events").schema("ts").dataType).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props")),
-      "events", 32)
+    // events: shift each replica 35 days forward. Testdata regenerations
+    // have carried both timestamp[us] and TIMESTAMP(NANOS) (which, with
+    // nanosAsLong=true set in this session, reads as LongType epoch-nanos
+    // — a cast("timestamp") there would interpret nanos as SECONDS and
+    // silently corrupt the shift), so branch on the read dataType like
+    // Tables.load does: LongType gets a nanos shift and stays LongType;
+    // timestamp types get a micros shift round-tripped through the same
+    // type (identity under the UTC session) so the written physical type
+    // matches the source.
+    locally {
+      val ev = read("events")
+      val tsShift = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") + col("rep") * lit(35L * 86400L * 1000000000L)).as("ts")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+            col("rep") * lit(35L * 86400L * 1000000L))
+            .cast(ev.schema("ts").dataType).as("ts")
+        case other =>
+          sys.error(s"events.ts has unexpected type $other — refusing to shift")
+      }
+      write(withRep(ev, k)
+        .select(off("event_id").as("event_id"), tsShift,
+          col("user_id"), col("event_type"), col("value"), col("props")),
+        "events", 32)
+    }
     write(withRep(read("documents"), k)
       .withColumn("text",
         concat(col("text"), lit(" replica_salt_"), col("rep").cast("string")))

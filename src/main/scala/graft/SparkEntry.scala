@@ -2273,7 +2273,6 @@ object SparkEntry {
           graft.sinks.SocketSink.Config("127.0.0.1", snk.getLocalPort),
           checkpoint = scratchCheckpoint(name), queryName = name)
         try {
-          val deadline = System.currentTimeMillis() + 60000
           // Let the server finish flushing the whole payload before the
           // first drain: Spark's socket reader thread ingests the stream
           // into its batch buffer continuously, so draining mid-send
@@ -2281,9 +2280,17 @@ object SparkEntry {
           // paying the full windowed-state open/commit cost (measured
           // 10-13 s/rep at sf0.1; ~2 s once the drain starts after the
           // flush). The poll loop below stays as the correctness path.
-          while (!sent.get && System.currentTimeMillis() < deadline)
+          // The flush wait gets its OWN deadline (20 s): sharing the drain
+          // budget meant a connect stall consumed all 60 s and the drain
+          // loop ran zero iterations, silently returning partial results.
+          val flushDeadline = System.currentTimeMillis() + 20000
+          while (!sent.get && System.currentTimeMillis() < flushDeadline)
             Thread.sleep(20)
+          if (!sent.get)
+            System.err.println(s"[$name] payload flush wait timed out after 20 s " +
+              "(source never connected?) — draining anyway")
           Thread.sleep(200) // grace: reader thread drains the socket buffer
+          val deadline = System.currentTimeMillis() + 60000
           while (got.size < expected && System.currentTimeMillis() < deadline) {
             q.processAllAvailable(); Thread.sleep(100)
           }

@@ -391,9 +391,10 @@ object BinaryOps {
     // Long + floorMod throughout: `(id / 2).toInt` overflowed for ids
     // beyond 2^32 (the sf1 replica offsets are i*1e9), turning the moduli
     // negative and silently diverging from the DuckDB oracle's
-    // exact-integer closed form. For every non-negative id below 2^31
-    // (all driver testdata scales) the values are bit-identical to the
-    // old Int arithmetic, so the hash contract at the gate is unchanged.
+    // exact-integer closed form. The old Int arithmetic also overflowed at
+    // `grp * 11` for grp > ~195M, i.e. ids above ~3.9e8 — equivalence with
+    // it holds only below that boundary, which still covers all driver
+    // testdata scales, so the hash contract at the gate is unchanged.
     val grp = id / 2
     val odd = id % 2 == 1
     val px = new Array[Byte](72 * 3)
