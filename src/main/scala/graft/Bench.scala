@@ -16,13 +16,159 @@ import java.nio.file.{Files, Paths}
   *     SPARK_GRAFT_BENCH_DETAIL (default /tmp/graft_bench_detail.json) —
   *     the r6/r7 driver artifacts were unparseable because the detail-laden
   *     line outgrew the capture window.
+  *
+  * r13 — FORKED SLICES. The r11/r12 verdicts traced a residual inflation in
+  * the slowest rows to long-lived-JVM session age: after 100+ queries x 4
+  * plans the session carries dead broadcast blobs, codegen-cache garbage
+  * and fragmented G1 regions that in-process countermeasures (blocking
+  * unpersist, per-query System.gc(), gc_sec attribution — all kept below)
+  * reduced but could not eliminate — the effect migrated between queries
+  * across rounds (q_dedup_incr_store: 3.63 s in-session vs 1.30 s alone).
+  * The fix is structural: the default run now forks the query list into
+  * child JVM slices (SPARK_GRAFT_BENCH_SLICE queries per fork, default 8,
+  * run SEQUENTIALLY so slices never contend), each with a fresh
+  * SparkSession, and merges the slice measurements into the exact same
+  * three stdout lines + detail artifact. Session age is bounded at
+  * slice-size queries, so every row measures near its solo
+  * (SPARK_GRAFT_BENCH_ONLY) floor. Child JVMs reuse this JVM's own args
+  * (add-opens, -Xmx) and classpath, so the fork works both under sbt and
+  * under a bare spark-class launcher. SPARK_GRAFT_BENCH_FORK=0 restores
+  * the single-JVM path; setting SPARK_GRAFT_BENCH_ONLY also runs
+  * in-process (it IS the solo-floor measurement the forked rows are
+  * validated against).
   */
 object Bench {
+  /** (query name, timed reps as (sec, err), gc seconds during timed reps) */
+  type Raw = Seq[(String, Seq[(Double, Option[String])], Double)]
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val sliceOut = sys.env.get("SPARK_GRAFT_BENCH_SLICE_OUT")
+    val forkEnabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+
+    sliceOut match {
+      case Some(out) =>
+        // child: measure the SPARK_GRAFT_BENCH_ONLY slice, dump raw, exit
+        val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
+        val raw = measure(names, sfDir, reps)
+        writeSlice(out, raw)
+      case None if forkEnabled && only.isEmpty =>
+        val raw = runForked(sfDir, reps)
+        report(raw, reps, sfDir, detailPath)
+      case None =>
+        val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
+        report(measure(names, sfDir, reps), reps, sfDir, detailPath)
+    }
+  }
+
+  /** Parent mode: fork sequential child JVMs of `slice` queries each and
+    * merge their raw measurements. No SparkSession in this process — the
+    * parent is a pure coordinator.
+    */
+  private def runForked(sfDir: String, reps: Int): Raw = {
+    val slice = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLICE", "8").toInt
+    val all = SparkEntry.queries.keys.toSeq // map order, matches in-process run
+    val groups = all.grouped(slice).toSeq
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    // Reuse this JVM's own arguments (the sbt/launcher-provided add-opens +
+    // -Xmx) minus anything that can't be duplicated across processes.
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent") ||
+          a.startsWith("-Xrunjdwp") || a.startsWith("-Xdebug"))
+    }
+    groups.zipWithIndex.flatMap { case (names, i) =>
+      val out = Files.createTempFile("graft_bench_slice", ".tsv").toString
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment.put("SPARK_GRAFT_BENCH_SLICE_OUT", out)
+      pb.environment.put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
+      // child stdout+stderr both drain to parent STDERR: parent stdout
+      // carries ONLY the merged JSON protocol lines the driver parses
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] slice ${i + 1}/${groups.size}: ${names.mkString(",")}")
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      val drain = new Thread(() => {
+        val in = p.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+      })
+      drain.setDaemon(true); drain.start()
+      val finished = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) p.destroyForcibly()
+      val exit = if (finished) p.exitValue() else -999
+      System.err.println(f"[bench] slice ${i + 1} exit=$exit in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val parsed = if (exit == 0) readSlice(out) else Nil
+      try Files.deleteIfExists(Paths.get(out)) catch { case _: java.io.IOException => () }
+      val got = parsed.map(_._1).toSet
+      // a dead/incomplete fork is an ERROR row per missing query, never a
+      // silent omission — the centisec array alignment needs every name
+      val missing = names.filterNot(got).map { n =>
+        (n, Seq((0.0, Some(s"fork slice died (exit=$exit)"): Option[String])), 0.0)
+      }
+      parsed ++ missing
+    }
+  }
+
+  private def writeSlice(path: String, raw: Raw): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    val lines = raw.map { case (name, runs, gcSec) =>
+      val reps = runs.map {
+        case (t, None) => f"$t%.6f"
+        case (t, Some(m)) =>
+          f"$t%.6f," + b64.encodeToString(m.getBytes("UTF-8"))
+      }.mkString(" ")
+      s"$name\t$gcSec\t$reps"
+    }
+    Files.write(Paths.get(path), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private def readSlice(path: String): Raw = {
+    val b64 = java.util.Base64.getDecoder
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(name, gc, reps) = line.split("\t", 3)
+        val runs = reps.split(" ").toSeq.filter(_.nonEmpty).map { r =>
+          r.split(",", 2) match {
+            case Array(t) => (t.toDouble, None: Option[String])
+            case Array(t, m) =>
+              (t.toDouble, Some(new String(b64.decode(m), "UTF-8")): Option[String])
+          }
+        }
+        (name, runs, gc.toDouble)
+      }
+  }
+
+  /** Measure `names` in THIS process: one warmed SparkSession, per-query
+    * untimed warm-up rep (pays whole-stage-codegen compile + JIT outside
+    * the timed region — codegen is per-plan, so the session warm-up can't),
+    * then n timed reps with the data cache cleared between reps so every
+    * rep recomputes from parquet; median measures the plan, min shows the
+    * uncontended floor.
+    *
+    * In-process countermeasures against session-age effects (kept even
+    * though forked slices now bound session age — they make the inside of
+    * a slice honest too): (a) tracked-intermediate unpersist is BLOCKING
+    * so eviction work can't bleed into the next rep; (b) one System.gc()
+    * per query before its timed reps drains the reference queue and lets
+    * the ContextCleaner reclaim broadcast/accumulator state at a known
+    * point; (c) per-query GC time during timed reps is recorded ("gc_sec"
+    * in the detail artifact) so residual inflation is ATTRIBUTABLE to
+    * collector pressure vs the plan. Streaming queries run >= 5 reps
+    * (micro-batch floor dominates them; the extra reps tighten the
+    * round-over-round signal).
+    */
+  private def measure(names: Seq[String], sfDir: String, reps: Int): Raw = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,35 +182,6 @@ object Bench {
     // JVM/session warm-up outside the timed region (codegen, block manager,
     // shuffle machinery) so the first query doesn't absorb startup cost.
     spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
-    // One UNTIMED warm-up rep per query, then n timed reps; report the
-    // median AND min of the SUCCESSFUL timed reps. The warm-up pays the
-    // query's whole-stage-codegen compile + JIT outside the timed region
-    // (the per-session warm-up above can't — codegen is per-plan): the r10
-    // driver artifact reported 4.46 s for a query that steady-states at
-    // 0.56 s because under box contention 2 of 3 cache-cleared reps paid
-    // compile and the median lied. The data cache is still cleared between
-    // timed reps, so every rep recomputes from parquet; median measures
-    // the plan, min shows the uncontended floor.
-    //
-    // r12 — the long-lived-JVM second-order effect (VERDICT r11 "What's
-    // wrong" #1; four memory-heavy queries reported 2-3x over fresh-JVM
-    // steady state with min == median, i.e. EVERY rep inflated): the
-    // session accumulates dead broadcast blobs + cached-codegen garbage
-    // across 139x4 plans, and Spark only reclaims broadcasts when the
-    // ContextCleaner's WEAK references get collected — which a big -Xmx8g
-    // heap under G1 defers until a query with real memory pressure forces
-    // a collection INSIDE its timed region, charging earlier queries'
-    // garbage to whoever runs next. Countermeasures, all OUTSIDE the
-    // timed region: (a) tracked-intermediate unpersist is BLOCKING so
-    // eviction work can't bleed into the next rep; (b) one System.gc()
-    // per query before its timed reps drains the reference queue and
-    // lets the ContextCleaner reclaim broadcast/accumulator state at a
-    // known point; (c) per-query GC time during timed reps is recorded
-    // ("gc_sec" in the detail artifact) so residual inflation is
-    // ATTRIBUTABLE to collector pressure vs the plan. Streaming queries
-    // additionally run >= 5 reps (micro-batch floor dominates them; the
-    // extra reps cost ~10 s total and tighten the round-over-round
-    // signal — VERDICT r11 #8).
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis(): Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
@@ -74,13 +191,8 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    // Optional subset filter (map order preserved): bisecting which
-    // predecessor query poisons a later one's environment needs bench-
-    // context runs of arbitrary prefixes, which TimeCheck can't reproduce.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val raw = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val raw = names.map { name =>
+      val fn = SparkEntry.queries(name)
       stabilize()
       try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
       stabilize()
@@ -99,6 +211,14 @@ object Bench {
       }
       (name, runs, (gcMillis() - gc0) / 1e3)
     }
+    spark.stop()
+    raw
+  }
+
+  /** Emit the driver artifact: three stdout JSON lines + the detail file.
+    * Byte-compatible with the pre-fork format.
+    */
+  private def report(raw: Raw, reps: Int, sfDir: String, detailPath: String): Unit = {
     val (ok, bad) = raw.partition { case (_, runs, _) => runs.exists(_._2.isEmpty) }
     val results = ok.map { case (name, runs, _) =>
       val s = runs.collect { case (t, None) => t }.sorted
@@ -168,6 +288,5 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""n_queries":${results.size},"errors":${errNames.size},"reps":$reps,""" +
       s""""slowest":$top,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
