@@ -32,7 +32,7 @@ object Sf1Bench {
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
     "q_ann_int8",
     "q_decontaminate", "q_decontaminate_bloom",
-    "q_inverted_index", "q_bm25", "q_zorder3",
+    "q_inverted_index", "q_inverted_index_rel", "q_bm25", "q_zorder3",
     "q_stream_static_join", "q_stream_asof", "q_stream_interval_join")
 
   def main(args: Array[String]): Unit = {

@@ -280,6 +280,37 @@ object TextAnalysis {
         sort_array(collect_list(col(idCol))).as("postings"))
   }
 
+  /** [[invertedIndex]] with the stopword cap as a FRACTION of corpus size
+    * instead of an absolute df (VERDICT r12 #2: an absolute cap tuned at
+    * one scale degenerates at another — maxDf=400 emptied the whole index
+    * at 10x corpus because every term's df grew past it, while a
+    * fractional cap keeps the SAME semantic term set at every scale;
+    * "stopword-grade" is inherently a corpus-relative notion). The cap is
+    * ceil(capNum*N/capDen) computed IN-PLAN from a broadcast 1-row
+    * count in exact integer arithmetic, so an external oracle can replay
+    * it bit-for-bit at any corpus size. Default 4/5 drops terms present
+    * in more than 80% of documents.
+    */
+  def invertedIndexRel(df: DataFrame, idCol: String, textCol: String,
+      capNum: Long = 4, capDen: Long = 5): DataFrame = {
+    require(capNum > 0 && capDen > 0, "invertedIndexRel: cap fraction must be positive")
+    import graft.GraftCaches.PersistOps
+    val terms = df
+      .select(col(idCol), explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .graftPersist // feeds both the df count and the postings agg
+    val nDocs = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val keep = terms.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") <= expr(s"(n_docs * $capNum + $capDen - 1) div $capDen"))
+      .select("term")
+    terms.join(keep, Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+  }
+
   /** BM25 ranking of the corpus against a (small) query term set — the
     * scoring layer over [[invertedIndex]]'s retrieval primitive: keyword
     * search / sparse-retrieval relevance for training-data curation

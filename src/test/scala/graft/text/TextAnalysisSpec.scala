@@ -239,6 +239,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!idx.contains("common"), "df=3 > maxDf=2 must be dropped")
   }
 
+  test("invertedIndexRel: fractional cap is corpus-relative, so doubling the " +
+      "corpus keeps the same semantic term set where an absolute cap empties") {
+    import spark.implicits._
+    // "hot" is in every doc (df = N); "rare" in exactly one. cap = ceil(N/2).
+    def corpus(n: Int) = (1 to n).map(i =>
+      (i.toLong, if (i == 1) "hot rare" else "hot")).toDF("doc_id", "text")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.invertedIndexRel(df, "doc_id", "text", capNum = 1, capDen = 2)
+        .collect().map(_.getString(0)).toSet
+    assert(kept(corpus(4)) === Set("rare"), "hot df=4 > ceil(4/2)=2 dropped")
+    assert(kept(corpus(8)) === Set("rare"), "same set at 2x corpus")
+    // ceil semantics: df == ceil(N*num/den) is KEPT (<=, not <)
+    val edge = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    assert(kept(edge) === Set("x", "y"), "df=2 == ceil(3/2)=2 kept")
+  }
+
   test("bm25Rank: hand-computed integer-scaled scores, zero for unmatched docs") {
     import spark.implicits._
     // corpus: N=3, dl = 4,2,2 -> avgdl_scaled = (8*1000) div 3 = 2666
