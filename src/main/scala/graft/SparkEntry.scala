@@ -2635,18 +2635,34 @@ object SparkEntry {
     // ScaleOpsSpec; here the joined data itself is oracle-checked. Tables
     // are written once per process (catalog-guarded), so bench reps time
     // the join, not the table build.
+    //
+    // r13 (VERDICT r12 #3): the bucket count follows writeBucketed's
+    // sizing rule INSIDE the fixture — proportional to source volume
+    // (constant per-bucket bytes), floored at 8 — instead of a hard-coded
+    // 8 that silently capped the sf1 sweep's join at 8-wide on 32 cores
+    // (6.45x for 10x data). Bucket count never changes the RESULT, only
+    // the layout's parallelism ceiling, so the oracle is unaffected.
     "q_colocated_join" -> ((s, dir) => {
       val tok = dir.replaceAll("\\W", "_")
-      val (tLi, tOrd) = (s"graft_bkt_li_$tok", s"graft_bkt_ord_$tok")
+      // ~1.3 MiB of source lineitem per bucket: anchors the gate scales
+      // at the historical 8 buckets (sf0.01 1 MiB, sf0.1 10.8 MiB) and
+      // scales 10x data -> ~10x buckets above that
+      val liBytes = {
+        val f = new java.io.File(dir, "lineitem.parquet")
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(f.length)
+        else f.length
+      }
+      val buckets = math.max(8, math.min(256, (liBytes / (1340L * 1024)).toInt))
+      val (tLi, tOrd) = (s"graft_bkt_li_${tok}_b$buckets", s"graft_bkt_ord_${tok}_b$buckets")
       if (!s.catalog.tableExists(tLi) || !s.catalog.tableExists(tOrd)) {
-        val base = s"/tmp/graft_fixtures/bkt_$tok"
+        val base = s"/tmp/graft_fixtures/bkt_${tok}_b$buckets"
         ScaleOps.writeBucketed(
           Tables.load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-          tLi, 8, Seq("l_orderkey"), Some(s"$base/lineitem"))
+          tLi, buckets, Seq("l_orderkey"), Some(s"$base/lineitem"))
         ScaleOps.writeBucketed(
           Tables.load(s, dir, "orders")
             .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
-          tOrd, 8, Seq("l_orderkey"), Some(s"$base/orders"))
+          tOrd, buckets, Seq("l_orderkey"), Some(s"$base/orders"))
       }
       ScaleOps.colocatedJoin(s, tLi, tOrd, Seq("l_orderkey"))
         .groupBy("o_orderstatus")

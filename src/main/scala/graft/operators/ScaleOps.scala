@@ -34,10 +34,34 @@ object ScaleOps {
   /** Write a table hash-bucketed (and sorted) by the join keys. Reading two
     * tables bucketed the same way joins WITHOUT a shuffle exchange — the
     * payoff at 100 TB when a key is joined repeatedly (fact-to-fact).
+    *
+    * SIZING RULE — `buckets` is a LAYOUT-TIME decision that caps the
+    * join's parallelism forever after: the shuffle-free join runs exactly
+    * `buckets` tasks however many cores the cluster has, and each task
+    * sorts/merges one bucket's full volume. Scale buckets PROPORTIONALLY
+    * to data volume (10x the rows -> 10x the buckets keeps per-bucket
+    * volume, and therefore per-task memory and time, constant) and never
+    * below the cluster's core count. Target the usual shuffle-partition
+    * sizing: per-bucket bytes in the 100-200 MB range. Measured in
+    * SCALE_r13 (BucketPoint, SMJ path): the 8-bucket layout carried from
+    * sf0.1 to sf1 ran 2.3x wall for 10x data (8-wide on 32 cores);
+    * re-bucketing at 32 collapsed it to 1.9x — and the r12 sweep's
+    * 6.45x on this fixture was dominated by the pre-fix file explosion
+    * (see the repartition note in the body), not the width alone. Both
+    * sides of a co-located join must use the SAME bucket count and keys
+    * — a mismatch silently reintroduces the exchange.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
       path: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite")
+    // Repartition onto the bucket keys FIRST: bucketBy writes one file per
+    // (input partition x bucket), so an unaligned upstream partitioning
+    // explodes the layout into partitions*buckets tiny files — and because
+    // sortBy's order guarantee is per-FILE, the downstream join must then
+    // re-sort every bucket (measured 2x slower at 95 buckets before this).
+    // repartition uses the same Murmur3 hash family as the bucket spec, so
+    // each bucket lands in exactly one task -> exactly one sorted file.
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
@@ -47,7 +71,9 @@ object ScaleOps {
   }
 
   /** Join two same-bucketing tables; with matched bucket counts Catalyst
-    * plans a sort-merge join with zero Exchange on either side.
+    * plans a sort-merge join with zero Exchange on either side. Bucket
+    * count = the join's parallelism ceiling — see the sizing rule on
+    * [[writeBucketed]].
     */
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       keys: Seq[String], joinType: String = "inner"): DataFrame =

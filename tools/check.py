@@ -14,6 +14,15 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
+# Approximate-by-design columns: the oracle computes the EXACT value and the
+# contract is a published error bound, not equality (VERDICT r12 #4). The
+# HLL column is exact only in coupon mode (< ~1k distincts, i.e. gate
+# scale); above it the DataSketches HLL4 lgK=12 bound applies: RSE =
+# 1.04/sqrt(2^12) ~ 1.63%, checked at 3 sigma ~ 4.9%. Exact matches pass
+# trivially, so the gate behavior is unchanged — the bound only widens what
+# counts as OK at sweep scales where the estimator is out of coupon mode.
+APPROX_BOUNDS = {"q_hll_sketch": {"n_users": 3 * 1.04 / (2 ** 12) ** 0.5}}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -51,8 +60,22 @@ def main(sf_dir, out_dir):
                   and not (got[c].dtype.kind == 'M' and want[c].dtype.kind == 'M')]
         if dt_bad:
             print(f"[DTYP] {name}: {dt_bad}"); n_bad += 1; continue
+        approx = APPROX_BOUNDS.get(name, {})
+        approx_note = ""
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
+            if c in approx:
+                # |est - exact| / exact <= bound, elementwise (exact == 0
+                # requires est == 0)
+                bound = approx[c]
+                af, bf = a.astype(float), b.astype(float)
+                rel = np.abs(af - bf) / np.maximum(np.abs(bf), 1e-300)
+                worst = float(np.max(rel)) if len(rel) else 0.0
+                if not np.all(rel <= bound):
+                    bad_cols.append((c, f"rel err {worst:.4f} > bound {bound:.4f}"))
+                elif worst > 0:
+                    approx_note = f" [{c}: rel err {worst:.4f} within {bound:.4f} bound]"
+                continue
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     exact = np.array_equal(a, b, equal_nan=True)
@@ -75,7 +98,7 @@ def main(sf_dir, out_dir):
                     print(f"    row {i} col {c}: spark={got[c].iloc[i]!r} duck={want[c].iloc[i]!r}")
             n_bad += 1
         else:
-            print(f"[ OK ] {name} ({len(got)} rows)"); n_ok += 1
+            print(f"[ OK ] {name} ({len(got)} rows){approx_note}"); n_ok += 1
     # rows-only entries (queries without oracle)
     for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         nm = os.path.basename(pdir)
