@@ -857,17 +857,18 @@ object Dedup {
   private[graft] def planeSig(vecCol: String, dim: Int, bits: Int, seed: Int): Column =
     expr(s"plane_sig(`$vecCol`, $dim, $bits, $seed)")
 
-  /** Exact cosine over float-vector columns, computed in double with
-    * codegen'd higher-order functions (deterministic fold order).
+  /** Exact cosine over vector columns, computed in double with a native
+    * codegen'd expression (deterministic ascending-index fold order —
+    * bit-identical to the zip_with/aggregate formulation it replaces,
+    * whose per-element interpreted lambda eval dominated the 10^8-pair
+    * verification joins at 100x scale; see
+    * [[graft.plans.NativeExpressions]] CosineSimExpr).
     */
-  def cosineExact(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosineExact(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CosineSimExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Embedding near-dup pairs: hyperplane-LSH blocking (bandBits-bit bands)
     * then exact cosine verification within buckets.
@@ -880,7 +881,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.9, sigBits: Int = 16, bandBits: Int = 8,
-      seed: Int = 42, maxBucketSize: Int = 10000): DataFrame = {
+      seed: Int = 42, maxBucketSize: Int = 10000, sliceFactor: Int = 32): DataFrame = {
     graft.plans.NativeExpressions.register(df.sparkSession)
     val numBands = sigBits / bandBits
     val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("vec"))
@@ -894,9 +895,28 @@ object Dedup {
       .graftPersist
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
-    val a = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"))
-    val b = capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_val"))
+    // Slice the within-bucket self-join (r13). Unlike minhash, whose band
+    // keys are 64-bit hashes, this join's key domain is numBands·2^bandBits
+    // (512 at the defaults) — so however wide the cluster, pair generation
+    // lands on at most that many reducers, and one near-cap bucket's
+    // quadratic pair grid (cap²/2 pairs) lands on ONE task (measured at
+    // 100x scale: 4 busy tasks on 32 cores). Each member gets a
+    // deterministic slice s ∈ [0,S); the a-side replicates once per target
+    // slice, the b-side keeps its own slice, and joining on (band, val,
+    // slice_b) splits every bucket's pair grid into S independent columns
+    // of work. The candidate SET is unchanged — slicing is pure
+    // parallelization, so results (and the replayed oracle) are
+    // bit-identical; the a-side explode ships S narrow (4-long) rows per
+    // band membership, negligible next to the vectors the banding already
+    // avoids carrying.
+    val S = sliceFactor
+    val sliced = capped.withColumn("slice", pmod(xxhash64(col("doc")), lit(S.toLong)).cast("int"))
+    val a = sliced
+      .withColumn("slice_b", explode(array((0 until S).map(lit): _*)))
+      .select(col("band_idx"), col("band_val"), col("slice_b"), col("doc").as("id_a"))
+    val b = sliced.select(col("band_idx"), col("band_val"),
+      col("slice").as("slice_b"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_val", "slice_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

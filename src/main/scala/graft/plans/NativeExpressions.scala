@@ -17,6 +17,31 @@ import graft.dedup.TextHashing
 object ExprHelpers {
   def simhash64(s: UTF8String): Long = TextHashing.simHash64(s.toString)
 
+  /** Exact cosine similarity over two vectors in ONE fused loop.
+    * Bit-identical to the declarative
+    * `aggregate(zip_with(a,b,_*_),0.0,_+_) / (sqrt(aggregate(a,..)) *
+    * sqrt(aggregate(b,..)))` formulation: each accumulator folds in
+    * ascending index order in double, sqrt/divide are IEEE-exact, float
+    * elements widen exactly. Null contract matches too: length mismatch
+    * or any null element -> null (zip_with pads the shorter side with
+    * nulls, which nullifies the fold). `aFloat`/`bFloat` select the
+    * element accessor — loop-invariant, so the JIT hoists the branch.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na2 += x * x; nb2 += y * y; i += 1
+    }
+    java.lang.Double.valueOf(
+      dot / (java.lang.Math.sqrt(na2) * java.lang.Math.sqrt(nb2)))
+  }
+
   def minhashBands(s: UTF8String, shingleSize: Int, numPerms: Int,
       numBands: Int, seed: Int): ArrayData = {
     val sig = TextHashing.minHashSignature(
@@ -367,6 +392,42 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   * -> double. The per-candidate-pair verify step of minhash/ngram dedup —
   * codegen'd so the verify join stays inside WholeStageCodegen.
   */
+/** Codegen'd exact cosine over two vector columns (array<float> or
+  * array<double> per side, resolved at plan time). Replaces the
+  * interpreted zip_with/aggregate triple on verification hot paths —
+  * per-element Catalyst lambda eval over 10^8 candidate pairs was the
+  * dominant cost of embedding near-dup at 100x scale — with one JIT'd
+  * loop per pair, bit-identical by [[ExprHelpers.cosineSim]]'s contract.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val af = isFloat(left); val bf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp = graft.plans.ExprHelpers.cosineSim($a, $b, $af, $bf);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class JaccardLongExpr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -577,6 +638,7 @@ object NativeExpressions {
     },
     "rolling_hash" -> (args => RollingHashExpr(args.head)),
     "jaccard_long" -> (args => JaccardLongExpr(args(0), args(1))),
+    "cosine_sim" -> (args => CosineSimExpr(args(0), args(1))),
     "plane_sig" -> { args =>
       def lit(i: Int): Int = args(i).eval().asInstanceOf[Number].intValue()
       require(args.length == 4, s"plane_sig(vec, dim, bits, seed): bad arg count ${args.length}")
