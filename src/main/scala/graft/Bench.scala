@@ -56,11 +56,40 @@ object Bench {
         val raw = measure(names, sfDir, reps)
         writeSlice(out, raw)
       case None if forkEnabled && only.isEmpty =>
-        val raw = runForked(sfDir, reps)
-        report(raw, reps, sfDir, detailPath)
+        // Under a classloader-based launcher (unforked `sbt run`),
+        // java.class.path is just the sbt launcher jar — every child would
+        // die with ClassNotFoundException and the whole run would be
+        // wasted. Probe that graft.Bench is actually loadable from the
+        // property before committing to the fork path (ADVICE r13).
+        if (benchLoadableFrom(sys.props("java.class.path"))) {
+          val raw = runForked(sfDir, reps)
+          report(raw, reps, sfDir, detailPath)
+        } else {
+          System.err.println("[bench] WARN: graft.Bench not loadable from " +
+            "java.class.path (classloader-based launcher?) — forked slices " +
+            "would all die; falling back to the single-JVM in-process path")
+          report(measure(SparkEntry.queries.keys.toSeq, sfDir, reps),
+            reps, sfDir, detailPath)
+        }
       case None =>
         val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
         report(measure(names, sfDir, reps), reps, sfDir, detailPath)
+    }
+  }
+
+  /** True when `graft.Bench` is present on the given classpath string —
+    * i.e. forked children started with `-cp` on it can actually run.
+    */
+  private def benchLoadableFrom(cp: String): Boolean = {
+    cp.split(java.io.File.pathSeparator).filter(_.nonEmpty).exists { e =>
+      val p = Paths.get(e)
+      if (Files.isDirectory(p)) Files.exists(p.resolve("graft/Bench.class"))
+      else if (e.endsWith(".jar") && Files.exists(p)) {
+        try {
+          val jf = new java.util.jar.JarFile(p.toFile)
+          try jf.getEntry("graft/Bench.class") != null finally jf.close()
+        } catch { case _: java.io.IOException => false }
+      } else false
     }
   }
 
@@ -181,7 +210,25 @@ object Bench {
     graft.functions.ZetaFunctions.register(spark)
     // JVM/session warm-up outside the timed region (codegen, block manager,
     // shuffle machinery) so the first query doesn't absorb startup cost.
+    // The forked-slice children are FRESH JVMs: a range-sum warm-up left
+    // ~0.1-0.5 s of C2 compilation of the scan/shuffle/join paths bleeding
+    // into the slice's first timed medians (VERDICT r13 #4), so the warm-up
+    // is real work over the smallest table — parquet scan, hash-shuffle
+    // agg, broadcast join, window function — repeated so the hot
+    // infrastructure methods cross JIT thresholds before any timed rep.
     spark.range(0, 1000, 1, 4).selectExpr("sum(id)").collect()
+    try {
+      import org.apache.spark.sql.functions.{broadcast, col, row_number}
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      (1 to 3).foreach { _ =>
+        n.join(broadcast(n.groupBy(col("n_regionkey")).count()), Seq("n_regionkey"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("n_regionkey").orderBy("n_nationkey")))
+          .groupBy(col("n_regionkey")).count()
+          .collect()
+      }
+    } catch { case _: Throwable => () } // warm-up must never fail the run
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis(): Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s

@@ -147,6 +147,24 @@ object SparkEntry {
     path
   }
 
+  /** Persisted IVFADC (IVF cells × PQ codes) index over embeddings, built
+    * once per sfDir — q_ann_ivfpq_store measures the FROM-STORE probe path
+    * (centroid+codebook load + pruned CODE scan + ADC rank), the 100 TB
+    * memory-scale shape: the store holds 8 small ints per vector, never
+    * the floats. Closed-form codebooks so the PQ oracle replays the
+    * stored index bit-for-bit.
+    */
+  private def annPqStore(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_fixtures/annpqstore_${dir.replaceAll("\\W", "_")}"
+    ensureFixture(path, sourceToken(dir, "embeddings")) {
+      graft.similarity.AnnStore.writePq(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", path,
+        graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16),
+        nLists = 8)
+    }
+    path
+  }
+
   /** doc_id-keyed near-dup PNG fixture, materialized ONCE per sfDir to /tmp
     * parquet and re-read from there: the synthesis udf is deterministic but
     * dominates the operator's runtime, and image corpora arrive from storage
@@ -939,6 +957,23 @@ object SparkEntry {
     "q_ann_ivf_store" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       graft.similarity.AnnStore.probe(s, annStore(s, dir),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 8)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // §2.6 PERSISTED IVFADC index (r14; VERDICT r13 #6): the AnnStore
+    // layout with PQ codes instead of raw vectors — centroids + codebooks
+    // + the cell-PARTITIONED code table (8 ints/row, the 32× faiss cut)
+    // live as parquet built once per sfDir; the query pays quantizer load
+    // + statically-pruned code scan + in-plan ADC tables. Probing ALL
+    // cells scores every (query, row) pair exactly once through the
+    // row's cell, so the stored-index result provably equals adcTopK —
+    // the same bit-exact closed-form PQ oracle gates store write, cell
+    // partitioning, codebook round-trip, and the probe path end-to-end;
+    // pruned-probe + append-then-probe are spec-tested (AnnStoreSpec).
+    "q_ann_ivfpq_store" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.similarity.AnnStore.probePq(s, annPqStore(s, dir),
           emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 8)
         .orderBy("q_id", "rnk")
     }),
@@ -2305,6 +2340,13 @@ object SparkEntry {
           col("pn").cast("string"), col("psv").cast("string"),
           col("bucket_us").cast("string")).as("l"))
         .as[String].collect()
+      // concat_ws silently SKIPS null fields, so a null psv would shift
+      // every later field left instead of failing — assert the 4-field
+      // frame on the already-collected lines before anything rides the
+      // socket (free: driver-side, no extra job).
+      require(lines.forall(_.split("\\|", -1).length == 4),
+        "q_stream_socket: a partial line has fewer than 4 fields — " +
+          "a null pn/psv sum would silently shift the frame")
       val maxUs = partials.agg(max("bucket_us")).collect()(0).getLong(0)
       val sentinel = s"zzz_sentinel|0|0.00|${maxUs + 365L * 86400L * 1000000L}"
       val expected = lines.length.toLong // one partial line per (bucket, type) group
@@ -2340,8 +2382,11 @@ object SparkEntry {
         val parsed = graft.sources.SocketSource
           .readStream(s, "127.0.0.1", src.getLocalPort)
           .select(split(col("value"), "\\|").as("f"))
+          // psv is written as sum(decimal(18,2)) = DECIMAL(28,2); parsing
+          // at the narrower (18,2) would null out any partial sum past
+          // 10^16 under non-ANSI cast and silently corrupt sum_value.
           .select(col("f")(0).as("event_type"), col("f")(1).cast("long").as("pn"),
-            col("f")(2).cast(DecimalType(18, 2)).as("psv"),
+            col("f")(2).cast(DecimalType(28, 2)).as("psv"),
             timestamp_micros(col("f")(3).cast("long")).as("et"))
         // summing exact-decimal partials is order-invariant, so the
         // merged result is bit-identical to the raw-row batch oracle
@@ -3381,6 +3426,9 @@ object SparkEntry {
     // brute-force query uses — equality exercises the assign/route/rerank
     // plumbing end-to-end.
     "q_ann_pq" -> pqOracleSql,
+    // all-cells probe of the stored IVFPQ index == adcTopK == the same
+    // closed-form PQ replay (the q_ann_ivfpq trick, from-store edition)
+    "q_ann_ivfpq_store" -> pqOracleSql,
     // all-cells probe == plain ADC, so IVFADC shares the PQ replay oracle
     "q_ann_ivfpq" -> pqOracleSql,
     "q_ann_ivfpq_res" -> pqResidualOracleSql,

@@ -882,6 +882,9 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.9, sigBits: Int = 16, bandBits: Int = 8,
       seed: Int = 42, maxBucketSize: Int = 10000, sliceFactor: Int = 32): DataFrame = {
+    require(sliceFactor >= 1,
+      s"sliceFactor must be >= 1 (got $sliceFactor): the a-side explodes " +
+        "over (0 until sliceFactor), so 0 would silently drop every candidate pair")
     graft.plans.NativeExpressions.register(df.sparkSession)
     val numBands = sigBits / bandBits
     val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("vec"))

@@ -407,6 +407,24 @@ case class CosineSimExpr(left: Expression, right: Expression)
     case other => throw new IllegalArgumentException(
       s"cosine_sim expects array<float|double>, got $other")
   }
+  // Reject non float/double element types at ANALYSIS time (clean error
+  // instead of an IllegalArgumentException out of eval/codegen). Callers
+  // with array<int>/array<long> inputs must cast to array<double> first —
+  // an explicit cast keeps the no-copy float/double fast paths intact.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cosine_sim expects array<float> or array<double> per side, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}; " +
+          "cast integral arrays to array<double> first")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"

@@ -49,19 +49,7 @@ object AnnStore {
       nLists: Int = 16, seed: Long = 42): IvfIndex = {
     val spark = corpus.sparkSession
     val idx = IvfIndex.build(corpus, vecCol, nLists, seed = seed)
-    import scala.jdk.CollectionConverters._
-    val centRows = idx.centroids.zipWithIndex.map { case (c, i) =>
-      org.apache.spark.sql.Row(i, c.toSeq)
-    }
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, containsNull = false),
-        nullable = false)))
-    spark.createDataFrame(centRows.toSeq.asJava, centSchema)
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    writeCentroids(spark, idx, dir)
     assignWith(corpus, idCol, vecCol, idx)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus.parquet")
     idx
@@ -115,6 +103,139 @@ object AnnStore {
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
       .where(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "cosine")
+  }
+
+  // ---------------------------------------------------------------------
+  // IVFADC store (r14; VERDICT r13 #6): same cell-partitioned layout, but
+  // the corpus side persists PQ CODES (M small ints/row) + the codebooks
+  // instead of raw vectors — at 100 TB the probe scan reads ~8 bytes/row
+  // where the raw-vector store reads 256+ (the 32× faiss IVFPQ cut), and
+  // append re-encodes only the delta with the STORED quantizers. Probe
+  // ranks by ADC against in-plan tables built from the stored codebooks;
+  // with nProbe = nLists the result provably equals [[PqIndex.adcTopK]]
+  // (every (query, row) pair scored exactly once through the row's cell),
+  // which is how the driver query rides the bit-exact PQ oracle.
+  // ---------------------------------------------------------------------
+
+  /** Train/assign the coarse quantizer, PQ-encode every vector with `cb`,
+    * and persist centroids + codebooks + the cell-partitioned CODES.
+    * One corpus scan (assignment and all M encode argmins are codegen'd
+    * projections in the same stage); vectors are never stored.
+    */
+  def writePq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      cb: PqCodebooks, nLists: Int = 16, seed: Long = 42): IvfIndex = {
+    val spark = corpus.sparkSession
+    val idx = IvfIndex.build(corpus, vecCol, nLists, seed = seed)
+    writeCentroids(spark, idx, dir)
+    writeCodebooks(spark, cb, dir)
+    encodePqWith(corpus, idCol, vecCol, idx, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes.parquet")
+    idx
+  }
+
+  /** Load the stored PQ codebooks back (subspaces·k rows — driver-side by
+    * design; parquet doubles round-trip exactly, so probe-time tables ==
+    * build-time encode geometry).
+    */
+  def readCodebooks(spark: SparkSession, dir: String): PqCodebooks = {
+    val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .orderBy("m", "j").collect()
+    require(rows.nonEmpty, s"AnnStore: no codebooks at $dir")
+    val byM = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val cents = byM.map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+    PqCodebooks(cents.length, cents.head.length, cents.head.head.length, cents)
+  }
+
+  /** Assign + PQ-encode a delta with the STORED centroids and codebooks
+    * and append its codes into the cell partitions — neither quantizer
+    * retrains, so the index stays probe-consistent and the existing
+    * corpus is never touched.
+    */
+  def appendPq(delta: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val idx = readIndex(delta.sparkSession, dir)
+    val cb = readCodebooks(delta.sparkSession, dir)
+    encodePqWith(delta, idCol, vecCol, idx, cb)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Top-k by ADC squared L2 from the stored IVFPQ index: queries assign
+    * to their nProbe nearest stored centroids and build their M×K ADC
+    * tables in-plan from the stored codebooks; the probed cells prune the
+    * CODE scan at the partition level; each surviving row costs M table
+    * lookups + a fold (identical ranking contract to [[PqIndex.adcTopK]]:
+    * row_number over (dist2 asc, n_id)).
+    */
+  def probePq(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.GraftCaches.PersistOps
+    val idx = readIndex(spark, dir)
+    val cb = readCodebooks(spark, dir)
+    val probes = queries
+      .select(col(idCol).as("q_id"),
+        PqIndex.adcTablesCol(col(vecCol).cast("array<double>"), cb).as("__qt"),
+        explode(nearestCells(col(vecCol), idx, math.min(nProbe, idx.nLists)))
+          .as("cell"))
+      .graftPersist // feeds the tiny distinct-cells collect AND the join
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.parquet(s"$dir/codes.parquet")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id").as("n_id"), col("code"))
+    stored.join(broadcast(probes), Seq("cell"))
+      .withColumn("dist2", PqIndex.adcDistCol(col("code"), col("__qt")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "dist2")
+  }
+
+  /** (id, code, cell): coarse assignment + the M PQ encode argmins as one
+    * codegen'd projection — the single store-build pass over the corpus.
+    */
+  private def encodePqWith(df: DataFrame, idCol: String, vecCol: String,
+      idx: IvfIndex, cb: PqCodebooks): DataFrame = {
+    val vf = col(vecCol).cast("array<float>")
+    val codeCols = (0 until cb.subspaces).map { m =>
+      element_at(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.NearestCentroidsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            slice(vf, m * cb.subDim + 1, cb.subDim)),
+          cb.centroids(m), 1)), 1)
+    }
+    df.select(col(idCol).as("id"), array(codeCols: _*).as("code"),
+      nearestCells(col(vecCol), idx, 1)(0).as("cell"))
+  }
+
+  private def writeCentroids(spark: SparkSession, idx: IvfIndex, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val centRows = idx.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(centRows.toSeq.asJava, centSchema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+  }
+
+  private def writeCodebooks(spark: SparkSession, cb: PqCodebooks, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = for (m <- 0 until cb.subspaces; j <- 0 until cb.k)
+      yield org.apache.spark.sql.Row(m, j, cb.centroids(m)(j).toSeq)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
   }
 
   /** (id, vec, cell) with the codegen'd nearest-centroid assignment. */

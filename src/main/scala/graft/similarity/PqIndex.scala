@@ -177,9 +177,7 @@ object PqIndex {
     }: _*)
     val q = broadcast(q0.select(col("q_id"), col("__cell"), tables.as("__qt")))
     codes.join(q, Seq("__cell"))
-      .withColumn("dist2", aggregate(
-        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dist2", adcDistCol(col("code"), col("__qt")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
       .where(col("rnk") <= k)
@@ -245,14 +243,34 @@ object PqIndex {
       .select(col(idCol).as("q_id"), tables.as("__qt"),
         explode(cells(math.min(nProbe, ivf.nLists))).as("__cell")))
     codes.join(q, Seq("__cell"))
-      .withColumn("dist2", aggregate(
-        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dist2", adcDistCol(col("code"), col("__qt")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
       .where(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "dist2")
   }
+
+  /** Per-query ADC tables as one nested-array Column: tables[m][j] =
+    * squared L2 between the query's m-th subspace slice (of `vd`, a
+    * double-array column) and codebook centroid j — built in-plan from
+    * the literal codebooks with sequential folds, so scores replay
+    * bit-for-bit. Shared by [[adcTopK]], [[ivfPqTopK]] and the persisted
+    * [[AnnStore.probePq]] path (same expression → same bits).
+    */
+  private[similarity] def adcTablesCol(vd: Column, cb: PqCodebooks): Column =
+    array((0 until cb.subspaces).map { m =>
+      val cents = array(cb.centroids(m).map(cv => array(cv.map(lit): _*)): _*)
+      transform(cents, cvec =>
+        aggregate(zip_with(slice(vd, m * cb.subDim + 1, cb.subDim), cvec,
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+    }: _*)
+
+  /** code × tables -> summed squared L2: M element_at lookups folded in
+    * sequential order (the ADC inner loop).
+    */
+  private[similarity] def adcDistCol(code: Column, tables: Column): Column =
+    aggregate(zip_with(code, tables, (cd, t) => element_at(t, cd + 1)),
+      lit(0.0d), (acc, x) => acc + x)
 
   /** ADC top-k by squared L2 (the canonical PQ metric): corpus encodes
     * once; each query broadcasts its M×K distance table (built in-plan
@@ -263,18 +281,10 @@ object PqIndex {
       vecCol: String, cb: PqCodebooks, k: Int = 10): DataFrame = {
     val codes = encode(corpus, idCol, vecCol, cb)
       .select(col(idCol).as("n_id"), col("code"))
-    val vd = col(vecCol).cast("array<double>")
-    val tables = array((0 until cb.subspaces).map { m =>
-      val cents = array(cb.centroids(m).map(cv => array(cv.map(lit): _*)): _*)
-      transform(cents, cvec =>
-        aggregate(zip_with(slice(vd, m * cb.subDim + 1, cb.subDim), cvec,
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
-    }: _*)
+    val tables = adcTablesCol(col(vecCol).cast("array<double>"), cb)
     val q = broadcast(queries.select(col(idCol).as("q_id"), tables.as("__qt")))
     codes.crossJoin(q)
-      .withColumn("dist2", aggregate(
-        zip_with(col("code"), col("__qt"), (cd, t) => element_at(t, cd + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dist2", adcDistCol(col("code"), col("__qt")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist2").asc, col("n_id"))))
       .where(col("rnk") <= k)
