@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured evidence for embeddingNearDupPairs' sliceFactor (VERDICT r13
+  * #7): the within-bucket self-join's key domain is only numBands·2^bandBits
+  * (512 at the defaults), so at 100× scale a near-cap bucket's quadratic
+  * pair grid lands on ONE task however wide the cluster; the r13 fix
+  * replicates each bucket across `sliceFactor` deterministic slices.
+  * This main times the operator at a given sfDir and slice factor AND
+  * reports per-stage task-width stats (tasks, max/median task ms, busy
+  * tasks = tasks within 2× of median) for the stages with the largest max
+  * task — the skew evidence: at sliceFactor=1 the pair-grid stage's max
+  * task dwarfs its median; at 32 the same work spreads.
+  *
+  * Usage: runMain graft.SlicePoint <sfDir> <sliceFactor> [reps]
+  * Prints one JSON line: {"metric":"slice_point",...}
+  */
+object SlicePoint {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val sliceFactor = args(1).toInt
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.datetime.java8API.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // (stageId, taskMillis) — a queue because task-end events arrive on
+    // listener threads concurrently with the query
+    val taskDurations = new ConcurrentLinkedQueue[(Int, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskDurations.add((t.stageId, t.taskInfo.duration))
+    })
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    def run(): Long = {
+      val pairs = graft.dedup.Dedup.embeddingNearDupPairs(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.9,
+        sliceFactor = sliceFactor).count()
+      GraftCaches.releaseAll(spark, blocking = true)
+      pairs
+    }
+
+    val warmPairs = run() // codegen + JIT outside the timed region
+    val walls = (1 to reps).map { i =>
+      System.gc()
+      if (i == reps) taskDurations.clear() // stage stats from the last rep only
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    import scala.jdk.CollectionConverters._
+    val byStage = taskDurations.asScala.toSeq.groupBy(_._1)
+      .map { case (sid, ds) => (sid, ds.map(_._2).sorted) }
+    val top = byStage.toSeq.sortBy(-_._2.last).take(3).map { case (sid, ds) =>
+      val med = ds(ds.length / 2)
+      val busy = ds.count(_ * 2 >= ds.last) // tasks within 2x of the max
+      f"""{"stage":$sid,"tasks":${ds.length},"max_ms":${ds.last},""" +
+        f""""median_ms":$med,"sum_ms":${ds.sum},"tasks_near_max":$busy}"""
+    }.mkString("[", ",", "]")
+    val sortedWalls = walls.sorted
+    println(f"""{"metric":"slice_point","dir":"$dir","slice_factor":$sliceFactor,""" +
+      f""""pairs":$warmPairs,"median_sec":${sortedWalls(sortedWalls.length / 2)}%.3f,""" +
+      f""""min_sec":${sortedWalls.head}%.3f,"reps":$reps,"top_stages":$top}""")
+    spark.stop()
+  }
+}

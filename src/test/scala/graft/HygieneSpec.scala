@@ -32,7 +32,8 @@ class HygieneSpec extends AnyFunSuite {
     // The driver contract allows mains only in Bench / Verify / ScaleBench /
     // PlanDump-style evidence tools at the graft package root.
     val allowed = Set("Bench.scala", "Verify.scala", "ScaleBench.scala", "Explain.scala",
-      "TimeCheck.scala", "Sf1Gen.scala", "Sf1Bench.scala", "BucketPoint.scala")
+      "TimeCheck.scala", "Sf1Gen.scala", "Sf1Bench.scala", "BucketPoint.scala",
+      "SlicePoint.scala")
     val offenders = scalaFiles("src/main/scala").filter { f =>
       val src = new String(Files.readAllBytes(f), "UTF-8")
       src.contains(needle) && !allowed.contains(f.getFileName.toString)
