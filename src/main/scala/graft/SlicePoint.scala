@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * task — the skew evidence: at sliceFactor=1 the pair-grid stage's max
   * task dwarfs its median; at 32 the same work spreads.
   *
-  * Usage: runMain graft.SlicePoint <sfDir> <sliceFactor> [reps]
+  * Usage: runMain graft.SlicePoint <sfDir> <sliceFactor> [reps] [sliceRows] [skewClones]
+  * skewClones > 0 unions the corpus with that many exact clones of one
+  * vector (fresh ids) — a planted near-cap bucket whose pair grid IS the
+  * single-task hazard the slicing exists for.
   * Prints one JSON line: {"metric":"slice_point",...}
   */
 object SlicePoint {
@@ -25,10 +28,17 @@ object SlicePoint {
     val dir = args(0)
     val sliceFactor = args(1).toInt
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val sliceRows = args.lift(3).map(_.toInt).getOrElse(2048)
+    val skewClones = args.lift(4).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE > cpus emulates the wide-cluster shape (reducers
+    // >> the 512-key band domain) where the single-task pair-grid hazard
+    // actually manifests — at 32 reducers each holds ~16 keys and the
+    // stall hides behind neighbors
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.datetime.java8API.enabled", "false")
@@ -44,11 +54,23 @@ object SlicePoint {
         if (t.taskInfo != null) taskDurations.add((t.stageId, t.taskInfo.duration))
     })
 
-    val emb = Tables.load(spark, dir, "embeddings")
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val emb =
+      if (skewClones <= 0) base
+      else {
+        // planted skew: exact clones share the clone-source's signature,
+        // so they all land in ITS buckets — one bucket of ~skewClones
+        // members whose pair grid lands on one task unless sliced
+        val src = base.where(col("vec_id") === 0).select(col("embedding"))
+        base.unionByName(
+          src.crossJoin(spark.range(1, skewClones + 1).toDF("i"))
+            .select((col("i") + 10000000L).as("vec_id"), col("embedding")))
+      }
     def run(): Long = {
       val pairs = graft.dedup.Dedup.embeddingNearDupPairs(
         emb, "vec_id", "embedding", dim = 64, threshold = 0.9,
-        sliceFactor = sliceFactor).count()
+        sliceFactor = sliceFactor, sliceRows = sliceRows).count()
       GraftCaches.releaseAll(spark, blocking = true)
       pairs
     }

@@ -881,10 +881,12 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.9, sigBits: Int = 16, bandBits: Int = 8,
-      seed: Int = 42, maxBucketSize: Int = 10000, sliceFactor: Int = 32): DataFrame = {
+      seed: Int = 42, maxBucketSize: Int = 10000, sliceFactor: Int = 32,
+      sliceRows: Int = 2048): DataFrame = {
     require(sliceFactor >= 1,
       s"sliceFactor must be >= 1 (got $sliceFactor): the a-side explodes " +
-        "over (0 until sliceFactor), so 0 would silently drop every candidate pair")
+        "over (0 until slices), so 0 would silently drop every candidate pair")
+    require(sliceRows >= 1, s"sliceRows must be >= 1 (got $sliceRows)")
     graft.plans.NativeExpressions.register(df.sparkSession)
     val numBands = sigBits / bandBits
     val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("vec"))
@@ -898,27 +900,36 @@ object Dedup {
       .graftPersist
     val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
 
-    // Slice the within-bucket self-join (r13). Unlike minhash, whose band
-    // keys are 64-bit hashes, this join's key domain is numBands·2^bandBits
-    // (512 at the defaults) — so however wide the cluster, pair generation
-    // lands on at most that many reducers, and one near-cap bucket's
-    // quadratic pair grid (cap²/2 pairs) lands on ONE task (measured at
-    // 100x scale: 4 busy tasks on 32 cores). Each member gets a
-    // deterministic slice s ∈ [0,S); the a-side replicates once per target
-    // slice, the b-side keeps its own slice, and joining on (band, val,
-    // slice_b) splits every bucket's pair grid into S independent columns
-    // of work. The candidate SET is unchanged — slicing is pure
-    // parallelization, so results (and the replayed oracle) are
-    // bit-identical; the a-side explode ships S narrow (4-long) rows per
-    // band membership, negligible next to the vectors the banding already
-    // avoids carrying.
-    val S = sliceFactor
-    val sliced = capped.withColumn("slice", pmod(xxhash64(col("doc")), lit(S.toLong)).cast("int"))
-    val a = sliced
-      .withColumn("slice_b", explode(array((0 until S).map(lit): _*)))
+    // Slice the within-bucket self-join ADAPTIVELY (r13 sliced, r14 made
+    // it size-proportional). Unlike minhash, whose band keys are 64-bit
+    // hashes, this join's key domain is numBands·2^bandBits (512 at the
+    // defaults) — so one near-cap bucket's quadratic pair grid (cap²/2
+    // pairs) can land on ONE task however wide the cluster. r13 replicated
+    // EVERY bucket across a uniform sliceFactor, which SlicePoint measured
+    // as a 1.54× end-to-end pessimization at sf10 (97.5 → 150.1 s): the
+    // fixture's buckets are far below the cap, pair generation was already
+    // balanced across the 512 keys, and the uniform 32× a-side replication
+    // tripled the candidate join's task time (321 → 1054 s). So slicing is
+    // now per-bucket: S = ceil(bucket_n / sliceRows) capped at sliceFactor
+    // — buckets at or below sliceRows (the common case) get S=1 and pay
+    // NOTHING; only a genuinely oversized bucket replicates, and only
+    // enough to split its own pair grid. Each member gets a deterministic
+    // slice s ∈ [0,S); the a-side replicates once per target slice, the
+    // b-side keeps its own, and joining on (band, val, slice_b) preserves
+    // every pair exactly once. The candidate SET is unchanged — slicing is
+    // pure parallelization, so results (and the replayed oracle) are
+    // bit-identical. The size lookup is a broadcast of ≤ numBands·2^bandBits
+    // count rows — bounded by the key domain, not the corpus.
+    val sizes = capped.groupBy("band_idx", "band_val").agg(count(lit(1)).as("__bn"))
+    val withS = capped.join(broadcast(sizes), Seq("band_idx", "band_val"))
+      .withColumn("__S", least(lit(sliceFactor), greatest(lit(1),
+        ceil(col("__bn").cast("double") / sliceRows).cast("int"))))
+    val a = withS
+      .withColumn("slice_b", explode(sequence(lit(0), col("__S") - 1)))
       .select(col("band_idx"), col("band_val"), col("slice_b"), col("doc").as("id_a"))
-    val b = sliced.select(col("band_idx"), col("band_val"),
-      col("slice").as("slice_b"), col("doc").as("id_b"))
+    val b = withS.select(col("band_idx"), col("band_val"),
+      pmod(xxhash64(col("doc")), col("__S").cast("long")).cast("int").as("slice_b"),
+      col("doc").as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_val", "slice_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
