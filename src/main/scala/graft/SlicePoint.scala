@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * pair grid lands on ONE task however wide the cluster; the r13 fix
   * replicates each bucket across `sliceFactor` deterministic slices.
   * This main times the operator at a given sfDir and slice factor AND
-  * reports per-stage task-width stats (tasks, max/median task ms, busy
-  * tasks = tasks within 2× of median) for the stages with the largest max
-  * task — the skew evidence: at sliceFactor=1 the pair-grid stage's max
-  * task dwarfs its median; at 32 the same work spreads.
+  * reports per-stage task-width stats (tasks, max/median task ms, and
+  * tasks_near_max = tasks within 2× of the MAX task duration) for the
+  * stages with the largest max task — the skew evidence: at sliceFactor=1
+  * the pair-grid stage's max task dwarfs its median; at 32 the same work
+  * spreads.
   *
   * Usage: runMain graft.SlicePoint <sfDir> <sliceFactor> [reps] [sliceRows] [skewClones]
   * skewClones > 0 unions the corpus with that many exact clones of one
@@ -75,14 +76,28 @@ object SlicePoint {
       pairs
     }
 
+    // Task-end events arrive on Spark's ASYNC listener bus: without a
+    // drain, clearing just before the final rep can leave the previous
+    // rep's late events in the stats, and the final rep's tail may not
+    // have landed when the queue is read (ADVICE r14). The bus has no
+    // public drain hook, so wait a fixed 2 s — run() has already returned
+    // (its count() action completed), so only already-emitted events are
+    // in flight; 2 s is orders of magnitude beyond bus latency and sits
+    // OUTSIDE both timed regions.
+    def drainListenerBus(): Unit = Thread.sleep(2000)
+
     val warmPairs = run() // codegen + JIT outside the timed region
     val walls = (1 to reps).map { i =>
       System.gc()
-      if (i == reps) taskDurations.clear() // stage stats from the last rep only
+      if (i == reps) { // stage stats from the last rep only
+        drainListenerBus()
+        taskDurations.clear()
+      }
       val t0 = System.nanoTime()
       run()
       (System.nanoTime() - t0) / 1e9
     }
+    drainListenerBus() // let the final rep's tail events land before reading
     import scala.jdk.CollectionConverters._
     val byStage = taskDurations.asScala.toSeq.groupBy(_._1)
       .map { case (sid, ds) => (sid, ds.map(_._2).sorted) }

@@ -140,7 +140,10 @@ object SparkEntry {
     */
   private def annStore(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_fixtures/annstore_${dir.replaceAll("\\W", "_")}"
-    ensureFixture(path, sourceToken(dir, "embeddings")) {
+    // Index parameters are part of the token (ADVICE r14): changing them in
+    // code must invalidate the cached fixture, or a stale index built with
+    // the old parameters would silently replay against the new oracle.
+    ensureFixture(path, sourceToken(dir, "embeddings") + "|nLists=8") {
       graft.similarity.AnnStore.write(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", path, nLists = 8)
     }
@@ -156,7 +159,10 @@ object SparkEntry {
     */
   private def annPqStore(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_fixtures/annpqstore_${dir.replaceAll("\\W", "_")}"
-    ensureFixture(path, sourceToken(dir, "embeddings")) {
+    // Quantizer parameters in the token (ADVICE r14): a parameter change
+    // must rebuild the fixture rather than reuse a stale /tmp index.
+    ensureFixture(path,
+      sourceToken(dir, "embeddings") + "|dim=64,subspaces=8,k=16,nLists=8") {
       graft.similarity.AnnStore.writePq(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", path,
         graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16),

@@ -898,39 +898,64 @@ object Dedup {
               .bitwiseAND(lit((1 << bandBits) - 1)).as("band_val"))): _*)).as("b"))
       .select(col("doc"), col("b.band_idx"), col("b.band_val"))
       .graftPersist
-    val capped = dropOversizedBuckets(banded, Seq("band_idx", "band_val"), maxBucketSize)
+    // One bucket-count aggregate serves BOTH the oversized-bucket drop and
+    // the adaptive slice factor (r14 computed it twice over the same keys —
+    // ADVICE r14). The key domain is numBands·2^bandBits (512 at the
+    // defaults), so `counts` is bounded by the domain, not the corpus, and
+    // the one-row stats agg over it is a driver-safe scalar read.
+    val counts = banded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__bn")).graftPersist
+    val stats = counts.agg(
+      sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L)).as("n_over"),
+      max(when(col("__bn") <= maxBucketSize, col("__bn"))).as("max_kept")).head()
+    val nOversized = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val maxKept = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val capped =
+      if (nOversized == 0L) banded
+      else banded.join(
+        broadcast(counts.where(col("__bn") > maxBucketSize)
+          .select("band_idx", "band_val")),
+        Seq("band_idx", "band_val"), "left_anti")
 
     // Slice the within-bucket self-join ADAPTIVELY (r13 sliced, r14 made
-    // it size-proportional). Unlike minhash, whose band keys are 64-bit
-    // hashes, this join's key domain is numBands·2^bandBits (512 at the
-    // defaults) — so one near-cap bucket's quadratic pair grid (cap²/2
-    // pairs) can land on ONE task however wide the cluster. r13 replicated
-    // EVERY bucket across a uniform sliceFactor, which SlicePoint measured
-    // as a 1.54× end-to-end pessimization at sf10 (97.5 → 150.1 s): the
-    // fixture's buckets are far below the cap, pair generation was already
-    // balanced across the 512 keys, and the uniform 32× a-side replication
-    // tripled the candidate join's task time (321 → 1054 s). So slicing is
-    // now per-bucket: S = ceil(bucket_n / sliceRows) capped at sliceFactor
-    // — buckets at or below sliceRows (the common case) get S=1 and pay
-    // NOTHING; only a genuinely oversized bucket replicates, and only
-    // enough to split its own pair grid. Each member gets a deterministic
-    // slice s ∈ [0,S); the a-side replicates once per target slice, the
-    // b-side keeps its own, and joining on (band, val, slice_b) preserves
-    // every pair exactly once. The candidate SET is unchanged — slicing is
-    // pure parallelization, so results (and the replayed oracle) are
-    // bit-identical. The size lookup is a broadcast of ≤ numBands·2^bandBits
-    // count rows — bounded by the key domain, not the corpus.
-    val sizes = capped.groupBy("band_idx", "band_val").agg(count(lit(1)).as("__bn"))
-    val withS = capped.join(broadcast(sizes), Seq("band_idx", "band_val"))
-      .withColumn("__S", least(lit(sliceFactor), greatest(lit(1),
-        ceil(col("__bn").cast("double") / sliceRows).cast("int"))))
-    val a = withS
-      .withColumn("slice_b", explode(sequence(lit(0), col("__S") - 1)))
-      .select(col("band_idx"), col("band_val"), col("slice_b"), col("doc").as("id_a"))
-    val b = withS.select(col("band_idx"), col("band_val"),
-      pmod(xxhash64(col("doc")), col("__S").cast("long")).cast("int").as("slice_b"),
-      col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_val", "slice_b"))
+    // it size-proportional, r15 short-circuits the common case). Unlike
+    // minhash, whose band keys are 64-bit hashes, this join's key domain
+    // is numBands·2^bandBits (512 at the defaults) — so one near-cap
+    // bucket's quadratic pair grid (cap²/2 pairs) can land on ONE task
+    // however wide the cluster. r13 replicated EVERY bucket across a
+    // uniform sliceFactor, which SlicePoint measured as a 1.54× end-to-end
+    // pessimization at sf10 (97.5 → 150.1 s): the fixture's buckets are
+    // far below the cap, pair generation was already balanced across the
+    // 512 keys, and the uniform 32× a-side replication tripled the
+    // candidate join's task time (321 → 1054 s). So slicing is per-bucket:
+    // S = ceil(bucket_n / sliceRows) capped at sliceFactor — buckets at or
+    // below sliceRows (the common case) get S=1 and pay NOTHING; only a
+    // genuinely oversized bucket replicates, and only enough to split its
+    // own pair grid. When NO kept bucket exceeds sliceRows (max_kept above,
+    // a scalar off the same aggregate), the size join and sequence-explode
+    // are skipped entirely and the join runs on the bare band keys — the
+    // unsliced plan. Each member otherwise gets a deterministic slice
+    // s ∈ [0,S); the a-side replicates once per target slice, the b-side
+    // keeps its own, and joining on (band, val, slice_b) preserves every
+    // pair exactly once. The candidate SET is unchanged in every branch —
+    // slicing is pure parallelization, so results (and the replayed
+    // oracle) are bit-identical.
+    val candidates = (if (maxKept <= sliceRows) {
+      capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"))
+        .join(capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b")),
+          Seq("band_idx", "band_val"))
+    } else {
+      val withS = capped.join(broadcast(counts), Seq("band_idx", "band_val"))
+        .withColumn("__S", least(lit(sliceFactor), greatest(lit(1),
+          ceil(col("__bn").cast("double") / sliceRows).cast("int"))))
+      val a = withS
+        .withColumn("slice_b", explode(sequence(lit(0), col("__S") - 1)))
+        .select(col("band_idx"), col("band_val"), col("slice_b"), col("doc").as("id_a"))
+      val b = withS.select(col("band_idx"), col("band_val"),
+        pmod(xxhash64(col("doc")), col("__S").cast("long")).cast("int").as("slice_b"),
+        col("doc").as("id_b"))
+      a.join(b, Seq("band_idx", "band_val", "slice_b"))
+    })
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

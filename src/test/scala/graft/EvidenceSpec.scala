@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evidence-artifact integrity (VERDICT r14 #2).
+  *
+  * Rounds 13 and 14 both shipped PLANS prose citing a SCALE artifact
+  * section that was never written (r13: all of SCALE_r13.json; r14:
+  * `sf10_full_contract` / `streaming_sf10` / `bench_warmup_validation`),
+  * so the round's strongest measured claims existed only as dangling
+  * pointers. This spec makes that failure structural: every
+  * `SCALE_r<N>.json` file mentioned in any `PLANS_*.md` must exist, and
+  * every backticked section reference — "SCALE_r14.json `lsh_slice_factor`"
+  * (dotted paths allowed) — must resolve to a key in that JSON. A PLANS
+  * file that promises an artifact section now fails the suite until the
+  * section is committed.
+  */
+class EvidenceSpec extends AnyFunSuite {
+
+  private def read(p: java.nio.file.Path): String =
+    new String(Files.readAllBytes(p), "UTF-8")
+
+  private val plansFiles = Files.list(Paths.get(".")).iterator().asScala
+    .filter(_.getFileName.toString.matches("PLANS_r\\d+\\.md")).toSeq.sortBy(_.toString)
+
+  // "SCALE_r14.json `section`" with any whitespace (incl. a line break)
+  // between the file name and the backticked section; dotted paths OK.
+  private val sectionRef = """SCALE_r(\d+)\.json\s+`([A-Za-z0-9_.]+)`""".r
+  private val fileRef = """SCALE_r(\d+)\.json""".r
+
+  private def topLevelKeys(json: String): Set[String] = {
+    // The SCALE artifacts are plain JSON objects; resolve keys with the
+    // json4s shipped inside Spark (no extra dependency).
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
+      case JObject(fields) => fields.map(_._1).toSet
+      case _ => Set.empty
+    }
+  }
+
+  private def resolves(json: String, path: String): Boolean = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    path.split('.').foldLeft(Option(JsonMethods.parse(json): JValue)) {
+      case (Some(JObject(fields)), key) => fields.collectFirst { case (`key`, v) => v }
+      case _ => None
+    }.isDefined
+  }
+
+  test("PLANS files exist for this project") {
+    assert(plansFiles.nonEmpty, "no PLANS_r*.md found — spec running from the wrong cwd?")
+  }
+
+  test("every SCALE artifact a PLANS file mentions exists on disk") {
+    val missing = for {
+      pf <- plansFiles
+      m <- fileRef.findAllMatchIn(read(pf))
+      scale = s"SCALE_r${m.group(1)}.json"
+      if !Files.exists(Paths.get(scale))
+    } yield s"${pf.getFileName} -> $scale"
+    assert(missing.isEmpty,
+      s"PLANS references to SCALE artifacts that do not exist: ${missing.distinct.mkString(", ")}")
+  }
+
+  test("every backticked SCALE section reference in PLANS resolves") {
+    val dangling = for {
+      pf <- plansFiles
+      m <- sectionRef.findAllMatchIn(read(pf))
+      scale = Paths.get(s"SCALE_r${m.group(1)}.json")
+      section = m.group(2)
+      if !Files.exists(scale) || !resolves(read(scale), section)
+    } yield s"${pf.getFileName} -> ${scale.getFileName} `$section`"
+    assert(dangling.isEmpty,
+      s"PLANS prose cites SCALE sections that were never written: ${dangling.distinct.mkString(", ")}")
+  }
+
+  test("SCALE artifacts parse as JSON objects with at least one section") {
+    val bad = Files.list(Paths.get(".")).iterator().asScala
+      .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
+      .filter(p => scala.util.Try(topLevelKeys(read(p))).toOption.forall(_.isEmpty))
+      .map(_.getFileName.toString).toSeq
+    assert(bad.isEmpty, s"unparseable/empty SCALE artifacts: ${bad.mkString(", ")}")
+  }
+}

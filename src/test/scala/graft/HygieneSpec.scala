@@ -33,7 +33,7 @@ class HygieneSpec extends AnyFunSuite {
     // PlanDump-style evidence tools at the graft package root.
     val allowed = Set("Bench.scala", "Verify.scala", "ScaleBench.scala", "Explain.scala",
       "TimeCheck.scala", "Sf1Gen.scala", "Sf1Bench.scala", "BucketPoint.scala",
-      "SlicePoint.scala")
+      "SlicePoint.scala", "AnnBytesPoint.scala")
     val offenders = scalaFiles("src/main/scala").filter { f =>
       val src = new String(Files.readAllBytes(f), "UTF-8")
       src.contains(needle) && !allowed.contains(f.getFileName.toString)
