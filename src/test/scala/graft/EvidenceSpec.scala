@@ -78,6 +78,28 @@ class EvidenceSpec extends AnyFunSuite {
       s"PLANS prose cites SCALE sections that were never written: ${dangling.distinct.mkString(", ")}")
   }
 
+  test("every logs/ path cited in PLANS exists") {
+    val logRef = """logs/[A-Za-z0-9_.\-]+\.[a-z]+""".r
+    val missing = for {
+      pf <- plansFiles
+      m <- logRef.findAllMatchIn(read(pf))
+      if !Files.exists(Paths.get(m.matched))
+    } yield s"${pf.getFileName} -> ${m.matched}"
+    assert(missing.isEmpty,
+      s"PLANS cites log files that do not exist: ${missing.distinct.mkString(", ")}")
+  }
+
+  test("every SCALE/BENCH artifact SURVEY.md mentions exists on disk") {
+    val artifactRef = """(?:SCALE|BENCH|BENCH_local)_r\d+\.json""".r
+    val survey = Paths.get("SURVEY.md")
+    val missing =
+      if (!Files.exists(survey)) Seq.empty
+      else artifactRef.findAllMatchIn(read(survey)).map(_.matched).toSeq.distinct
+        .filterNot(f => Files.exists(Paths.get(f)))
+    assert(missing.isEmpty,
+      s"SURVEY.md mentions artifacts that do not exist: ${missing.mkString(", ")}")
+  }
+
   test("SCALE artifacts parse as JSON objects with at least one section") {
     val bad = Files.list(Paths.get(".")).iterator().asScala
       .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
