@@ -198,14 +198,21 @@ object Bench {
     */
   private def measure(names: Seq[String], sfDir: String, reps: Int): Raw = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.datetime.java8API.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Scale-evidence knob (VERDICT r15 #1): lets the sf10 streaming points
+    // run on Spark's RocksDB state store (off-heap state, the config any
+    // production deployment of the streaming ops would use) without
+    // changing the default bench path.
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZetaFunctions.register(spark)
     // JVM/session warm-up outside the timed region (codegen, block manager,
@@ -245,7 +252,7 @@ object Bench {
       stabilize()
       val gc0 = gcMillis()
       val qReps = if (name.contains("stream")) math.max(reps, 5) else reps
-      val runs = (1 to qReps).map { _ =>
+      def rep(): (Double, Option[String]) = {
         GraftCaches.releaseAll(spark, blocking = true)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -256,6 +263,18 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val base = (1 to qReps).map(_ => rep())
+      // Adaptive stabilization (VERDICT r15 #5): on sub-2s queries a
+      // median-of-3 can pick JIT noise (r15's q_cdc_debezium reps
+      // [1.80, 1.21, 1.56]). When the successful-rep spread exceeds 25%
+      // of the median, extend to 5 reps so the median sits on the stable
+      // side; the per-rep arrays in the detail artifact expose the spread.
+      val okT = base.collect { case (t, None) => t }.sorted
+      val runs =
+        if (okT.nonEmpty && base.length < 5 &&
+            (okT.last - okT.head) > 0.25 * okT(okT.length / 2))
+          base ++ (base.length until 5).map(_ => rep())
+        else base
       (name, runs, (gcMillis() - gc0) / 1e3)
     }
     spark.stop()

@@ -511,6 +511,14 @@ object Dedup {
     * once bucket sizes — not fixed per-query overhead — dominate;
     * measured: count-aggregate wins up to ~10k docs, prefix is 4x faster
     * at 50k).
+    *
+    * EAGER AT BUILD TIME (documented SURVEY §4 exception): on the
+    * large-corpus path a one-row aggregate over the candidate-touched
+    * docs (bounded by 2x candidate count) is read on the driver to pick
+    * broadcast vs shuffle verification — so this operator cannot compose
+    * onto an unstarted streaming DataFrame and executes its upstream at
+    * call time. See SURVEY §4's exception list and HygieneSpec's
+    * eager-site allowlist.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 1000,
@@ -878,6 +886,17 @@ object Dedup {
     * multiply the dominant exchange width by numBands. Candidate id pairs
     * join the vectors back by id for the cosine verify, so each vector
     * crosses the wire once per doc, not once per band or candidate.
+    *
+    * EAGER AT BUILD TIME (documented SURVEY §4 exception): this operator
+    * runs a bounded driver action when CALLED — the banded table is
+    * persisted and a 2-row scalar over the (band_idx, band_val) count
+    * aggregate (key domain ≤ numBands·2^bandBits, 512 at the defaults)
+    * picks the oversized-bucket drop and the slice short-circuit. So it
+    * cannot be composed onto an unstarted streaming DataFrame, and calling
+    * it executes everything upstream of `df` immediately, not at sink
+    * time. The measured win (SCALE_r15 `lsh_shortcircuit_sf10`: no-skew at
+    * the unsliced floor, planted skew faster than every uniform-slicing
+    * row) is what buys that trade.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.9, sigBits: Int = 16, bandBits: Int = 8,
@@ -959,6 +978,13 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+
+    // On the common short-circuit path `counts` served only the scalar
+    // stats read and nothing in the candidates plan references it — drop
+    // its blocks now instead of waiting for the host's scope release
+    // (ADVICE r15). The other branches keep it cached for their lazy
+    // anti-join / slice-factor joins; scope release reclaims it there.
+    if (nOversized == 0L && maxKept <= sliceRows) counts.unpersist()
 
     candidates
       .join(vecs.select(col("doc").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))

@@ -41,4 +41,37 @@ class HygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unexpected main() in library sources: ${offenders.mkString(", ")}")
   }
+
+  test("eager driver actions in library packages stay on the SURVEY §4 allowlist") {
+    // SURVEY §4: transform/query ops are pure plan-builders; the eager
+    // exceptions (model/index builders, sinks, and the two bounded
+    // adaptive-stats reads in Dedup) are ENUMERATED. This pins the exact
+    // per-file count of `.head()`/`.collect()` call sites in the library
+    // packages (the root-level evidence mains and hosts are excluded via
+    // the package dirs), so a new eager site — or a third one in Dedup —
+    // fails the suite and must be reviewed against the invariant.
+    val pkgs = Seq("api", "dedup", "formats", "functions", "multimodal",
+      "operators", "plans", "similarity", "sinks", "sources", "streaming", "text")
+    val eager = Seq(".head()", ".collect()")
+    val counts = pkgs.flatMap(p => scalaFiles(s"src/main/scala/graft/$p"))
+      .map { f =>
+        val src = new String(Files.readAllBytes(f), "UTF-8")
+        f.getFileName.toString -> eager.map(n => src.sliding(n.length).count(_ == n)).sum
+      }.filter(_._2 > 0).toMap
+    val allowed = Map(
+      "Dedup.scala" -> 2,    // ngramJaccardPairs vstats + embeddingNearDupPairs stats
+      "Profile.scala" -> 2,  // summary aggregates (profiling IS an action)
+      "AnnStore.scala" -> 4, // bounded centroid/codebook/probed-cell loads
+      "IvfIndex.scala" -> 2, // k-means training sample (cap-bounded)
+      "PqIndex.scala" -> 4,  // k-means + codebook training samples (cap-bounded)
+      "Bpe.scala" -> 2,      // vocab-merge learning loop (driver-side by design)
+      "Pipeline.scala" -> 2, // in-memory sink materialization (a sink action)
+      "Sinks.scala" -> 1)    // assert-sink report row (a sink action)
+    assert(counts == allowed,
+      s"eager-action sites drifted from the SURVEY §4 allowlist:\n" +
+        s"  found:   ${counts.toSeq.sortBy(_._1)}\n" +
+        s"  allowed: ${allowed.toSeq.sortBy(_._1)}\n" +
+        "If the new site is intentional, document it in SURVEY §4's exception " +
+        "list and the operator's scaladoc, then update this allowlist.")
+  }
 }

@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Chunked replay of the q_dedup_minhash-family oracles at scales where the
+single-statement DuckDB replay exceeds time/memory budgets (VERDICT r15 #4).
+
+The verbatim oracle (SparkEntry.oracleSql q_dedup_minhash) is one DuckDB
+statement whose cost explodes superlinearly with doc count: the sigv stage
+expands every (doc, gram) hash 64x through a 5-stage HUGEINT fmix64 chain
+(v0..vh: at sf10 that is 27M grams x 64 = 1.7B HUGEINT rows through the
+pipeline before the GROUP BY min), which blows DuckDB's operator memory and
+spills. This tool splits the SAME computation into stages:
+
+  1. gramt, gh  -- VERBATIM slices of the oracle SQL text, materialized as
+     temp tables (gram extraction + per-(doc,gram) poly-257/fmix64 hash).
+  2. sigv       -- the 64 permutation minima, computed vectorized in numpy
+     (fmix64(h ^ key_p) with wrapping uint64 arithmetic, minimum.reduceat
+     per doc) and registered as a DuckDB table. The permutation keys are
+     ALSO recomputed by the verbatim keys CTE in DuckDB and asserted equal
+     to the numpy keys on every run.
+  3. bands..end -- the VERBATIM back half of the oracle SQL text (bands,
+     1000-cap, candidate self-join, gram-Jaccard verify, final projection),
+     running against the materialized sigv/gramt.
+
+Both verbatim slices are extracted from oracle_sql.json by marker indices
+(hard require() on the markers, like SparkEntry's own oracle derivation
+guards), so the replay can never silently drift from the oracle text.
+--validate additionally runs the untouched single-statement oracle and
+asserts frame equality with the replay (feasible at sf0.01/sf0.1/sf1) --
+that is the instrument's calibration.
+
+Final compare against the Spark Verify dump reuses tools/check.py's
+check_one (schema + dtype + exact values), so the gate semantics are
+identical to the driver's.
+
+Usage:
+  python3 tools/minhash_replay.py SF_DIR VERIFY_OUT_DIR \
+      [--queries q_dedup_minhash,q_dedup_incremental,q_dedup_incr_store] \
+      [--validate] [--threads N] [--mem 24GB] [--tmp /tmp/minhash_spill]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import check  # noqa: E402  (tools/check.py -- the gate's compare)
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+C1 = np.uint64(18397679294719823053)   # 0xff51afd7ed558ccd
+C2 = np.uint64(14181476777654086739)   # 0xc4ceb9fe1a85ec53
+S33 = np.uint64(33)
+SENTINEL = np.uint64(18446744073709551615)
+
+
+def fmix64(x):
+    """murmur3 fmix64 over a uint64 ndarray (wrapping multiply)."""
+    x = x ^ (x >> S33)
+    x = x * C1
+    x = x ^ (x >> S33)
+    x = x * C2
+    x = x ^ (x >> S33)
+    return x
+
+
+def log(msg, t0=None):
+    tail = f" [{time.time() - t0:.1f}s]" if t0 is not None else ""
+    print(f"[replay] {msg}{tail}", flush=True)
+
+
+def slice_oracle(sql):
+    """Split the verbatim minhash oracle text into (gramt_ddl, gh_ddl,
+    back_half) at fixed CTE markers. require()-style guards: a shape change
+    in SparkEntry's oracle makes this a hard error, not a silent drift."""
+    m_dg, m_k0, m_bands = ", dg AS (", ", k0 AS (", ", bands AS ("
+    for m in (m_dg, m_k0, m_bands):
+        if m not in sql:
+            raise AssertionError(f"oracle shape changed: marker {m!r} missing")
+    i_dg, i_k0, i_bands = sql.index(m_dg), sql.index(m_k0), sql.index(m_bands)
+    # the slice boundaries land right AFTER each CTE's closing paren (the
+    # markers start with the comma that follows it), so every slice below
+    # is already paren-balanced
+    gramt_ddl = ("CREATE OR REPLACE TEMP TABLE gramt AS "
+                 + sql[:i_dg] + " SELECT doc_id, grams FROM gramt")
+    # ", dg AS (...), g0..g4, gh AS (...)" -- needs a leading dummy CTE
+    gh_ddl = ("CREATE OR REPLACE TEMP TABLE gh AS WITH _d AS (SELECT 1)"
+              + sql[i_dg:i_k0] + " SELECT doc_id, h FROM gh")
+    # keys CTE (k0..keys) standalone, for the numpy-key cross-check
+    keys_sql = ("WITH _d AS (SELECT 1)" + sql[i_k0:sql.index(", v0 AS (")]
+                + " SELECT p, key FROM keys ORDER BY p")
+    # bands.. end, fed by the materialized sigv
+    back_half = ("WITH sigv AS (SELECT doc_id, p, v FROM sigv_mat)"
+                 + sql[i_bands:])
+    return gramt_ddl, gh_ddl, keys_sql, back_half
+
+
+def build_sigv(con, t0):
+    """Materialize gramt/gh via the verbatim SQL slices, then compute the
+    64-permutation signature minima in numpy. Returns nothing; leaves
+    sigv_mat registered in con."""
+    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    sql = oracle["q_dedup_minhash"]
+    gramt_ddl, gh_ddl, keys_sql, back_half = slice_oracle(sql)
+
+    con.execute(gramt_ddl)
+    n_gramt = con.execute("SELECT count(*) FROM gramt").fetchone()[0]
+    log(f"gramt materialized: {n_gramt} docs", t0)
+
+    con.execute(gh_ddl)
+    n_gh = con.execute("SELECT count(*) FROM gh").fetchone()[0]
+    log(f"gh materialized: {n_gh} (doc,gram) hashes", t0)
+
+    # permutation keys: numpy, cross-checked against the verbatim keys CTE
+    p_arr = np.arange(64, dtype=np.uint64)
+    keys_np = fmix64(np.uint64(42 << 32) + p_arr)
+    keys_sqlv = con.execute(keys_sql).fetchnumpy()["key"].astype(np.uint64)
+    assert np.array_equal(keys_np, keys_sqlv), "numpy keys != verbatim keys CTE"
+    log("permutation keys cross-checked (numpy == verbatim CTE)", t0)
+
+    gh = con.execute("SELECT doc_id, h FROM gh ORDER BY doc_id").fetchnumpy()
+    doc = gh["doc_id"].astype(np.int64)
+    h = gh["h"].astype(np.uint64)
+    # per-doc segment starts on the doc-sorted hash array
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    seg_docs = doc[starts]
+    sig = np.empty((len(seg_docs), 64), dtype=np.uint64)
+    for p in range(64):
+        v = fmix64(h ^ keys_np[p])
+        sig[:, p] = np.minimum.reduceat(v, starts)
+    log(f"sigv minima computed for {len(seg_docs)} docs x 64 perms", t0)
+
+    # full doc domain: docs with no grams get the sentinel row (sigv's
+    # LEFT JOIN + coalesce semantics)
+    all_docs = con.execute(
+        "SELECT doc_id FROM documents ORDER BY doc_id").fetchnumpy()["doc_id"].astype(np.int64)
+    full = np.full((len(all_docs), 64), SENTINEL, dtype=np.uint64)
+    pos = np.searchsorted(all_docs, seg_docs)
+    assert np.array_equal(all_docs[pos], seg_docs), "gh docs not a subset of documents"
+    full[pos] = sig
+
+    import pyarrow as pa
+    n = len(all_docs)
+    tbl = pa.table({
+        "doc_id": pa.array(np.repeat(all_docs, 64), type=pa.int64()),
+        "p": pa.array(np.tile(np.arange(64, dtype=np.int64), n), type=pa.int64()),
+        "v": pa.array(full.reshape(-1), type=pa.uint64()),
+    })
+    con.register("sigv_arrow", tbl)
+    con.execute("CREATE OR REPLACE TEMP TABLE sigv_mat AS SELECT * FROM sigv_arrow")
+    con.unregister("sigv_arrow")
+    log(f"sigv_mat registered: {n} docs x 64 rows", t0)
+    return back_half
+
+
+def main():
+    t0 = time.time()
+    con = duckdb.connect()
+    con.execute(f"SET threads={ARGS.threads}")
+    con.execute(f"SET memory_limit='{ARGS.mem}'")
+    if ARGS.tmp:
+        os.makedirs(ARGS.tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{ARGS.tmp}'")
+    for t in check.TABLES:
+        path = f"{ARGS.sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    build_sigv(con, t0)
+
+    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    rc = 0
+    for name in ARGS.queries:
+        qt = time.time()
+        sql = oracle[name]
+        # the back half (bands..end) comes from THIS query's own oracle
+        # text, so the full/incremental cand + tail swap is inherited
+        _, _, _, back_half = slice_oracle(sql)
+        ok, lines = check.check_one(con, ARGS.out_dir, name, back_half)
+        print("\n".join(lines), flush=True)
+        log(f"{name}: {'OK' if ok else 'FAIL'} in {time.time() - qt:.1f}s "
+            f"(total {time.time() - t0:.1f}s)")
+        rc |= (not ok)
+        if ARGS.validate:
+            vt = time.time()
+            got = con.execute(back_half).fetchdf()
+            want = con.execute(sql).fetchdf()
+            same = got.equals(want)
+            log(f"{name}: verbatim-oracle validation "
+                f"{'EQUAL' if same else 'MISMATCH'} in {time.time() - vt:.1f}s")
+            rc |= (not same)
+    return rc
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--queries", default="q_dedup_minhash")
+    ap.add_argument("--validate", action="store_true")
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--mem", default="24GB")
+    ap.add_argument("--tmp", default="/tmp/minhash_spill")
+    ARGS = ap.parse_args()
+    ARGS.queries = [q for q in ARGS.queries.split(",") if q]
+    sys.exit(main())
