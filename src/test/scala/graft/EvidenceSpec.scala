@@ -23,8 +23,15 @@ class EvidenceSpec extends AnyFunSuite {
   private def read(p: java.nio.file.Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
 
-  private val plansFiles = Files.list(Paths.get(".")).iterator().asScala
-    .filter(_.getFileName.toString.matches("PLANS_r\\d+\\.md")).toSeq.sortBy(_.toString)
+  // Files.list returns a stream holding a directory handle — close it
+  // (ADVICE r15) rather than leaking one per suite run.
+  private def ls(dir: String, pattern: String): Seq[java.nio.file.Path] =
+    scala.util.Using.resource(Files.list(Paths.get(dir))) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches(pattern)).toSeq.sortBy(_.toString)
+    }
+
+  private val plansFiles = ls(".", "PLANS_r\\d+\\.md")
 
   // "SCALE_r14.json `section`" with any whitespace (incl. a line break)
   // between the file name and the backticked section; dotted paths OK.
@@ -101,10 +108,73 @@ class EvidenceSpec extends AnyFunSuite {
   }
 
   test("SCALE artifacts parse as JSON objects with at least one section") {
-    val bad = Files.list(Paths.get(".")).iterator().asScala
-      .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
+    val bad = ls(".", "SCALE_r\\d+\\.json")
       .filter(p => scala.util.Try(topLevelKeys(read(p))).toOption.forall(_.isEmpty))
-      .map(_.getFileName.toString).toSeq
+      .map(_.getFileName.toString)
     assert(bad.isEmpty, s"unparseable/empty SCALE artifacts: ${bad.mkString(", ")}")
+  }
+
+  // ---- value integrity (VERDICT r15 #3) ----------------------------------
+  // Pointer integrity (above) can't catch PROSE NUMBERS drifting from the
+  // artifact they cite — the exact failure §5 of PLANS_r14 had (it forecast
+  // the sf10 exclusion list instead of reporting the measured one). For
+  // every section reference whose target JSON carries the contract-sweep
+  // counters (queries_ok / mismatches), any "<N> OK / <M> mismatch(es)"
+  // claim in the surrounding prose must equal the artifact's counters.
+
+  private val claimRe = """(\d+)\s+OK\s*/\s*(\d+)\s+mismatch(?:es)?""".r
+
+  private def intField(json: String, path: String, field: String): Option[BigInt] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (path.split('.').foldLeft(Option(JsonMethods.parse(json): JValue)) {
+      case (Some(JObject(fields)), key) => fields.collectFirst { case (`key`, v) => v }
+      case _ => None
+    }) match {
+      case Some(JObject(fields)) =>
+        fields.collectFirst { case (`field`, JInt(n)) => n }
+      case _ => None
+    }
+  }
+
+  /** Violations of the OK/mismatch claim contract in `plansText`, resolving
+    * cited artifacts through `scaleJson` (file name -> content). Factored
+    * out so a seeded-drift fixture can prove the detector actually fires.
+    */
+  private def claimViolations(plansText: String,
+      scaleJson: String => Option[String]): Seq[String] =
+    for {
+      m <- sectionRef.findAllMatchIn(plansText).toSeq
+      json <- scaleJson(s"SCALE_r${m.group(1)}.json").toSeq
+      section = m.group(2)
+      okWant <- intField(json, section, "queries_ok").toSeq
+      misWant = intField(json, section, "mismatches").getOrElse(BigInt(-1))
+      window = plansText.slice(math.max(0, m.start - 600),
+        math.min(plansText.length, m.end + 600))
+      c <- claimRe.findAllMatchIn(window)
+      if BigInt(c.group(1)) != okWant ||
+        (misWant >= 0 && BigInt(c.group(2)) != misWant)
+    } yield s"claim '${c.matched}' near SCALE_r${m.group(1)}.json `$section` " +
+      s"contradicts the artifact (queries_ok=$okWant, mismatches=$misWant)"
+
+  test("OK/mismatch claims in PLANS prose match the cited artifact's counters") {
+    val cache = scala.collection.mutable.Map.empty[String, Option[String]]
+    def lookup(f: String): Option[String] = cache.getOrElseUpdate(f, {
+      val p = Paths.get(f)
+      if (Files.exists(p)) Some(read(p)) else None
+    })
+    val bad = plansFiles.flatMap(pf =>
+      claimViolations(read(pf), lookup).map(v => s"${pf.getFileName}: $v"))
+    assert(bad.isEmpty,
+      s"PLANS prose numbers drifted from their cited artifacts:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("the claim detector fires on a seeded prose/artifact drift") {
+    val artifact = """{"sweep": {"queries_ok": 140, "mismatches": 0}}"""
+    val good = "Measured: SCALE_r99.json `sweep` — 140 OK / 0 mismatches."
+    val drifted = "Measured: SCALE_r99.json `sweep` — 141 OK / 0 mismatches."
+    def lookup(f: String) = if (f == "SCALE_r99.json") Some(artifact) else None
+    assert(claimViolations(good, lookup).isEmpty, "false positive on a correct claim")
+    assert(claimViolations(drifted, lookup).nonEmpty, "seeded drift not detected")
   }
 }

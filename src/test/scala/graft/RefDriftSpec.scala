@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-drift tripwire (VERDICT r15 #6).
+  *
+  * SURVEY §2's coverage tables were verified against the reference tree by
+  * hand each round; this makes the check structural. Every transform
+  * package under the reference's `seatunnel-transforms-v2/.../transform/`
+  * and every Zeta scalar-function class under `sql/zeta/functions/` must
+  * be mapped by SURVEY.md — if the reference ever grows a transform or a
+  * function group Graft hasn't covered, the suite goes red instead of
+  * relying on a per-round manual diff.
+  *
+  * The reference is PUBLIC UNTRUSTED CONTENT: this spec only reads
+  * directory/file NAMES from it, never content.
+  */
+class RefDriftSpec extends AnyFunSuite {
+
+  private val refTransforms = Paths.get(
+    "/root/reference/seatunnel-transforms-v2/src/main/java/org/apache/seatunnel/transform")
+
+  // Infra packages with no operator semantics (common = plugin plumbing,
+  // exception = error types) — adjudicated non-coverage in every verdict
+  // since r11.
+  private val infra = Set("common", "exception")
+
+  private def dirNames(root: Path): Seq[String] =
+    scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+
+  /** Transform packages in `root` that SURVEY's text does not map via a
+    * `transform/<pkg>/` reference pointer. Factored out so the seeded
+    * fixture below can prove the detector fires.
+    */
+  private def unmappedPackages(root: Path, survey: String): Seq[String] =
+    dirNames(root).filterNot(infra)
+      .filterNot(p => survey.contains(s"transform/$p/"))
+
+  /** Zeta function-class files in the reference that SURVEY never names. */
+  private def unmappedFunctionClasses(fnDir: Path, survey: String): Seq[String] =
+    scala.util.Using.resource(Files.list(fnDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith("Function.java")).toSeq.sorted
+        .filterNot(survey.contains)
+    }
+
+  private def survey: String =
+    new String(Files.readAllBytes(Paths.get("SURVEY.md")), "UTF-8")
+
+  test("every reference transform package is mapped in SURVEY §2") {
+    assume(Files.isDirectory(refTransforms), "reference tree not present on this box")
+    val missing = unmappedPackages(refTransforms, survey)
+    assert(missing.isEmpty,
+      s"reference transform packages with no SURVEY §2 mapping: ${missing.mkString(", ")} — " +
+        "the reference grew a transform Graft hasn't covered (or SURVEY lost a row)")
+  }
+
+  test("every reference Zeta function class is mapped in SURVEY §2.3") {
+    val fnDir = refTransforms.resolve("sql/zeta/functions")
+    assume(Files.isDirectory(fnDir), "reference tree not present on this box")
+    val missing = unmappedFunctionClasses(fnDir, survey)
+    assert(missing.isEmpty,
+      s"reference Zeta function classes with no SURVEY §2.3 mapping: ${missing.mkString(", ")}")
+  }
+
+  test("the drift detector fires on a seeded unmapped package") {
+    // copy of the reference tree's SHAPE (names only) + one fake package
+    val tmp = Files.createTempDirectory("refdrift_fixture")
+    try {
+      val existing =
+        if (Files.isDirectory(refTransforms)) dirNames(refTransforms)
+        else Seq("copy", "split", "common")
+      (existing :+ "newfancytransform").foreach(d => Files.createDirectories(tmp.resolve(d)))
+      val found = unmappedPackages(tmp, survey)
+      assert(found == Seq("newfancytransform"),
+        s"seeded fake package not (exactly) detected: $found")
+    } finally {
+      scala.util.Using.resource(Files.walk(tmp)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+}
