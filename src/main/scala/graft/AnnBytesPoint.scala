@@ -132,9 +132,13 @@ object AnnBytesPoint {
     // (array) parquet columns in this Spark build — a metered full scan of
     // the 52 MB corpus dir reports ~340 KB — so it cannot carry the
     // codes-vs-vectors comparison.
-    val probedCells = {
-      // same assignment the probe performs: nProbe nearest stored centroids
-      val idx = graft.similarity.AnnStore.readIndex(spark, ivfDir)
+    // Per-store probed cells (ADVICE r15): write and writePq train their
+    // centroids independently (the k-means sample path uses an unordered
+    // limit(cap+1).collect(), which Spark does not guarantee identical
+    // across builds), so each store's probed-cell set is derived from ITS
+    // OWN persisted centroids — exactly the assignment its probe performs.
+    def probedCellsOf(storeDir: String): Seq[Int] = {
+      val idx = graft.similarity.AnnStore.readIndex(spark, storeDir)
       val nc = org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.NearestCentroidsExpr(
           org.apache.spark.sql.graft.ColumnBridge.expression(
@@ -143,14 +147,17 @@ object AnnBytesPoint {
       queries.select(explode(nc).as("cell")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
     }
-    def probedBytes(base: String): Long =
-      probedCells.map(c => dirBytes(s"$base/cell=$c")).sum
-    val ivfScanBytes = probedBytes(s"$ivfDir/corpus.parquet")
-    val pqScanBytes = probedBytes(s"$pqDir/codes.parquet")
+    val probedCells = probedCellsOf(ivfDir)
+    val pqProbedCells = probedCellsOf(pqDir)
+    def probedBytes(base: String, cells: Seq[Int]): Long =
+      cells.map(c => dirBytes(s"$base/cell=$c")).sum
+    val ivfScanBytes = probedBytes(s"$ivfDir/corpus.parquet", probedCells)
+    val pqScanBytes = probedBytes(s"$pqDir/codes.parquet", pqProbedCells)
 
     println(f"""{"metric":"ann_store_bytes","dir":"$dir","mode":"$mode","corpus_n":$corpusN,""" +
       f""""n_lists":$nLists,"n_probe":$nProbe,"n_queries":$nQueries,""" +
       f""""probed_cells":${probedCells.mkString("[", ",", "]")},""" +
+      f""""pq_probed_cells":${pqProbedCells.mkString("[", ",", "]")},""" +
       f""""store_disk_bytes":{"raw_vector_corpus":$corpusDisk,"pq_codes":$codesDisk,""" +
       f""""ratio":${corpusDisk.toDouble / math.max(1L, codesDisk)}%.2f},""" +
       f""""probe_scan_file_bytes":{"ivf":$ivfScanBytes,"pq":$pqScanBytes,""" +

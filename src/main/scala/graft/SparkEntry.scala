@@ -143,9 +143,12 @@ object SparkEntry {
     // Index parameters are part of the token (ADVICE r14): changing them in
     // code must invalidate the cached fixture, or a stale index built with
     // the old parameters would silently replay against the new oracle.
-    ensureFixture(path, sourceToken(dir, "embeddings") + "|nLists=8") {
+    // The token derives from the SAME vals as the builder call (ADVICE
+    // r15), so the parameters and the token cannot drift apart.
+    val nLists = 8
+    ensureFixture(path, sourceToken(dir, "embeddings") + s"|nLists=$nLists") {
       graft.similarity.AnnStore.write(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", path, nLists = 8)
+        "vec_id", "embedding", path, nLists = nLists)
     }
     path
   }
@@ -160,13 +163,16 @@ object SparkEntry {
   private def annPqStore(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_fixtures/annpqstore_${dir.replaceAll("\\W", "_")}"
     // Quantizer parameters in the token (ADVICE r14): a parameter change
-    // must rebuild the fixture rather than reuse a stale /tmp index.
+    // must rebuild the fixture rather than reuse a stale /tmp index. Token
+    // and builder arguments share one set of vals (ADVICE r15) so they
+    // cannot drift.
+    val (qDim, qSub, qK, qLists) = (64, 8, 16, 8)
     ensureFixture(path,
-      sourceToken(dir, "embeddings") + "|dim=64,subspaces=8,k=16,nLists=8") {
+      sourceToken(dir, "embeddings") + s"|dim=$qDim,subspaces=$qSub,k=$qK,nLists=$qLists") {
       graft.similarity.AnnStore.writePq(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", path,
-        graft.similarity.PqIndex.closedForm(dim = 64, subspaces = 8, k = 16),
-        nLists = 8)
+        graft.similarity.PqIndex.closedForm(dim = qDim, subspaces = qSub, k = qK),
+        nLists = qLists)
     }
     path
   }
