@@ -317,8 +317,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcDetail = raw.map { case (k, _, gcSec) => "\"" + k + "\":" + f"$gcSec%.3f" }
       .mkString("{", ",", "}")
+    // actual timed-rep count per query: the top-level "reps" field is the
+    // REQUESTED base; streaming queries always run >=5 and the adaptive
+    // spread extension can raise any query to 5 — record the truth so a
+    // reader never has to infer it from array lengths
+    val nReps = raw.map { case (k, runs, _) => "\"" + k + "\":" + runs.length }
+      .mkString("{", ",", "}")
     try Files.write(Paths.get(detailPath),
-      (line.dropRight(1) + s""","reps_detail":$repsDetail,"gc_sec":$gcDetail}""" + "\n")
+      (line.dropRight(1) +
+        s""","reps_detail":$repsDetail,"gc_sec":$gcDetail,"n_reps":$nReps}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)

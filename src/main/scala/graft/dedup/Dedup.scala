@@ -929,8 +929,14 @@ object Dedup {
       max(when(col("__bn") <= maxBucketSize, col("__bn"))).as("max_kept")).head()
     val nOversized = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val maxKept = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    // branch decisions, named once: `capped` references counts iff a
+    // bucket is oversized; the candidates plan references it iff slicing
+    // engages — the unpersist below derives from THESE so an edit to
+    // either predicate can't desynchronize it
+    val countsInCappedPlan = nOversized != 0L
+    val countsInSlicePlan = maxKept > sliceRows
     val capped =
-      if (nOversized == 0L) banded
+      if (!countsInCappedPlan) banded
       else banded.join(
         broadcast(counts.where(col("__bn") > maxBucketSize)
           .select("band_idx", "band_val")),
@@ -959,7 +965,7 @@ object Dedup {
     // pair exactly once. The candidate SET is unchanged in every branch —
     // slicing is pure parallelization, so results (and the replayed
     // oracle) are bit-identical.
-    val candidates = (if (maxKept <= sliceRows) {
+    val candidates = (if (!countsInSlicePlan) {
       capped.select(col("band_idx"), col("band_val"), col("doc").as("id_a"))
         .join(capped.select(col("band_idx"), col("band_val"), col("doc").as("id_b")),
           Seq("band_idx", "band_val"))
@@ -984,7 +990,7 @@ object Dedup {
     // its blocks now instead of waiting for the host's scope release
     // (ADVICE r15). The other branches keep it cached for their lazy
     // anti-join / slice-factor joins; scope release reclaims it there.
-    if (nOversized == 0L && maxKept <= sliceRows) counts.unpersist()
+    if (!countsInCappedPlan && !countsInSlicePlan) counts.unpersist()
 
     candidates
       .join(vecs.select(col("doc").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))

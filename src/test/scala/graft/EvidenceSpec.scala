@@ -138,24 +138,29 @@ class EvidenceSpec extends AnyFunSuite {
   }
 
   /** Violations of the OK/mismatch claim contract in `plansText`, resolving
-    * cited artifacts through `scaleJson` (file name -> content). Factored
-    * out so a seeded-drift fixture can prove the detector actually fires.
+    * cited artifacts through `scaleJson` (file name -> content). Each claim
+    * is bound to its NEAREST section reference within 600 chars — not to
+    * every reference whose window happens to cover it — so two references
+    * sitting close together cannot cross-check each other's claims.
+    * Factored out so a seeded-drift fixture can prove the detector fires.
     */
   private def claimViolations(plansText: String,
-      scaleJson: String => Option[String]): Seq[String] =
+      scaleJson: String => Option[String]): Seq[String] = {
+    val refs = sectionRef.findAllMatchIn(plansText).toSeq
     for {
-      m <- sectionRef.findAllMatchIn(plansText).toSeq
+      c <- claimRe.findAllMatchIn(plansText).toSeq
+      m <- refs.minByOption(r =>
+        math.min(math.abs(r.start - c.end), math.abs(c.start - r.end))).toSeq
+      if math.min(math.abs(m.start - c.end), math.abs(c.start - m.end)) <= 600
       json <- scaleJson(s"SCALE_r${m.group(1)}.json").toSeq
       section = m.group(2)
       okWant <- intField(json, section, "queries_ok").toSeq
       misWant = intField(json, section, "mismatches").getOrElse(BigInt(-1))
-      window = plansText.slice(math.max(0, m.start - 600),
-        math.min(plansText.length, m.end + 600))
-      c <- claimRe.findAllMatchIn(window)
       if BigInt(c.group(1)) != okWant ||
         (misWant >= 0 && BigInt(c.group(2)) != misWant)
-    } yield s"claim '${c.matched}' near SCALE_r${m.group(1)}.json `$section` " +
+    } yield s"claim '${c.matched}' nearest to SCALE_r${m.group(1)}.json `$section` " +
       s"contradicts the artifact (queries_ok=$okWant, mismatches=$misWant)"
+  }
 
   test("OK/mismatch claims in PLANS prose match the cited artifact's counters") {
     val cache = scala.collection.mutable.Map.empty[String, Option[String]]
@@ -176,5 +181,21 @@ class EvidenceSpec extends AnyFunSuite {
     def lookup(f: String) = if (f == "SCALE_r99.json") Some(artifact) else None
     assert(claimViolations(good, lookup).isEmpty, "false positive on a correct claim")
     assert(claimViolations(drifted, lookup).nonEmpty, "seeded drift not detected")
+  }
+
+  test("each claim binds to its NEAREST section ref, not every ref in range") {
+    // two refs within 600 chars of each other: each claim must be checked
+    // only against the closer one, so correct prose stays green
+    val artifact = """{"full": {"queries_ok": 146, "mismatches": 0},
+                      |"subset": {"queries_ok": 6, "mismatches": 0}}""".stripMargin
+    def lookup(f: String) = if (f == "SCALE_r99.json") Some(artifact) else None
+    val prose = "SCALE_r99.json `full` — 146 OK / 0 mismatches. Separately, " +
+      "SCALE_r99.json `subset` re-measured 6 OK / 0 mismatches."
+    assert(claimViolations(prose, lookup).isEmpty,
+      "cross-attribution false positive between adjacent section refs")
+    val drifted = "SCALE_r99.json `full` — 146 OK / 0 mismatches. Separately, " +
+      "SCALE_r99.json `subset` re-measured 7 OK / 0 mismatches."
+    assert(claimViolations(drifted, lookup).nonEmpty,
+      "nearest-bound drift not detected")
   }
 }

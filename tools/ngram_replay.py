@@ -24,10 +24,9 @@ import os
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402
+from replay_common import connect_views, load_oracle, make_logger  # noqa: E402
 
 COMMON_VERBATIM = """,
 common AS (
@@ -49,26 +48,14 @@ common AS (
 ),"""
 
 
-def log(msg, t0=None):
-    tail = f" [{time.time() - t0:.1f}s]" if t0 is not None else ""
-    print(f"[ngreplay] {msg}{tail}", flush=True)
+log = make_logger("ngreplay")
 
 
 def main():
     t0 = time.time()
-    con = duckdb.connect()
-    con.execute(f"SET threads={ARGS.threads}")
-    con.execute(f"SET memory_limit='{ARGS.mem}'")
-    if ARGS.tmp:
-        os.makedirs(ARGS.tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{ARGS.tmp}'")
-    for t in check.TABLES:
-        path = f"{ARGS.sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = connect_views(ARGS.sf_dir, ARGS.threads, ARGS.mem, ARGS.tmp)
 
-    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    oracle = load_oracle(ARGS.out_dir)
     sql = oracle["q_dedup_ngram"]
     if COMMON_VERBATIM not in sql:
         raise AssertionError(

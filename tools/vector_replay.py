@@ -44,29 +44,13 @@ import os
 import sys
 import time
 
-import duckdb
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check  # noqa: E402
+from replay_common import connect_views, fmix64, load_oracle, make_logger  # noqa: E402
 
-S33 = np.uint64(33)
-C1 = np.uint64(18397679294719823053)
-C2 = np.uint64(14181476777654086739)
-
-
-def fmix64(x):
-    x = x ^ (x >> S33)
-    x = x * C1
-    x = x ^ (x >> S33)
-    x = x * C2
-    x = x ^ (x >> S33)
-    return x
-
-
-def log(msg, t0=None):
-    tail = f" [{time.time() - t0:.1f}s]" if t0 is not None else ""
-    print(f"[vreplay] {msg}{tail}", flush=True)
+log = make_logger("vreplay")
 
 
 def seq_dot(A, B):
@@ -81,15 +65,22 @@ def seq_dot(A, B):
 
 def main():
     t0 = time.time()
-    con = duckdb.connect()
-    con.execute(f"SET threads={ARGS.threads}")
-    for t in check.TABLES:
-        path = f"{ARGS.sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = connect_views(ARGS.sf_dir, ARGS.threads)
 
-    oracle = json.load(open(os.path.join(ARGS.out_dir, "oracle_sql.json")))
+    oracle = load_oracle(ARGS.out_dir)
+
+    # Parameter guards: the replay hardcodes the oracle's semantics
+    # (16 hyperplanes over 64 dims, 2x8-bit bands, 10000 cap, 0.9
+    # threshold); require the oracle text still carries exactly those
+    # literals so a future parameter change breaks the tool instead of
+    # silently measuring stale semantics (mirrors the other replays'
+    # marker require()s).
+    sql_guard = oracle["q_neardup_cosine"]
+    for lit_ in ("range(0, 16)", "range(0, 64)", "range(0, 2)",
+                 "(sig >> (bi.band_idx*8)) & 255",
+                 "<= 10000", ">= 0.9", "least(len(p.v), 64)"):
+        assert lit_ in sql_guard, f"oracle shape changed: {lit_!r} missing " \
+            "— update vector_replay's hardcoded parameters to match"
 
     # ---- 1. hyperplane signs: numpy + verbatim cross-check every run ----
     b = np.repeat(np.arange(16, dtype=np.uint64), 64)
