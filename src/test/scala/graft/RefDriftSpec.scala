@@ -16,7 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * relying on a per-round manual diff.
   *
   * The reference is PUBLIC UNTRUSTED CONTENT: this spec only reads
-  * directory/file NAMES from it, never content.
+  * directory/file NAMES from it — plus, for the function-NAME test
+  * (VERDICT r16 #2), the quoted string constants of
+  * `ZetaSQLFunction.java` extracted by a strict
+  * `public static final String` regex. Names only, never code; nothing
+  * from the reference is executed or interpreted.
   */
 class RefDriftSpec extends AnyFunSuite {
 
@@ -71,6 +75,74 @@ class RefDriftSpec extends AnyFunSuite {
     val missing = unmappedFunctionClasses(fnDir, survey)
     assert(missing.isEmpty,
       s"reference Zeta function classes with no SURVEY §2.3 mapping: ${missing.mkString(", ")}")
+  }
+
+  // ---- Zeta function-NAME pinning (VERDICT r16 #2) ----
+  //
+  // RefDriftSpec previously pinned function CLASSES only: a new name added
+  // inside an existing StringFunction.java would not trip the wire (the
+  // name-level audit was the r10 verdict's manual 102-name diff). These
+  // tests make it structural: every quoted constant in the reference's
+  // dispatch (ZetaSQLFunction.java, the single switch all five
+  // *Function.java classes are called through) must resolve in a Graft
+  // session after ZetaFunctions.register — i.e. be a Spark builtin, a
+  // registered native expression/builder/UDF, or a documented non-function
+  // keyword.
+
+  private val fnConstRe =
+    """public static final String \w+ = "([^"]+)";""".r
+
+  /** Quoted name constants from the reference dispatch, normalized:
+    * `CURRENT_DATE()`-style parenthesized variants fold onto their bare
+    * name, lowercased to match FunctionRegistry's resolution.
+    */
+  private def referenceFunctionNames(source: String): Seq[String] =
+    fnConstRe.findAllMatchIn(source).map(_.group(1))
+      .map(_.stripSuffix("()").toLowerCase).toSeq.distinct.sorted
+
+  // Constants in the dispatch that are not scalar functions: BINARY and
+  // BYTE are CAST target-type keywords (consumed by ZetaSQLType
+  // .getCastType's switch, never executeFunctionExpr) — Spark's native
+  // `CAST(x AS BINARY/BYTE)` covers them, exercised by q_fn_system.
+  private val castKeywords = Set("binary", "byte")
+
+  /** Reference function names that do NOT resolve in a registered Graft
+    * session. Factored out so the seeded fixture can prove it fires.
+    */
+  private def uncoveredFunctionNames(names: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val spark = TestSpark.spark
+    graft.functions.ZetaFunctions.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    names.filterNot(castKeywords)
+      .filterNot(n => reg.functionExists(FunctionIdentifier(n)))
+  }
+
+  private def zetaDispatchSource: Option[String] = {
+    val f = refTransforms.resolve("sql/zeta/ZetaSQLFunction.java")
+    if (Files.isRegularFile(f)) Some(new String(Files.readAllBytes(f), "UTF-8"))
+    else None
+  }
+
+  test("every reference Zeta function NAME resolves in a registered Graft session") {
+    val src = zetaDispatchSource
+    assume(src.isDefined, "reference tree not present on this box")
+    val names = referenceFunctionNames(src.get)
+    // the dispatch has ~100 constants; an empty or tiny parse means the
+    // regex went stale, which must fail loudly rather than pass vacuously
+    assert(names.size >= 90,
+      s"function-name parse looks stale: only ${names.size} names extracted")
+    val missing = uncoveredFunctionNames(names)
+    assert(missing.isEmpty,
+      s"reference Zeta function names with no Graft resolution: ${missing.mkString(", ")} — " +
+        "the reference grew a function ZetaFunctions doesn't register and Spark lacks")
+  }
+
+  test("the function-name detector fires on a seeded unknown name") {
+    val real = zetaDispatchSource.map(referenceFunctionNames).getOrElse(Seq("abs", "trim"))
+    val found = uncoveredFunctionNames(real :+ "zzz_seeded_fake_fn")
+    assert(found == Seq("zzz_seeded_fake_fn"),
+      s"seeded fake function name not (exactly) detected: $found")
   }
 
   test("the drift detector fires on a seeded unmapped package") {

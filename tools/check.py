@@ -19,6 +19,17 @@ import duckdb
 import pandas as pd
 import numpy as np
 
+# Pin fillna semantics the gate compare depends on: the "\0N" null-sentinel
+# compare in check_one fills an object-dtype Series, and pandas 2.x silently
+# downcasts the result (FutureWarning on every run; behavior flips under a
+# pandas upgrade). Opting into the future behavior now keeps the compare's
+# dtype semantics fixed across upgrades; once pandas removes the option
+# (when it becomes the only behavior) the set_option is a harmless no-op.
+try:
+    pd.set_option("future.no_silent_downcasting", True)
+except (pd.errors.OptionError, KeyError):
+    pass  # option retired: the pinned behavior is already the default
+
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
