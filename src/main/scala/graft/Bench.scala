@@ -41,7 +41,20 @@ object Bench {
   /** (query name, timed reps as (sec, err), gc seconds during timed reps) */
   type Raw = Seq[(String, Seq[(Double, Option[String])], Double)]
 
+  /** 1-minute system load average (-1.0 where the platform lacks it).
+    * Captured BEFORE the first SparkSession exists, the start value is a
+    * clean external-contention signal: on a box the bench owns it reads
+    * ~0, and a non-idle value flags the run as contended (VERDICT r16 #3
+    * — r16's q_dedup_ngram +1.02 s driver-bench move was box contention
+    * that could only be adjudicated after the fact via solo floors). The
+    * end value is self-polluted (local[32] pushes load up during the run)
+    * and is recorded only so a reader can see the run's own footprint.
+    */
+  private def systemLoad1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val load1Start = systemLoad1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
@@ -63,17 +76,17 @@ object Bench {
         // property before committing to the fork path (ADVICE r13).
         if (benchLoadableFrom(sys.props("java.class.path"))) {
           val raw = runForked(sfDir, reps)
-          report(raw, reps, sfDir, detailPath)
+          report(raw, reps, sfDir, detailPath, load1Start)
         } else {
           System.err.println("[bench] WARN: graft.Bench not loadable from " +
             "java.class.path (classloader-based launcher?) — forked slices " +
             "would all die; falling back to the single-JVM in-process path")
           report(measure(SparkEntry.queries.keys.toSeq, sfDir, reps),
-            reps, sfDir, detailPath)
+            reps, sfDir, detailPath, load1Start)
         }
       case None =>
         val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
-        report(measure(names, sfDir, reps), reps, sfDir, detailPath)
+        report(measure(names, sfDir, reps), reps, sfDir, detailPath, load1Start)
     }
   }
 
@@ -269,6 +282,10 @@ object Bench {
       // [1.80, 1.21, 1.56]). When the successful-rep spread exceeds 25%
       // of the median, extend to 5 reps so the median sits on the stable
       // side; the per-rep arrays in the detail artifact expose the spread.
+      // 5 is the hard ceiling BY DESIGN (the extension dodges a JIT-cold
+      // rep; it does not chase convergence on a contended box) — a query
+      // still noisy after extension is flagged in the detail artifact's
+      // "unstable_after_extension" list instead of extending further.
       val okT = base.collect { case (t, None) => t }.sorted
       val runs =
         if (okT.nonEmpty && base.length < 5 &&
@@ -284,7 +301,11 @@ object Bench {
   /** Emit the driver artifact: three stdout JSON lines + the detail file.
     * Byte-compatible with the pre-fork format.
     */
-  private def report(raw: Raw, reps: Int, sfDir: String, detailPath: String): Unit = {
+  private def report(raw: Raw, reps: Int, sfDir: String, detailPath: String,
+                     load1Start: Double): Unit = {
+    // run start/end load sentinel (VERDICT r16 #3): ~0 start = the bench
+    // owned the box; anything else flags the artifact as contended
+    val load1 = f""""load1":[${load1Start}%.2f,${systemLoad1()}%.2f]"""
     val (ok, bad) = raw.partition { case (_, runs, _) => runs.exists(_._2.isEmpty) }
     val results = ok.map { case (name, runs, _) =>
       val s = runs.collect { case (t, None) => t }.sorted
@@ -303,7 +324,7 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"errors":${errNames.size},""" +
       s""""error_queries":[${errNames.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""reps":$reps,"sf":"$sfDir"}"""
+      s""""reps":$reps,$load1,"sf":"$sfDir"}"""
     // Full per-rep detail + error messages + per-query GC attribution
     // (seconds of collector time during the timed reps), execution order,
     // to a side file.
@@ -323,9 +344,19 @@ object Bench {
     // reader never has to infer it from array lengths
     val nReps = raw.map { case (k, runs, _) => "\"" + k + "\":" + runs.length }
       .mkString("{", ",", "}")
+    // Queries whose FINAL successful-rep spread still exceeds the 25%
+    // threshold the adaptive extension stabilizes toward (ADVICE r16): 5
+    // reps is the hard ceiling by design (the extension exists to dodge a
+    // JIT-cold first rep, not to chase convergence on a contended box), so
+    // a still-noisy median is flagged here rather than silently kept.
+    val unstable = raw.collect { case (k, runs, _)
+        if { val t = runs.collect { case (x, None) => x }.sorted
+             t.nonEmpty && (t.last - t.head) > 0.25 * t(t.length / 2) } => "\"" + k + "\""
+      }.sorted.mkString("[", ",", "]")
     try Files.write(Paths.get(detailPath),
       (line.dropRight(1) +
-        s""","reps_detail":$repsDetail,"gc_sec":$gcDetail,"n_reps":$nReps}""" + "\n")
+        s""","reps_detail":$repsDetail,"gc_sec":$gcDetail,"n_reps":$nReps,""" +
+        s""""unstable_after_extension":$unstable}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)
@@ -360,6 +391,6 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""n_queries":${results.size},"errors":${errNames.size},"reps":$reps,""" +
-      s""""slowest":$top,"sf":"$sfDir"}""")
+      s""""slowest":$top,$load1,"sf":"$sfDir"}""")
   }
 }

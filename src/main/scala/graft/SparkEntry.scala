@@ -2318,6 +2318,57 @@ object SparkEntry {
       s.table(name).orderBy("bucket_start", "event_type")
     }),
 
+    // §2.4+§2.5 the streaming config RUNNER itself on the hash path
+    // (VERDICT r16 #5; the 19 verbatim reference STREAMING configs in
+    // StreamingConfigSpec cover config fidelity — this puts the runner's
+    // end-to-end RESULT under the DuckDB oracle, the q_stream_window
+    // treatment applied to the config layer): events fixture as a JSON
+    // file stream -> STREAMING HOCON job (LocalFile source, Sql
+    // transform, parquet LocalFile sink + explicit checkpoint) executed
+    // by Pipeline.runStreaming -> sink directory read back, total-ordered
+    // and hash-compared against the equivalent batch SQL over `events`.
+    // Stateless transform by design: the stateful legs (windows, dedup,
+    // sessionize, as-of) are hash-covered at the operator layer; the
+    // component under test here is the config runner's source->transform
+    // ->sink plumbing, so the query keeps exact pass-through values the
+    // oracle reproduces bit-for-bit.
+    "q_pipeline_streaming" -> ((s, dir) => {
+      streamFixture(s, dir) // materializes the shared JSON event feed
+      val tag = dir.replaceAll("\\W", "_")
+      val feed = s"/tmp/graft_fixtures/stream_$tag/a_v2"
+      val sink = s"/tmp/graft_fixtures/pipeline_streaming_$tag/out"
+      rmTree(new java.io.File(sink)) // fresh sink: stale part files would double rows
+      val conf =
+        s"""env { job.mode = "STREAMING" }
+           |source {
+           |  LocalFile {
+           |    plugin_output = "ev"
+           |    path = "$feed"
+           |    file_format_type = "json"
+           |    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+           |  }
+           |}
+           |transform {
+           |  Sql {
+           |    plugin_input = "ev"
+           |    plugin_output = "clicks"
+           |    query = "select event_id, user_id, upper(event_type) as etype, value from ev where event_type = 'click'"
+           |  }
+           |}
+           |sink {
+           |  LocalFile {
+           |    plugin_input = "clicks"
+           |    path = "$sink"
+           |    file_format_type = "parquet"
+           |    checkpoint = "${scratchCheckpoint(s"pipeline_streaming_$tag")}"
+           |  }
+           |}
+           |""".stripMargin
+      val queries = graft.api.Pipeline.runStreaming(s, graft.api.Pipeline.parseHocon(conf))
+      try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+      s.read.parquet(sink).orderBy("event_id")
+    }),
+
     // §2.4+§2.5 SOCKET STREAMING leg on the hash path (r12; VERDICT r11
     // #6; q_src_socket covers the bounded round trip): live socket server
     // -> SocketSource.readStream (Spark's socket micro-batch source) ->
@@ -4132,6 +4183,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_pipeline_streaming" ->
+      """SELECT event_id, user_id, upper(event_type) AS etype, value
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
 
     "q_pipeline" ->
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal

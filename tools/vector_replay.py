@@ -102,7 +102,17 @@ def main():
         "SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v, label "
         "FROM embeddings ORDER BY vec_id").arrow()
     ids = tbl.column("vec_id").to_numpy()
-    V = np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+    vlist = tbl.column("v").to_pylist()
+    # Known instrument limitation (ADVICE r16): the vectorized path needs
+    # one uniform embedding length — ragged input would build an object
+    # array (or crash) where the verbatim oracle, which goes through
+    # len(a.v) per row, still completes. Fail loudly instead.
+    lens = {len(v) for v in vlist}
+    assert len(lens) == 1, (
+        f"ragged embeddings (lengths {sorted(lens)[:5]}...): the numpy "
+        "replay assumes one uniform vector length; run the verbatim "
+        "oracle for ragged data")
+    V = np.array(vlist, dtype=np.float64)
     n, d = V.shape
     log(f"embeddings loaded: {n} x {d}", t0)
     dim = min(d, 64)
