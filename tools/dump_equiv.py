@@ -9,15 +9,31 @@ without re-running the multi-hour DuckDB sweep — the r16 trick
 (logs/sf10_dump_equiv_r16.log) as a tool instead of a one-off.
 
 Usage: python3 tools/dump_equiv.py BASELINE_DIR CANDIDATE_DIR
+       python3 tools/dump_equiv.py --manifest-out FILE DUMP_DIR
+       python3 tools/dump_equiv.py --manifest-check FILE DUMP_DIR
 
 Exit 0 iff every query dir present in CANDIDATE_DIR exists in
 BASELINE_DIR and is value-identical (column order normalized the same
 way as check.py: sorted by name; row order NOT normalized — Verify
 queries carry a total ORDER BY, so an order diff is a real diff).
 Prints `identical / differ / missing` totals plus the differing lists.
+
+Manifest mode (round 17): the pair compare needs the baseline dump TREE
+on disk, but sf10 dumps (~GBs) are wiped between rounds — r17 started
+with the r16 trees gone. `--manifest-out` writes a compact per-query
+fingerprint (row count, sorted schema+dtypes, sha256 over a canonical
+byte serialization of every value, float bits exact, nested-array and
+null aware) small enough to COMMIT; `--manifest-check` re-anchors a
+fresh dump tree against it without the baseline bytes. A manifest match
+is exactly as strong as the pair compare: same read normalization, and
+the canonical encoding is injective per (dtype, value) — length-prefixed
+so no value concatenation can collide with another row boundary.
 """
 import glob
+import hashlib
+import json
 import os
+import struct
 import sys
 
 import numpy as np
@@ -82,6 +98,126 @@ def frames_equal(a, b):
     return True, None
 
 
+def _enc_cell(h, x):
+    """Feed one cell into the hash: tag byte + length-prefixed payload so
+    the per-value encoding is injective (no cross-boundary collisions)."""
+    if x is None or (isinstance(x, float) and np.isnan(x)):
+        h.update(b"N")
+        return
+    if isinstance(x, (np.ndarray, list, tuple)):
+        xs = list(x)
+        h.update(b"A" + struct.pack("<q", len(xs)))
+        for e in xs:
+            _enc_cell(h, e)
+        return
+    if isinstance(x, (bytes, bytearray)):
+        h.update(b"B" + struct.pack("<q", len(x)) + bytes(x))
+        return
+    if isinstance(x, (bool, np.bool_)):
+        h.update(b"b" + (b"1" if x else b"0"))
+        return
+    if isinstance(x, (float, np.floating)):
+        h.update(b"F" + struct.pack("<d", float(x)))  # exact bits
+        return
+    if isinstance(x, (int, np.integer)):
+        s = str(int(x)).encode()
+        h.update(b"I" + struct.pack("<q", len(s)) + s)
+        return
+    if isinstance(x, pd.Timestamp):
+        h.update(b"T" + struct.pack("<q", x.value))  # epoch ns
+        return
+    s = str(x).encode("utf-8")  # str, Decimal, date — stable reprs
+    h.update(b"S" + struct.pack("<q", len(s)) + s)
+
+
+def _fingerprint(df):
+    """Canonical sha256 over a _read-normalized frame. Columns in sorted
+    order (already, via _read); rows in dump order (total ORDER BY
+    contract). Numeric/datetime columns hash their raw widened bytes
+    (float64/int64 exact); everything else goes through _enc_cell."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        cs = str(c).encode()
+        h.update(b"C" + struct.pack("<q", len(cs)) + cs)
+        x = df[c].to_numpy()
+        if x.dtype.kind == "M":  # normalize ns-vs-us like the driver
+            h.update(b"tM" + x.astype("datetime64[ns]").view("int64").tobytes())
+        elif x.dtype.kind == "m":
+            h.update(b"tm" + x.astype("timedelta64[ns]").view("int64").tobytes())
+        elif x.dtype.kind == "f":
+            h.update(b"tf" + x.astype(np.float64).tobytes())  # NaN bits kept
+        elif x.dtype.kind in "iu":
+            h.update(b"ti" + x.astype(np.int64).tobytes())
+        elif x.dtype.kind == "b":
+            h.update(b"tb" + x.astype(np.uint8).tobytes())
+        else:
+            h.update(b"to")
+            for v in x:
+                _enc_cell(h, v)
+    return h.hexdigest()
+
+
+def _manifest_entry(pdir):
+    df = _read(pdir)
+    if df is None:
+        return None
+    return {
+        "rows": len(df),
+        "cols": {str(c): str(df[c].dtype) for c in df.columns},
+        "sha256": _fingerprint(df),
+    }
+
+
+def manifest_out(path, dump_dir):
+    man = {}
+    for p in sorted(glob.glob(os.path.join(dump_dir, "*"))):
+        if not os.path.isdir(p):
+            continue
+        e = _manifest_entry(p)
+        if e is None:
+            print(f"[WARN] {os.path.basename(p)}: no parquet, skipped")
+            continue
+        man[os.path.basename(p)] = e
+    with open(path, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    print(f"manifest: {len(man)} queries -> {path}")
+    return 0
+
+
+def manifest_check(path, dump_dir):
+    man = json.load(open(path))
+    identical, differ, missing = [], [], []
+    names = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(dump_dir, "*"))
+        if os.path.isdir(p)
+    )
+    for name in names:
+        want = man.get(name)
+        if want is None:
+            missing.append(name)
+            continue
+        got = _manifest_entry(os.path.join(dump_dir, name))
+        if got is None:
+            differ.append((name, "no parquet in dump dir"))
+        elif got != want:
+            why = ("rows" if got["rows"] != want["rows"]
+                   else "schema" if got["cols"] != want["cols"] else "values")
+            differ.append((name, why))
+            print(f"[DIFF] {name}: {why}", flush=True)
+        else:
+            identical.append(name)
+    not_dumped = sorted(set(man) - set(names))
+    print(f"identical: {len(identical)}  differ: {len(differ)}  "
+          f"missing-in-manifest: {len(missing)}  in-manifest-not-dumped: "
+          f"{len(not_dumped)}")
+    print(f"differ: {differ}")
+    print(f"missing: {missing}")
+    if not_dumped:
+        print(f"not dumped: {not_dumped}")
+    return 1 if (differ or missing or not_dumped) else 0
+
+
 def main(base_dir, cand_dir):
     names = sorted(
         os.path.basename(p)
@@ -111,4 +247,8 @@ def main(base_dir, cand_dir):
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--manifest-out":
+        sys.exit(manifest_out(sys.argv[2], sys.argv[3]))
+    if sys.argv[1] == "--manifest-check":
+        sys.exit(manifest_check(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
