@@ -81,6 +81,11 @@ def main():
     ap.add_argument("--mem", default="24GB")
     ap.add_argument("--logdir", default="/tmp/sf10_gate_logs")
     ap.add_argument("--validate", action="store_true")
+    ap.add_argument("--manifest", default=None, metavar="FILE",
+                    help="on a fully green gate, also write the dump-"
+                         "fingerprint manifest (dump_equiv --manifest-out) "
+                         "so the round's re-anchor artifact is produced by "
+                         "the same run that proved the dumps oracle-exact")
     a = ap.parse_args()
     os.makedirs(a.logdir, exist_ok=True)
     py = sys.executable
@@ -134,6 +139,15 @@ def main():
         "stage_exits": {k: v["exit"] for k, v in stages.items()},
         "logs": {k: v["log"] for k, v in stages.items()},
     }
+    if a.manifest:
+        if all_ok:
+            import dump_equiv
+            dump_equiv.manifest_out(a.manifest, a.out_dir)
+            summary["manifest"] = a.manifest
+        else:
+            print(f"[gate] manifest NOT written ({a.manifest}): gate not "
+                  "green — a fingerprint of unproven dumps would anchor "
+                  "future rounds to a possibly-wrong baseline", flush=True)
     with open(a.summary, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"[gate] {summary['n_ok']} ok, {len(bad)} bad, "
