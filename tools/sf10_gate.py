@@ -29,6 +29,7 @@ oracle cross-check — feasible at sf0.01/sf0.1/sf1, NOT at sf10 where the
 verbatim statement is the thing being replayed around).
 """
 import argparse
+import glob
 import json
 import os
 import re
@@ -81,6 +82,9 @@ def main():
     ap.add_argument("--mem", default="24GB")
     ap.add_argument("--logdir", default="/tmp/sf10_gate_logs")
     ap.add_argument("--validate", action="store_true")
+    ap.add_argument("--expect", type=int, default=None, metavar="N",
+                    help="pin the contract size: fail if oracle entries + "
+                         "dump dirs resolve to a different query count")
     ap.add_argument("--manifest", default=None, metavar="FILE",
                     help="on a fully green gate, also write the dump-"
                          "fingerprint manifest (dump_equiv --manifest-out) "
@@ -128,11 +132,29 @@ def main():
     ok = sorted(q for q, t in per_query.items() if t == "OK")
     bad = sorted((q, t) for q, t in per_query.items()
                  if t not in ("OK", "SKIP"))
+    # Completeness wire: every query in the contract must have a parsed
+    # status. Without this, a query that silently loses its oracle entry
+    # prints a [ROWS-ONLY] line the status parser ignores — n_ok would
+    # shrink by one while bad stayed empty and all_ok stayed true. The
+    # oracle file alone can't catch that (the lost entry vanishes from it
+    # too), so the wire unions it with the DUMP DIRECTORIES (the query
+    # still dumps) and, when given, the --expect contract size (catches a
+    # query that lost both).
+    oracle = json.load(open(os.path.join(a.out_dir, "oracle_sql.json")))
+    dumped = set(os.path.basename(p) for p in
+                 glob.glob(os.path.join(a.out_dir, "*")) if os.path.isdir(p))
+    unaccounted = sorted((set(oracle) | dumped) - set(per_query))
+    for q in unaccounted:
+        bad.append((q, "NO-STATUS"))
+    if a.expect and len(set(oracle) | dumped) != a.expect:
+        bad.append(("<contract>",
+                    f"EXPECT {a.expect} queries, found {len(set(oracle) | dumped)}"))
     still_skipped = sorted(q for q in SKIP6 if per_query.get(q) != "OK")
     all_ok = (not bad and not still_skipped
               and all(s["exit"] == 0 for s in stages.values()))
     summary = {
         "sf_dir": a.sf_dir, "out_dir": a.out_dir,
+        "n_oracles": len(oracle),
         "n_ok": len(ok), "bad": bad, "replay_uncovered": still_skipped,
         "all_ok": all_ok,
         "stage_walls_sec": {k: v["wall_sec"] for k, v in stages.items()},
