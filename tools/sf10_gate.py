@@ -23,6 +23,13 @@ stage 1 instead).
 Usage: python3 tools/sf10_gate.py SF_DIR VERIFY_OUT
          [--summary FILE] [--timeout 900] [--threads 8] [--mem 24GB]
          [--logdir /tmp/sf10_gate_logs] [--validate]
+         [--expect N] [--manifest FILE]
+
+--expect pins the contract size (oracle entries ∪ dump dirs must count
+N); --manifest writes the dump-fingerprint re-anchor file, green runs
+only. Completeness is wired independently of the status parse: any
+oracle entry or dump directory without a parsed status is NO-STATUS
+(bad), so a query cannot silently leave the contract.
 
 --validate is passed through to the replays (verbatim single-statement
 oracle cross-check — feasible at sf0.01/sf0.1/sf1, NOT at sf10 where the
