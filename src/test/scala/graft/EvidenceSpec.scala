@@ -198,4 +198,61 @@ class EvidenceSpec extends AnyFunSuite {
     assert(claimViolations(drifted, lookup).nonEmpty,
       "nearest-bound drift not detected")
   }
+
+  // ---- committed dump manifests stay anchored to the query set (r17) ----
+  //
+  // SF*_MANIFEST_r*.json fingerprints Verify dumps per QUERY NAME
+  // (tools/dump_equiv.py --manifest-check). Renaming or removing a
+  // SparkEntry query would strand its manifest entry: the re-anchor
+  // check would report it "in-manifest-not-dumped" only when someone
+  // actually runs it, possibly rounds later. Pin it here instead: every
+  // name in every committed manifest must still be a SparkEntry query.
+  // (The converse is intentionally NOT pinned — later rounds add queries
+  // older manifests legitimately don't know.)
+  private def manifestNames(p: java.nio.file.Path): Seq[String] = {
+    // names are the top-level keys: "q_x": { ... } at nesting depth 1
+    val json = read(p)
+    val key = """"(q[A-Za-z0-9_]*)"\s*:\s*\{""".r
+    var depth = 0
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case '"' if depth == 1 =>
+          key.findPrefixMatchOf(json.subSequence(i, json.length))
+            .foreach(m => out += m.group(1))
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  test("every query name in a committed dump manifest is a SparkEntry query") {
+    val manifests = ls(".", "SF\\d+_MANIFEST_r\\d+\\.json")
+    assert(manifests.nonEmpty, "no committed dump manifests found")
+    val queries = SparkEntry.queries.keySet
+    val stranded = manifests.flatMap { m =>
+      val names = manifestNames(m)
+      assert(names.size >= 100,
+        s"$m: manifest name parse looks stale (only ${names.size} names)")
+      names.filterNot(queries).map(n => s"${m.getFileName}: $n")
+    }
+    assert(stranded.isEmpty,
+      s"manifest entries stranded by a query rename/removal: ${stranded.mkString(", ")}")
+  }
+
+  test("the stranded-manifest detector fires on a seeded unknown name") {
+    val tmp = Files.createTempDirectory("manifest_fixture")
+    val f = tmp.resolve("SF1_MANIFEST_r99.json")
+    val entries = ("q_zzz_renamed_away" +: SparkEntry.queries.keys.take(120).toSeq)
+      .map(n => s""""$n": {"rows": 1}""").mkString("{", ",\n", "}")
+    Files.write(f, entries.getBytes("UTF-8"))
+    val names = manifestNames(f)
+    val stranded = names.filterNot(SparkEntry.queries.keySet)
+    assert(stranded == Seq("q_zzz_renamed_away"),
+      s"seeded stranded name not (exactly) detected: $stranded")
+  }
 }
