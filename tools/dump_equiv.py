@@ -10,7 +10,7 @@ without re-running the multi-hour DuckDB sweep — the r16 trick
 
 Usage: python3 tools/dump_equiv.py BASELINE_DIR CANDIDATE_DIR
        python3 tools/dump_equiv.py --manifest-out FILE DUMP_DIR
-       python3 tools/dump_equiv.py --manifest-check FILE DUMP_DIR
+       python3 tools/dump_equiv.py --manifest-check [--strict] FILE DUMP_DIR
 
 Exit 0 iff every query dir present in CANDIDATE_DIR exists in
 BASELINE_DIR and is value-identical (column order normalized the same
@@ -25,9 +25,25 @@ fingerprint (row count, sorted schema+dtypes, sha256 over a canonical
 byte serialization of every value, float bits exact, nested-array and
 null aware) small enough to COMMIT; `--manifest-check` re-anchors a
 fresh dump tree against it without the baseline bytes. A manifest match
-is exactly as strong as the pair compare: same read normalization, and
+is AT LEAST as strong as the pair compare: same read normalization, and
 the canonical encoding is injective per (dtype, value) — length-prefixed
-so no value concatenation can collide with another row boundary.
+so no value concatenation can collide with another row boundary. It is
+not weaker in any case, and strictly stronger in one: float columns hash
+raw IEEE bits (NaN payload bits included), where frames_equal treats any
+NaN as equal to any NaN — a NaN bit-pattern drift flags `differ` here
+that the pair compare would wave through. The bits are deliberately NOT
+canonicalized: committed manifests (SF*_MANIFEST_r17.json) pin the
+current hashing, and rewriting NaNs would silently invalidate them
+(ADVICE r17 adjudication — the drift direction is false-positive only,
+the safe side for a re-anchor tool).
+
+A dump-tree query ABSENT from the manifest ("missing-in-manifest") is
+informational by default: re-anchoring a FUTURE round against a prior
+round's manifest legitimately meets newly added queries (r18 adds one
+over the r17 manifests; EvidenceSpec deliberately declines to pin that
+direction). Pass --strict to make it fatal (same-round audits, where the
+query sets must agree exactly). in-manifest-not-dumped and value diffs
+are always fatal.
 """
 import glob
 import hashlib
@@ -184,7 +200,7 @@ def manifest_out(path, dump_dir):
     return 0
 
 
-def manifest_check(path, dump_dir):
+def manifest_check(path, dump_dir, strict=False):
     man = json.load(open(path))
     identical, differ, missing = [], [], []
     names = sorted(
@@ -208,14 +224,15 @@ def manifest_check(path, dump_dir):
         else:
             identical.append(name)
     not_dumped = sorted(set(man) - set(names))
+    miss_tag = "FATAL" if strict else "informational; new queries expected"
     print(f"identical: {len(identical)}  differ: {len(differ)}  "
-          f"missing-in-manifest: {len(missing)}  in-manifest-not-dumped: "
-          f"{len(not_dumped)}")
+          f"missing-in-manifest: {len(missing)} ({miss_tag})  "
+          f"in-manifest-not-dumped: {len(not_dumped)}")
     print(f"differ: {differ}")
     print(f"missing: {missing}")
     if not_dumped:
         print(f"not dumped: {not_dumped}")
-    return 1 if (differ or missing or not_dumped) else 0
+    return 1 if (differ or not_dumped or (strict and missing)) else 0
 
 
 def main(base_dir, cand_dir):
@@ -246,9 +263,26 @@ def main(base_dir, cand_dir):
     return 1 if (differ or missing) else 0
 
 
+def _usage():
+    block = next(p for p in __doc__.split("\n\n") if p.startswith("Usage:"))
+    print(block)
+    sys.exit(2)
+
+
 if __name__ == "__main__":
-    if sys.argv[1] == "--manifest-out":
-        sys.exit(manifest_out(sys.argv[2], sys.argv[3]))
-    if sys.argv[1] == "--manifest-check":
-        sys.exit(manifest_check(sys.argv[2], sys.argv[3]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    if not argv:
+        _usage()
+    if argv[0] == "--manifest-out":
+        if len(argv) != 3:
+            _usage()
+        sys.exit(manifest_out(argv[1], argv[2]))
+    if argv[0] == "--manifest-check":
+        if len(argv) != 3:
+            _usage()
+        sys.exit(manifest_check(argv[1], argv[2], strict=strict))
+    if len(argv) != 2 or argv[0].startswith("--"):
+        _usage()
+    sys.exit(main(argv[0], argv[1]))

@@ -24,12 +24,24 @@ Usage: python3 tools/sf10_gate.py SF_DIR VERIFY_OUT
          [--summary FILE] [--timeout 900] [--threads 8] [--mem 24GB]
          [--logdir /tmp/sf10_gate_logs] [--validate]
          [--expect N] [--manifest FILE]
+         [--run-verify] [--manifest-check FILE]
 
 --expect pins the contract size (oracle entries ∪ dump dirs must count
 N); --manifest writes the dump-fingerprint re-anchor file, green runs
 only. Completeness is wired independently of the status parse: any
 oracle entry or dump directory without a parsed status is NO-STATUS
 (bad), so a query cannot silently leave the contract.
+
+--run-verify (r18, VERDICT r17 #5) makes the gate one command from HEAD
+to proven contract: it first runs `sbt "runMain graft.Verify SF_DIR
+VERIFY_OUT"` itself instead of starting from an existing dump tree (a
+non-zero sbt exit or any [verify] per-query failure line fails the gate
+before DuckDB spends anything). --manifest-check FILE then re-anchors
+the fresh dumps against a committed manifest (dump_equiv) BEFORE the
+oracle sweep — cross-round drift is caught in minutes, not after the
+~61-minute oracle wall. Value diffs and in-manifest-not-dumped abort the
+gate; dump-tree queries absent from an OLDER manifest are informational
+(new queries sweep normally).
 
 --validate is passed through to the replays (verbatim single-statement
 oracle cross-check — feasible at sf0.01/sf0.1/sf1, NOT at sf10 where the
@@ -97,15 +109,98 @@ def main():
                          "fingerprint manifest (dump_equiv --manifest-out) "
                          "so the round's re-anchor artifact is produced by "
                          "the same run that proved the dumps oracle-exact")
+    ap.add_argument("--run-verify", action="store_true",
+                    help="run `sbt runMain graft.Verify SF_DIR OUT` first "
+                         "instead of starting from an existing dump tree")
+    ap.add_argument("--load-gate", type=float, default=0.0, metavar="L",
+                    help="wait (bounded 10 min) until 1-min loadavg < L "
+                         "before the verify/sweep starts, and record the "
+                         "observed start load in the summary — the sf10 "
+                         "wall protocol (VERDICT r17 #3): walls are only "
+                         "comparable when stamped born-idle; 0 disables")
+    ap.add_argument("--manifest-check", default=None, metavar="FILE",
+                    help="re-anchor the dump tree against a committed "
+                         "manifest before the oracle sweep; diffs abort "
+                         "the gate in minutes instead of after the sweep")
     a = ap.parse_args()
     os.makedirs(a.logdir, exist_ok=True)
     py = sys.executable
     val = ["--validate"] if a.validate else []
+    stages = {}
+
+    load_gate = {}
+    if a.load_gate > 0:
+        def load1():
+            return float(open("/proc/loadavg").read().split()[0])
+        t0, waited = time.time(), 0.0
+        while load1() >= a.load_gate and time.time() - t0 < 600:
+            print(f"[gate] load gate: load1={load1():.2f} >= "
+                  f"{a.load_gate:.2f}, waiting...", flush=True)
+            time.sleep(5)
+        waited = round(time.time() - t0, 1)
+        load_gate = {"threshold": a.load_gate, "wait_sec": waited,
+                     "load1_start": load1()}
+        print(f"[gate] load gate: start load1={load_gate['load1_start']:.2f} "
+              f"after {waited}s wait", flush=True)
+
+    def bail(reason):
+        summary = {"sf_dir": a.sf_dir, "out_dir": a.out_dir, "all_ok": False,
+                   "aborted": reason,
+                   "stage_walls_sec": {k: v["wall_sec"] for k, v in stages.items()},
+                   "stage_exits": {k: v["exit"] for k, v in stages.items()},
+                   "logs": {k: v["log"] for k, v in stages.items()}}
+        with open(a.summary, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"[gate] ABORT: {reason} -> {a.summary}", flush=True)
+        return 1
+
+    if a.run_verify:
+        repo = os.path.dirname(TOOLS)
+        t0 = time.time()
+        vlog = os.path.join(a.logdir, "verify.log")
+        with open(vlog, "w") as lf:
+            p = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.Verify {a.sf_dir} {a.out_dir}"],
+                cwd=repo, stdout=lf, stderr=subprocess.STDOUT)
+        wall = time.time() - t0
+        # Verify catches per-query exceptions and logs them as [verify]
+        # lines (the dump is then absent); treat any such line as fatal
+        # here so the gate never sweeps a silently partial tree.
+        vfails = [l.strip() for l in open(vlog, errors="replace")
+                  if "[verify]" in l and "failed:" in l]
+        stages["verify"] = {"exit": p.returncode, "wall_sec": round(wall, 1),
+                            "log": vlog, "statuses": {},
+                            "query_failures": len(vfails)}
+        print(f"[gate] verify: exit={p.returncode} wall={wall:.1f}s "
+              f"query_failures={len(vfails)} ({vlog})", flush=True)
+        if p.returncode != 0 or vfails:
+            return bail(f"graft.Verify failed (exit={p.returncode}, "
+                        f"{len(vfails)} per-query failures)")
+
+    if a.manifest_check:
+        sys.path.insert(0, TOOLS)
+        import dump_equiv
+        t0 = time.time()
+        mlog = os.path.join(a.logdir, "manifest_check.log")
+        real_stdout = sys.stdout
+        with open(mlog, "w") as lf:
+            sys.stdout = lf
+            try:
+                rc = dump_equiv.manifest_check(a.manifest_check, a.out_dir)
+            finally:
+                sys.stdout = real_stdout
+        wall = time.time() - t0
+        stages["manifest_check"] = {"exit": rc, "wall_sec": round(wall, 1),
+                                    "log": mlog, "statuses": {}}
+        print(f"[gate] manifest-check vs {a.manifest_check}: exit={rc} "
+              f"wall={wall:.1f}s ({mlog})", flush=True)
+        if rc != 0:
+            return bail(f"manifest-check vs {a.manifest_check} found diffs "
+                        "or undumped queries — see its log")
 
     env = dict(os.environ,
                GRAFT_CHECK_SKIP=",".join(SKIP6),
                GRAFT_CHECK_TIMEOUT=a.timeout)
-    stages = {}
     stages["sweep"] = run_stage(
         "check.py sweep", [py, os.path.join(TOOLS, "check.py"),
                            a.sf_dir, a.out_dir],
@@ -168,6 +263,8 @@ def main():
         "stage_exits": {k: v["exit"] for k, v in stages.items()},
         "logs": {k: v["log"] for k, v in stages.items()},
     }
+    if load_gate:
+        summary["load_gate"] = load_gate
     if a.manifest:
         if all_ok:
             import dump_equiv
