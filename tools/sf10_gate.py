@@ -112,6 +112,14 @@ def main():
     ap.add_argument("--run-verify", action="store_true",
                     help="run `sbt runMain graft.Verify SF_DIR OUT` first "
                          "instead of starting from an existing dump tree")
+    ap.add_argument("--verify-mem", default=None, metavar="MEM",
+                    help="SPARK_DRIVER_MEM for the verify stage (sf10 needs "
+                         "64g: the default 8g OOMs q_stream_dedup's "
+                         "6M-row memory sink + dedup state and takes the "
+                         "whole SparkContext down — measured r18)")
+    ap.add_argument("--verify-cpus", default=None, metavar="N",
+                    help="SPARK_GRAFT_CPUS for the verify stage (prior sf10 "
+                         "campaigns used 8)")
     ap.add_argument("--load-gate", type=float, default=0.0, metavar="L",
                     help="wait (bounded 10 min) until 1-min loadavg < L "
                          "before the verify/sweep starts, and record the "
@@ -158,10 +166,15 @@ def main():
         repo = os.path.dirname(TOOLS)
         t0 = time.time()
         vlog = os.path.join(a.logdir, "verify.log")
+        venv = dict(os.environ)
+        if a.verify_mem:
+            venv["SPARK_DRIVER_MEM"] = a.verify_mem
+        if a.verify_cpus:
+            venv["SPARK_GRAFT_CPUS"] = a.verify_cpus
         with open(vlog, "w") as lf:
             p = subprocess.run(
                 ["sbt", "-batch", f"runMain graft.Verify {a.sf_dir} {a.out_dir}"],
-                cwd=repo, stdout=lf, stderr=subprocess.STDOUT)
+                cwd=repo, env=venv, stdout=lf, stderr=subprocess.STDOUT)
         wall = time.time() - t0
         # Verify catches per-query exceptions and logs them as [verify]
         # lines (the dump is then absent); treat any such line as fatal
