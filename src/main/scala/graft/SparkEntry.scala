@@ -1328,6 +1328,26 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    // §2.5 SLIDING-window aggregation (r19; VERDICT r18 #2: the
+    // slide_duration leg of StreamingOps.windowedAgg was implemented and
+    // config-exposed but had zero query/spec coverage). One-hour windows
+    // sliding every 30 minutes: window/slide = 2, so every event lands in
+    // exactly TWO windows — the oracle replays that as each event's
+    // 30-minute bucket unioned with offsets {0s, 1800s} (pure integer
+    // epoch arithmetic; Spark's window() aligns to the epoch, so the
+    // bucket boundaries coincide by construction). Same dsum DECIMAL
+    // contract as q_window_agg.
+    "q_window_sliding" -> ((s, dir) => {
+      val events = graft.streaming.StreamingOps.withEventTime(
+        Tables.load(s, dir, "events"), "ts", "et")
+      graft.streaming.StreamingOps.windowedAgg(events, "et", "1 hour",
+          Seq(count(lit(1)).as("n"), dsum("value").as("sum_value")),
+          keys = Seq("event_type"), slideDuration = Some("30 minutes"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
     // §5 time-windowed scan (r9; VERDICT r8 #8): a fixed 10-day window
     // over events with the predicate on the NORMALIZED epoch-nanos ts.
     // The TsPushdown optimizer rule rewrites the filter back onto the raw
@@ -2458,6 +2478,16 @@ object SparkEntry {
         while (sinkRows() < expected && System.currentTimeMillis() < deadline) {
           queries.foreach(_.processAllAvailable()); Thread.sleep(100)
         }
+        // A deadline expiry surfaces downstream only as a hash DIFF, which
+        // reads as a correctness failure — distinguish the flush-timeout
+        // case loudly (ADVICE r18). No "failed:" in the message: the sf10
+        // gate treats "[verify] ... failed:" lines as fatal, and this is a
+        // diagnosis aid, not a verdict.
+        val got = sinkRows()
+        if (got < expected)
+          System.err.println(s"[verify] q_pipeline_streaming_windowed drain " +
+            s"timed out: got $got of expected $expected rows — a flush " +
+            "timeout, not a value mismatch")
       } finally queries.foreach(_.stop())
       s.read.parquet(sink).orderBy("bucket_start", "event_type")
     }),
@@ -3888,6 +3918,16 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+
+    // each event belongs to exactly two 1-hour/30-minute-slide windows:
+    // its 30-minute bucket start, and that start minus 1800 s
+    "q_window_sliding" ->
+      """SELECT (epoch_ns(ts) // 1800000000000) * 1800 - o.off AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800 AS BIGINT))) o(off)
+        |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
     // identical aggregation to q_window_agg — the stream path (socket in,

@@ -7,14 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.datetime.java8API.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Same knob as Bench (VERDICT r18 #3): a Verify leg pinned to
+    // RocksDBStateStoreProvider puts the larger-than-heap streaming-state
+    // path on the HASH path — correctness at scale, not just a perf knob.
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZetaFunctions.register(spark)
     new java.io.File(outDir).mkdirs()

@@ -45,4 +45,34 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.unstableAfterExtension(Nil))
     assert(!Bench.unstableAfterExtension(Seq((1.0, Some("e")))))
   }
+
+  // ---- deep extension (VERDICT r18 #6): 8+ successful reps switch the
+  // verdict and the reported median to the steady-state window (last 5) ----
+
+  test("deep-extended JIT-descent row whose tail settled is NOT flagged") {
+    // r18's q_ann_lsh shape extended: monotone descent, settled tail
+    assert(Bench.unstableAfterExtension(ok(0.78, 0.62, 0.55, 0.50, 0.46)))
+    assert(!Bench.unstableAfterExtension(
+      ok(0.78, 0.62, 0.55, 0.50, 0.46, 0.44, 0.43, 0.43)))
+  }
+
+  test("deep-extended row still noisy in its tail stays flagged") {
+    assert(Bench.unstableAfterExtension(
+      ok(1.80, 1.20, 2.10, 1.15, 1.95, 1.30, 2.00, 1.20)))
+  }
+
+  test("reportedMedian: steady-state window for deep-extended rows only") {
+    // < 8 successes: all-successful-reps median (byte-compatible with
+    // prior rounds' artifacts)
+    assert(Bench.reportedMedian(ok(1.0, 3.0, 2.0)) == 2.0)
+    assert(Bench.reportedMedian(ok(1.80, 1.21, 1.24, 1.19, 1.22)) == 1.22)
+    // 8 successes: median of the LAST 5 reps — the descent reps the deep
+    // extension ran past must not drag the median up
+    assert(Bench.reportedMedian(
+      ok(0.78, 0.62, 0.55, 0.50, 0.46, 0.44, 0.43, 0.43)) == 0.44)
+    // errored reps don't count toward the 8-success threshold
+    val sevenOkOneErr = (9.9, Some("boom"): Option[String]) +:
+      ok(0.78, 0.62, 0.55, 0.50, 0.46, 0.44, 0.43)
+    assert(Bench.reportedMedian(sevenOkOneErr) == 0.50)
+  }
 }

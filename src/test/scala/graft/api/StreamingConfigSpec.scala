@@ -389,6 +389,52 @@ class StreamingConfigSpec extends SparkSpec {
       && want.except(got.select(want.columns.map(col).toSeq: _*)).isEmpty)
   }
 
+  test("WindowAgg slide_duration yields overlapping windows (config plumbing)") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-winagg-slide").toString
+    spark.range(0, 100)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"),
+        (lit(1700000000000000L) + col("id") * 100000000L).as("ts_us"))
+      .write.mode("overwrite").json(s"$tmp/in")
+    val conf =
+      s"""env { job.mode = "BATCH" }
+         |source {
+         |  LocalFile {
+         |    plugin_output = "ev"
+         |    path = "$tmp/in"
+         |    file_format_type = "json"
+         |    schema = "id BIGINT, k STRING, ts_us BIGINT"
+         |  }
+         |}
+         |transform {
+         |  WindowAgg {
+         |    plugin_input = "ev"
+         |    plugin_output = "agg"
+         |    event_time_field = "et"
+         |    event_time_micros_field = "ts_us"
+         |    window_duration = "1 hour"
+         |    slide_duration = "30 minutes"
+         |    group_by = ["k"]
+         |    aggregates = ["count(1) as n", "sum(id) as sum_id"]
+         |  }
+         |}
+         |sink { Console { } }
+         |""".stripMargin
+    val got = Pipeline.run(spark, Pipeline.parseHocon(conf))("agg")
+    val want = spark.read.schema("id BIGINT, k STRING, ts_us BIGINT")
+      .json(s"$tmp/in")
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "30 minutes"),
+        col("k"))
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("k"), col("n"), col("sum_id"))
+    // every row is double-counted across the two overlapping windows
+    assert(got.agg(sum("n")).collect()(0).getLong(0) == 200)
+    assert(got.count() == want.count())
+    assert(got.select(want.columns.map(col).toSeq: _*).except(want).isEmpty
+      && want.except(got.select(want.columns.map(col).toSeq: _*)).isEmpty)
+  }
+
   test("WindowAgg streaming run is stateful: watermarked window agg through the runner") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("graft-winagg-stream").toString

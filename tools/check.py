@@ -138,10 +138,18 @@ def main(sf_dir, out_dir):
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
     timeout = float(os.environ.get("GRAFT_CHECK_TIMEOUT", "0") or 0)
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    if only:
-        oracle = {k: v for k, v in oracle.items() if k in only}
+    oracle_all = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    oracle = ({k: v for k, v in oracle_all.items() if k in only}
+              if only else oracle_all)
     n_ok = n_bad = n_skip = 0
+    # ADVICE r18: a misspelled (or rows-only) name in GRAFT_CHECK_ONLY used
+    # to filter the oracle dict to nothing and exit 0 — a targeted re-check
+    # that silently checked nothing. Unknown ONLY names are BAD, loudly.
+    for name in sorted(only - set(oracle_all)):
+        print(f"[MISS] {name}: named in GRAFT_CHECK_ONLY but has no oracle "
+              "entry (misspelled, or a rows-only query this tool can't "
+              "oracle-check)", flush=True)
+        n_bad += 1
     con = None if timeout > 0 else connect(sf_dir)
     if timeout > 0:
         import multiprocessing as mp

@@ -10,7 +10,7 @@ without re-running the multi-hour DuckDB sweep — the r16 trick
 
 Usage: python3 tools/dump_equiv.py BASELINE_DIR CANDIDATE_DIR
        python3 tools/dump_equiv.py --manifest-out FILE DUMP_DIR
-       python3 tools/dump_equiv.py --manifest-check [--strict] FILE DUMP_DIR
+       python3 tools/dump_equiv.py --manifest-check [--no-strict] FILE DUMP_DIR
 
 Exit 0 iff every query dir present in CANDIDATE_DIR exists in
 BASELINE_DIR and is value-identical (column order normalized the same
@@ -38,12 +38,13 @@ current hashing, and rewriting NaNs would silently invalidate them
 the safe side for a re-anchor tool).
 
 A dump-tree query ABSENT from the manifest ("missing-in-manifest") is
-informational by default: re-anchoring a FUTURE round against a prior
-round's manifest legitimately meets newly added queries (r18 adds one
-over the r17 manifests; EvidenceSpec deliberately declines to pin that
-direction). Pass --strict to make it fatal (same-round audits, where the
-query sets must agree exactly). in-manifest-not-dumped and value diffs
-are always fatal.
+FATAL on the bare CLI (strict — the same-round-audit default; ADVICE
+r18) and informational for programmatic callers (strict=False — the
+sf10 gate re-anchors a fresh tree against the PRIOR round's manifest,
+where newly added queries are legitimate; r18 adds one over the r17
+manifests, r19 one over r18's). Pass --no-strict on the CLI for that
+cross-round case. in-manifest-not-dumped and value diffs are always
+fatal.
 """
 import glob
 import hashlib
@@ -271,8 +272,14 @@ def _usage():
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    strict = "--strict" in argv
-    argv = [a for a in argv if a != "--strict"]
+    # Bare-CLI manifest_check defaults to STRICT (ADVICE r18: the r18
+    # default-semantics change silently weakened any existing same-round
+    # audit invocation). Cross-round re-anchors against an OLDER manifest
+    # pass --no-strict explicitly — new queries are then informational.
+    # The programmatic API keeps strict=False (the sf10 gate's re-anchor
+    # against the prior round's manifest is the cross-round case).
+    nostrict = "--no-strict" in argv
+    argv = [a for a in argv if a not in ("--strict", "--no-strict")]
     if not argv:
         _usage()
     if argv[0] == "--manifest-out":
@@ -282,7 +289,7 @@ if __name__ == "__main__":
     if argv[0] == "--manifest-check":
         if len(argv) != 3:
             _usage()
-        sys.exit(manifest_check(argv[1], argv[2], strict=strict))
+        sys.exit(manifest_check(argv[1], argv[2], strict=not nostrict))
     if len(argv) != 2 or argv[0].startswith("--"):
         _usage()
     sys.exit(main(argv[0], argv[1]))

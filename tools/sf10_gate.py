@@ -36,12 +36,25 @@ oracle entry or dump directory without a parsed status is NO-STATUS
 to proven contract: it first runs `sbt "runMain graft.Verify SF_DIR
 VERIFY_OUT"` itself instead of starting from an existing dump tree (a
 non-zero sbt exit or any [verify] per-query failure line fails the gate
-before DuckDB spends anything). --manifest-check FILE then re-anchors
+before DuckDB spends anything). When --verify-mem is not given, the
+gate probes the sf-dir's lineitem row count from parquet footers and
+defaults the verify heap to 64g at sf>=10 scale (r19, VERDICT r18 #2 —
+the r18 abort proved the remembered-flag protocol costs an hour when
+forgotten). --manifest-check FILE then re-anchors
 the fresh dumps against a committed manifest (dump_equiv) BEFORE the
 oracle sweep — cross-round drift is caught in minutes, not after the
 ~61-minute oracle wall. Value diffs and in-manifest-not-dumped abort the
 gate; dump-tree queries absent from an OLDER manifest are informational
 (new queries sweep normally).
+
+--drift-sweep (r19, VERDICT r18 #5) sizes the oracle sweep to the drift
+set: after a GREEN manifest-check, queries bit-anchored by the manifest
+inherit OK from the bit-identity proof (their oracle agreement is on
+record from the round that wrote the manifest), and only queries NEW
+since the manifest are oracle-swept. The three calibrated replays still
+run in full. The summary records the provenance split (n_anchored /
+fresh_swept) so a reader can always tell a bit-anchor OK from a fresh
+DuckDB OK.
 
 --validate is passed through to the replays (verbatim single-statement
 oracle cross-check — feasible at sf0.01/sf0.1/sf1, NOT at sf10 where the
@@ -68,6 +81,20 @@ SKIP6 = [
 ]
 
 STATUS_RE = re.compile(r"^\[(....)\] (\S+?):? ")
+
+
+def _lineitem_rows(sf_dir):
+    """Row count of the sf-dir's lineitem table from parquet footers only
+    (no scan): the gate's scale probe. Returns 0 when unreadable — the
+    caller then leaves the heap default alone."""
+    try:
+        import pyarrow.parquet as pq
+        files = glob.glob(os.path.join(sf_dir, "lineitem.parquet")) + \
+            glob.glob(os.path.join(sf_dir, "lineitem.parquet", "*.parquet"))
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in files if os.path.isfile(f))
+    except Exception:
+        return 0
 
 
 def run_stage(name, cmd, env, log_path):
@@ -113,10 +140,13 @@ def main():
                     help="run `sbt runMain graft.Verify SF_DIR OUT` first "
                          "instead of starting from an existing dump tree")
     ap.add_argument("--verify-mem", default=None, metavar="MEM",
-                    help="SPARK_DRIVER_MEM for the verify stage (sf10 needs "
-                         "64g: the default 8g OOMs q_stream_dedup's "
-                         "6M-row memory sink + dedup state and takes the "
-                         "whole SparkContext down — measured r18)")
+                    help="SPARK_DRIVER_MEM for the verify stage. When not "
+                         "given, the gate PROBES the sf_dir row count and "
+                         "defaults to 64g at sf>=10 scale (the 8g default "
+                         "OOMs q_stream_dedup's 6M-row memory sink + dedup "
+                         "state and takes the whole SparkContext down — "
+                         "measured r18; VERDICT r18 #2: the flag must not "
+                         "be forgettable)")
     ap.add_argument("--verify-cpus", default=None, metavar="N",
                     help="SPARK_GRAFT_CPUS for the verify stage (prior sf10 "
                          "campaigns used 8)")
@@ -130,6 +160,15 @@ def main():
                     help="re-anchor the dump tree against a committed "
                          "manifest before the oracle sweep; diffs abort "
                          "the gate in minutes instead of after the sweep")
+    ap.add_argument("--drift-sweep", action="store_true",
+                    help="after a GREEN --manifest-check, size the check.py "
+                         "sweep to the drift set: only queries NOT "
+                         "bit-anchored by the manifest (i.e. new since it) "
+                         "are oracle-swept; anchored queries inherit OK "
+                         "from the bit-identity proof (VERDICT r18 #5). "
+                         "The three calibrated replays still run in full. "
+                         "Without a green manifest-check this flag is "
+                         "ignored and the full sweep runs")
     a = ap.parse_args()
     os.makedirs(a.logdir, exist_ok=True)
     py = sys.executable
@@ -167,6 +206,16 @@ def main():
         t0 = time.time()
         vlog = os.path.join(a.logdir, "verify.log")
         venv = dict(os.environ)
+        if not a.verify_mem:
+            # Heap default from the sf-dir row probe (VERDICT r18 #2): the
+            # r18 abort proved the 8g default heap kills sf10 Verify an
+            # hour in; the gate must not depend on a remembered flag.
+            # lineitem is ~6M rows/sf-unit; >=30M rows means sf>=~5 scale.
+            a.verify_mem = "64g" if _lineitem_rows(a.sf_dir) >= 30_000_000 \
+                else None
+            if a.verify_mem:
+                print(f"[gate] verify-mem defaulted to {a.verify_mem} "
+                      "(sf-dir row probe says sf>=10 scale)", flush=True)
         if a.verify_mem:
             venv["SPARK_DRIVER_MEM"] = a.verify_mem
         if a.verify_cpus:
@@ -190,18 +239,29 @@ def main():
             return bail(f"graft.Verify failed (exit={p.returncode}, "
                         f"{len(vfails)} per-query failures)")
 
+    manifest_green = False
     if a.manifest_check:
         sys.path.insert(0, TOOLS)
         import dump_equiv
         t0 = time.time()
         mlog = os.path.join(a.logdir, "manifest_check.log")
         real_stdout = sys.stdout
-        with open(mlog, "w") as lf:
-            sys.stdout = lf
-            try:
-                rc = dump_equiv.manifest_check(a.manifest_check, a.out_dir)
-            finally:
-                sys.stdout = real_stdout
+        # a raised exception (missing/corrupt manifest, unreadable dump
+        # dir) must route through bail() like every other failure path so
+        # the abort summary artifact is always produced (ADVICE r18)
+        try:
+            with open(mlog, "w") as lf:
+                sys.stdout = lf
+                try:
+                    rc = dump_equiv.manifest_check(a.manifest_check, a.out_dir)
+                finally:
+                    sys.stdout = real_stdout
+        except Exception as e:
+            stages["manifest_check"] = {
+                "exit": -1, "wall_sec": round(time.time() - t0, 1),
+                "log": mlog, "statuses": {}}
+            return bail(f"manifest-check vs {a.manifest_check} raised "
+                        f"{type(e).__name__}: {e}")
         wall = time.time() - t0
         stages["manifest_check"] = {"exit": rc, "wall_sec": round(wall, 1),
                                     "log": mlog, "statuses": {}}
@@ -210,14 +270,49 @@ def main():
         if rc != 0:
             return bail(f"manifest-check vs {a.manifest_check} found diffs "
                         "or undumped queries — see its log")
+        manifest_green = True
+
+    # Drift-triggered sweep (VERDICT r18 #5): a green manifest-check just
+    # proved every dump PRESENT IN THE MANIFEST bit-identical to a tree
+    # whose oracle agreement is on record — re-oracling those re-proves a
+    # proof. Size the sweep to the drift set: queries in the dump tree but
+    # not in the manifest (new this round). The replays still run in full
+    # (they re-prove the superlinear-oracle instruments themselves).
+    anchored = set()
+    drift_only = None
+    if a.drift_sweep:
+        if not manifest_green:
+            print("[gate] drift-sweep requested without a green "
+                  "manifest-check — running the FULL sweep instead",
+                  flush=True)
+        else:
+            man_names = set(json.load(open(a.manifest_check)))
+            dumped_now = set(os.path.basename(p) for p in
+                             glob.glob(os.path.join(a.out_dir, "*"))
+                             if os.path.isdir(p))
+            anchored = dumped_now & man_names
+            drift_only = sorted(dumped_now - man_names)
+            print(f"[gate] drift-sweep: {len(anchored)} queries "
+                  f"bit-anchored by {a.manifest_check}; oracle-sweeping "
+                  f"{len(drift_only)}: {drift_only}", flush=True)
 
     env = dict(os.environ,
                GRAFT_CHECK_SKIP=",".join(SKIP6),
                GRAFT_CHECK_TIMEOUT=a.timeout)
-    stages["sweep"] = run_stage(
-        "check.py sweep", [py, os.path.join(TOOLS, "check.py"),
-                           a.sf_dir, a.out_dir],
-        env, os.path.join(a.logdir, "sweep.log"))
+    if drift_only is not None:
+        env["GRAFT_CHECK_ONLY"] = ",".join(drift_only)
+    if drift_only == []:
+        # nothing drifted: an empty GRAFT_CHECK_ONLY would run the FULL
+        # sweep (empty env var = no filter), so skip the stage explicitly
+        stages["sweep"] = {"exit": 0, "wall_sec": 0.0,
+                           "log": "(skipped: drift set empty)",
+                           "statuses": {}}
+        print("[gate] check.py sweep skipped: drift set empty", flush=True)
+    else:
+        stages["sweep"] = run_stage(
+            "check.py sweep", [py, os.path.join(TOOLS, "check.py"),
+                               a.sf_dir, a.out_dir],
+            env, os.path.join(a.logdir, "sweep.log"))
     stages["minhash"] = run_stage(
         "minhash replay", [py, os.path.join(TOOLS, "minhash_replay.py"),
                            a.sf_dir, a.out_dir,
@@ -238,8 +333,10 @@ def main():
                          "--tmp", os.path.join(a.logdir, "ngram_spill")]
         + val, dict(os.environ), os.path.join(a.logdir, "ngram.log"))
 
-    # fold: sweep statuses + replay statuses for the SKIP6
-    per_query = dict(stages["sweep"]["statuses"])
+    # fold: manifest-anchored OKs (drift-sweep mode), then sweep statuses,
+    # then replay statuses for the SKIP6
+    per_query = {q: "OK" for q in anchored}
+    per_query.update(stages["sweep"]["statuses"])
     for st in ("minhash", "vector", "ngram"):
         for q, tag in stages[st]["statuses"].items():
             if q in SKIP6:
@@ -271,6 +368,10 @@ def main():
         "sf_dir": a.sf_dir, "out_dir": a.out_dir,
         "n_oracles": len(oracle),
         "n_ok": len(ok), "bad": bad, "replay_uncovered": still_skipped,
+        # provenance split (drift-sweep mode): how many OKs came from the
+        # manifest bit-anchor vs a fresh DuckDB oracle run this gate
+        "n_anchored": len(anchored),
+        "fresh_swept": drift_only if drift_only is not None else "all",
         "all_ok": all_ok,
         "stage_walls_sec": {k: v["wall_sec"] for k, v in stages.items()},
         "stage_exits": {k: v["exit"] for k, v in stages.items()},
