@@ -21,6 +21,13 @@ object Verify {
       builder.config("spark.sql.streaming.stateStore.providerClass", v)
     }
     val spark = builder.getOrCreate()
+    // Self-describing evidence line: the sf1/sf10 leg logs must show WHICH
+    // state store the run used, read back from the live session conf (not
+    // just the env), so a cited log is provenance on its own.
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach { _ =>
+      System.err.println("[verify] state store provider pinned: " +
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass"))
+    }
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ZetaFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
