@@ -38,8 +38,28 @@ import java.nio.file.{Files, Paths}
   * validated against).
   */
 object Bench {
-  /** (query name, timed reps as (sec, err), gc seconds during timed reps) */
-  type Raw = Seq[(String, Seq[(Double, Option[String])], Double)]
+  /** (query name, timed reps as (sec, err), gc seconds during timed reps,
+    * deep-extended?) — the Boolean is the EXPLICIT deep-extension event
+    * marker (ADVICE r19 ×2): the steady-state-window switch in
+    * reportedMedian/unstableAfterExtension used to infer the extension
+    * from `8+ successes`, which (a) also fires when the caller simply
+    * requested SPARK_GRAFT_BENCH_REPS >= 8 (silently dropping their first
+    * reps from the median) and (b) silently UN-fires when one of the 8
+    * extended reps errors (falling back to the all-reps median that
+    * includes the JIT descent the extension was run to escape). The event
+    * itself is now recorded at the point it happens and carried through
+    * the slice protocol. */
+  type Raw = Seq[(String, Seq[(Double, Option[String])], Double, Boolean)]
+
+  /** Service-variance rows graded by their min-of-reps floor instead of
+    * the median (VERDICT r19 #4): q_cdc_capture's spread is a real Derby +
+    * capture-stream service-variance floor, not JIT — at 8 reps its median
+    * still wanders ±0.2 s round-over-round while its min is stable. These
+    * rows get a dedicated 8-rep budget, report min (the comparable
+    * number), and are listed under "floor_graded" in the detail artifact
+    * instead of the instability flag (their variance is acknowledged, not
+    * unexplained). */
+  private[graft] val FloorGraded: Set[String] = Set("q_cdc_capture")
 
   /** 1-minute system load average (-1.0 where the platform lacks it).
     * Captured BEFORE the first SparkSession exists, the start value is a
@@ -207,7 +227,7 @@ object Bench {
       // a dead/incomplete fork is an ERROR row per missing query, never a
       // silent omission — the centisec array alignment needs every name
       val missing = names.filterNot(got).map { n =>
-        (n, Seq((0.0, Some(s"fork slice died (exit=$exit)"): Option[String])), 0.0)
+        (n, Seq((0.0, Some(s"fork slice died (exit=$exit)"): Option[String])), 0.0, false)
       }
       parsed ++ missing
     }
@@ -224,13 +244,13 @@ object Bench {
 
   private def writeSlice(path: String, raw: Raw): Unit = {
     val b64 = java.util.Base64.getEncoder
-    val lines = raw.map { case (name, runs, gcSec) =>
+    val lines = raw.map { case (name, runs, gcSec, deep) =>
       val reps = runs.map {
         case (t, None) => num(t, 6)
         case (t, Some(m)) =>
           num(t, 6) + "," + b64.encodeToString(m.getBytes("UTF-8"))
       }.mkString(" ")
-      s"$name\t${num(gcSec, 6)}\t$reps"
+      s"$name\t${num(gcSec, 6)}\t${if (deep) 1 else 0}\t$reps"
     }
     Files.write(Paths.get(path), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
   }
@@ -239,7 +259,7 @@ object Bench {
     val b64 = java.util.Base64.getDecoder
     new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(name, gc, reps) = line.split("\t", 3)
+        val Array(name, gc, deep, reps) = line.split("\t", 4)
         val runs = reps.split(" ").toSeq.filter(_.nonEmpty).map { r =>
           r.split(",", 2) match {
             case Array(t) => (t.toDouble, None: Option[String])
@@ -247,7 +267,7 @@ object Bench {
               (t.toDouble, Some(new String(b64.decode(m), "UTF-8")): Option[String])
           }
         }
-        (name, runs, gc.toDouble)
+        (name, runs, gc.toDouble, deep == "1")
       }
   }
 
@@ -325,7 +345,14 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
       stabilize()
       val gc0 = gcMillis()
-      val qReps = if (name.contains("stream")) math.max(reps, 5) else reps
+      // Dedicated rep budgets: streaming rows >= 5 (micro-batch floor
+      // dominates); floor-graded service-variance rows >= 8 (VERDICT r19
+      // #4 — their graded number is the min, and 8 reps make that floor a
+      // real observation rather than a lucky draw).
+      val qReps =
+        if (FloorGraded(name)) math.max(reps, 8)
+        else if (name.contains("stream")) math.max(reps, 5)
+        else reps
       def rep(): (Double, Option[String]) = {
         GraftCaches.releaseAll(spark, blocking = true)
         spark.catalog.clearCache()
@@ -357,16 +384,22 @@ object Bench {
       // typically mid-JIT descent (sub-2s rows: monotone [0.78 … 0.46]
       // arrays), so its 5-rep median overstates the steady state and the
       // flag never shrinks. Exactly those rows get 3 more reps (8 total);
-      // the reported median then comes from the steady-state window (the
-      // last 5 reps — reportedMedian) and the final instability test runs
-      // over the same window, so a row whose tail HAS settled drops off
-      // the flag list. Stable rows are untouched, full arrays stay in
+      // the reported median then comes from the steady-state window
+      // (reportedMedian) and the final instability test runs over the same
+      // window, so a row whose tail HAS settled drops off the flag list.
+      // Eligibility is instability OR a shallow monotone descent (VERDICT
+      // r19 #3): r19's q_pipeline_streaming_windowed reps [2.587, 2.319,
+      // 2.344, 2.063, 1.941] descended to their floor with a post-cold
+      // spread (0.403) under the 0.25·median instability threshold (0.580)
+      // — the row graded a mid-descent median and "regressed" +0.38 s
+      // while its floor was flat. The extension event itself is recorded
+      // (the Raw marker) so the window switch never has to be inferred
+      // from rep counts. Stable rows are untouched, full arrays stay in
       // reps_detail.
-      val deep =
-        if (runs.length == 5 && unstableAfterExtension(runs))
-          runs ++ (1 to 3).map(_ => rep())
-        else runs
-      (name, deep, (gcMillis() - gc0) / 1e3)
+      val extendDeep = runs.length == 5 &&
+        (unstableAfterExtension(runs, deepExtended = false) || monotoneDescent(runs))
+      val deep = if (extendDeep) runs ++ (1 to 3).map(_ => rep()) else runs
+      (name, deep, (gcMillis() - gc0) / 1e3, extendDeep)
     }
     spark.stop()
     raw
@@ -383,29 +416,65 @@ object Bench {
     * is no post-cold population to test, so all reps count. The raw
     * arrays stay in reps_detail either way.
     */
-  private[graft] def unstableAfterExtension(runs: Seq[(Double, Option[String])]): Boolean = {
-    val okChrono = runs.collect { case (t, None) => t }
-    // 8+ successes only exist via the deep extension, whose whole point is
-    // to run past the JIT descent — its verdict (and reportedMedian) use
-    // the steady-state window, the chronologically-LAST 5 reps.
-    val considered =
-      if (okChrono.length >= 8) okChrono.takeRight(5)
-      else if (okChrono.length >= 3) okChrono.tail
-      else okChrono
-    val t = considered.sorted
+  private[graft] def unstableAfterExtension(runs: Seq[(Double, Option[String])],
+      deepExtended: Boolean): Boolean = {
+    val t = steadyWindow(runs, deepExtended).sorted
     t.nonEmpty && (t.last - t.head) > 0.25 * t(t.length / 2)
   }
 
-  /** The median a row reports in the artifacts. Deep-extended rows (8+
-    * successful reps) report the median of their steady-state window (the
-    * last 5 reps) — an all-reps median there would average the JIT
-    * descent the extra reps were run to get past (VERDICT r18 #6). Rows
-    * that never deep-extended keep the all-successful-reps median, byte-
-    * compatible with every prior round's artifact.
+  /** Shallow-monotone-descent trigger for deep-extension eligibility
+    * (VERDICT r19 #3): after excluding the JIT-cold first success, the
+    * remaining reps ended on their minimum with a downward drift of more
+    * than 10% of their median — the row is still descending toward its
+    * floor when the reps run out, but the drift is too shallow for the
+    * 25% instability threshold. Needs four successes so there are three
+    * post-cold reps to read a direction from.
     */
-  private[graft] def reportedMedian(runs: Seq[(Double, Option[String])]): Double = {
+  private[graft] def monotoneDescent(runs: Seq[(Double, Option[String])]): Boolean = {
     val okChrono = runs.collect { case (t, None) => t }
-    val window = if (okChrono.length >= 8) okChrono.takeRight(5) else okChrono
+    if (okChrono.length < 4) return false
+    val tail = okChrono.tail
+    tail.last == tail.min && {
+      val s = tail.sorted
+      (s.last - s.head) > 0.10 * s(s.length / 2)
+    }
+  }
+
+  /** The reps a deep-extended row's verdict and median are computed over:
+    * the successful reps AFTER the first three (ADVICE r19 — keyed on the
+    * recorded extension EVENT, not on raw success counts, so a requested
+    * 8-rep run keeps its all-reps median and an extension with one errored
+    * rep keeps its steady-state window). The extension only fires after 5
+    * reps, so dropping the first 3 always leaves the freshly-run reps plus
+    * the settled end of the original set. Non-extended rows use every
+    * successful rep, minus the JIT-cold first one for the instability
+    * verdict only (handled by the caller passing through here).
+    */
+  private def steadyWindow(runs: Seq[(Double, Option[String])],
+      deepExtended: Boolean): Seq[Double] = {
+    val okChrono = runs.collect { case (t, None) => t }
+    if (deepExtended) {
+      val w = runs.drop(3).collect { case (t, None) => t }
+      if (w.nonEmpty) w else okChrono
+    } else if (okChrono.length >= 3) okChrono.tail
+    else okChrono
+  }
+
+  /** The median a row reports in the artifacts. Deep-extended rows report
+    * the median of their steady-state window (successes after the first 3
+    * reps) — an all-reps median there would average the JIT descent the
+    * extra reps were run to get past (VERDICT r18 #6). Rows that never
+    * deep-extended keep the all-successful-reps median, byte-compatible
+    * with every prior round's artifact.
+    */
+  private[graft] def reportedMedian(runs: Seq[(Double, Option[String])],
+      deepExtended: Boolean): Double = {
+    val okChrono = runs.collect { case (t, None) => t }
+    val window =
+      if (deepExtended) {
+        val w = runs.drop(3).collect { case (t, None) => t }
+        if (w.nonEmpty) w else okChrono
+      } else okChrono
     val s = window.sorted
     s(s.length / 2)
   }
@@ -418,11 +487,16 @@ object Bench {
     // run start/end load sentinel (VERDICT r16 #3): ~0 start = the bench
     // owned the box; anything else flags the artifact as contended
     val load1 = s""""load1":[${num(load1Start, 2)},${num(systemLoad1(), 2)}]"""
-    val (ok, bad) = raw.partition { case (_, runs, _) => runs.exists(_._2.isEmpty) }
-    val results = ok.map { case (name, runs, _) =>
-      name -> reportedMedian(runs)
+    val (ok, bad) = raw.partition { case (_, runs, _, _) => runs.exists(_._2.isEmpty) }
+    // Floor-graded rows report their min-of-reps (the stable, comparable
+    // number for a service-variance floor — VERDICT r19 #4); everything
+    // else reports the (steady-window) median. The detail artifact's
+    // "floor_graded" list records which rows use which rule.
+    val results = ok.map { case (name, runs, _, deep) =>
+      name -> (if (FloorGraded(name)) runs.collect { case (t, None) => t }.min
+               else reportedMedian(runs, deep))
     }.sortBy(_._1)
-    val mins = ok.map { case (name, runs, _) =>
+    val mins = ok.map { case (name, runs, _, _) =>
       name -> runs.collect { case (t, None) => t }.min
     }.toMap
     // Per-query map with "q_" prefixes stripped and 2-decimal values keeps
@@ -439,7 +513,7 @@ object Bench {
     // Full per-rep detail + error messages + per-query GC attribution
     // (seconds of collector time during the timed reps), execution order,
     // to a side file.
-    val repsDetail = raw.map { case (k, runs, _) =>
+    val repsDetail = raw.map { case (k, runs, _, _) =>
       "\"" + k + "\":[" + runs.map {
         case (t, None)    => num(t, 3)
         case (t, Some(m)) => "{\"t\":" + num(t, 3) + ",\"err\":\"" +
@@ -447,37 +521,49 @@ object Bench {
                       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\"}"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val gcDetail = raw.map { case (k, _, gcSec) => "\"" + k + "\":" + num(gcSec, 3) }
+    val gcDetail = raw.map { case (k, _, gcSec, _) => "\"" + k + "\":" + num(gcSec, 3) }
       .mkString("{", ",", "}")
     // actual timed-rep count per query: the top-level "reps" field is the
     // REQUESTED base; streaming queries always run >=5 and the adaptive
     // spread extension can raise any query to 5 — record the truth so a
     // reader never has to infer it from array lengths
-    val nReps = raw.map { case (k, runs, _) => "\"" + k + "\":" + runs.length }
+    val nReps = raw.map { case (k, runs, _, _) => "\"" + k + "\":" + runs.length }
       .mkString("{", ",", "}")
     // Queries whose FINAL successful-rep spread still exceeds the 25%
-    // threshold the adaptive extension stabilizes toward (ADVICE r16): 5
-    // reps is the hard ceiling by design (the extension exists to dodge a
-    // JIT-cold first rep, not to chase convergence on a contended box), so
-    // a still-noisy median is flagged here rather than silently kept.
-    val unstableRows = raw.filter { case (_, runs, _) => unstableAfterExtension(runs) }
-      .sortBy(_._1)
-    val unstable = unstableRows.map { case (k, _, _) => "\"" + k + "\"" }
+    // threshold the adaptive extension stabilizes toward (ADVICE r16): 8
+    // reps is the hard ceiling by design (the extensions exist to dodge a
+    // JIT-cold first rep / run past a descent, not to chase convergence on
+    // a contended box), so a still-noisy median is flagged here rather
+    // than silently kept. Floor-graded rows are excluded: their variance
+    // is acknowledged service noise and their graded number is the min,
+    // so the flag would report a problem the grading rule already solves.
+    val unstableRows = raw.filter { case (k, runs, _, deep) =>
+      !FloorGraded(k) && unstableAfterExtension(runs, deep)
+    }.sortBy(_._1)
+    val unstable = unstableRows.map { case (k, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // For each still-flagged row, the reported median AND the min-of-reps
     // side by side (VERDICT r18 #6): a reader diffing a flagged sub-2s row
     // round-over-round sees the uncontended floor next to the median
     // without decoding the centisec arrays.
-    val unstableDetail = unstableRows.map { case (k, runs, _) =>
+    val unstableDetail = unstableRows.map { case (k, runs, _, deep) =>
       val okT = runs.collect { case (t, None) => t }
-      "\"" + k + "\":{\"median\":" + num(reportedMedian(runs), 3) +
+      "\"" + k + "\":{\"median\":" + num(reportedMedian(runs, deep), 3) +
         ",\"min\":" + num(okT.min, 3) + "}"
     }.mkString("{", ",", "}")
+    // provenance lists: which rows deep-extended this run (their reported
+    // value is a steady-window median) and which are floor-graded (their
+    // reported value is the min-of-reps)
+    val deepList = raw.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .sorted.mkString("[", ",", "]")
+    val floorList = raw.collect { case (k, _, _, _) if FloorGraded(k) => "\"" + k + "\"" }
+      .sorted.mkString("[", ",", "]")
     try Files.write(Paths.get(detailPath),
       (line.dropRight(1) +
         s""","reps_detail":$repsDetail,"gc_sec":$gcDetail,"n_reps":$nReps,""" +
         s""""unstable_after_extension":$unstable,""" +
         s""""unstable_detail":$unstableDetail,""" +
+        s""""deep_extended":$deepList,"floor_graded":$floorList,""" +
         s""""load_gate_wait_sec":${num(gateWaitSec, 1)}}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }

@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
-"""One-command sf10 oracle gate (VERDICT r16 #4: make the full-sf10 sweep
-"a regression gate, not a one-off").
+"""One-command scale oracle gate (VERDICT r16 #4: make the full-sf10 sweep
+"a regression gate, not a one-off"; VERDICT r19 #2: the same command IS
+the sf1 leg — nothing in the gate is sf10-specific, every stage is
+parameterized by SF_DIR/manifest, and the heap probe sizes itself from
+the sf-dir's own row count, so both scale legs are single commands).
 
-Given a full sf10 Verify dump tree (sbt "runMain graft.Verify SF_DIR OUT"),
-re-establishes the complete sf10 oracle contract in one run:
+Given a full scale-dir Verify dump tree (sbt "runMain graft.Verify SF_DIR
+OUT"), re-establishes the complete oracle contract in one run:
 
   stage 1  tools/check.py sweep over every oracle EXCEPT the six
            measured-superlinear ones (SCALE_r16.json
@@ -24,7 +27,8 @@ Usage: python3 tools/sf10_gate.py SF_DIR VERIFY_OUT
          [--summary FILE] [--timeout 900] [--threads 8] [--mem 24GB]
          [--logdir /tmp/sf10_gate_logs] [--validate]
          [--expect N] [--manifest FILE]
-         [--run-verify] [--manifest-check FILE]
+         [--run-verify] [--manifest-check FILE] [--drift-sweep]
+         [--state-store rocksdb|default|CLASS]
 
 --expect pins the contract size (oracle entries ∪ dump dirs must count
 N); --manifest writes the dump-fingerprint re-anchor file, green runs
@@ -85,16 +89,22 @@ STATUS_RE = re.compile(r"^\[(....)\] (\S+?):? ")
 
 def _lineitem_rows(sf_dir):
     """Row count of the sf-dir's lineitem table from parquet footers only
-    (no scan): the gate's scale probe. Returns 0 when unreadable — the
-    caller then leaves the heap default alone."""
+    (no scan): the gate's scale probe. Returns None when UNREADABLE
+    (pyarrow missing, no footers) — distinct from a small-but-real count,
+    so the --run-verify caller can bail loudly instead of silently
+    reproducing the 8g-heap hour-long OOM the probe exists to prevent
+    (ADVICE r19: 'the protection evaporates with no signal')."""
     try:
         import pyarrow.parquet as pq
-        files = glob.glob(os.path.join(sf_dir, "lineitem.parquet")) + \
-            glob.glob(os.path.join(sf_dir, "lineitem.parquet", "*.parquet"))
-        return sum(pq.ParquetFile(f).metadata.num_rows
-                   for f in files if os.path.isfile(f))
+        files = [f for f in
+                 glob.glob(os.path.join(sf_dir, "lineitem.parquet")) +
+                 glob.glob(os.path.join(sf_dir, "lineitem.parquet", "*.parquet"))
+                 if os.path.isfile(f)]
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
-        return 0
+        return None
 
 
 def run_stage(name, cmd, env, log_path):
@@ -150,6 +160,16 @@ def main():
     ap.add_argument("--verify-cpus", default=None, metavar="N",
                     help="SPARK_GRAFT_CPUS for the verify stage (prior sf10 "
                          "campaigns used 8)")
+    ap.add_argument("--state-store", default="rocksdb",
+                    metavar="rocksdb|default|CLASS",
+                    help="streaming state-store provider for the verify "
+                         "stage (VERDICT r19 #1: the scale legs default to "
+                         "the PRODUCTION larger-than-heap provider, RocksDB "
+                         "— bit-identity to the in-heap default is proven "
+                         "at sf1 and sf10 in SCALE_r19.json, so committed "
+                         "manifests stay valid). 'default' leaves Spark's "
+                         "in-heap HDFSBackedStateStore; any other value is "
+                         "passed through as a provider class name")
     ap.add_argument("--load-gate", type=float, default=0.0, metavar="L",
                     help="wait (bounded 10 min) until 1-min loadavg < L "
                          "before the verify/sweep starts, and record the "
@@ -211,8 +231,16 @@ def main():
             # r18 abort proved the 8g default heap kills sf10 Verify an
             # hour in; the gate must not depend on a remembered flag.
             # lineitem is ~6M rows/sf-unit; >=30M rows means sf>=~5 scale.
-            a.verify_mem = "64g" if _lineitem_rows(a.sf_dir) >= 30_000_000 \
-                else None
+            rows = _lineitem_rows(a.sf_dir)
+            if rows is None:
+                # an unreadable probe must not quietly proceed with the 8g
+                # heap and reproduce the exact hour-long OOM the probe was
+                # added to prevent (ADVICE r19)
+                return bail("sf-dir row probe unreadable (pyarrow missing "
+                            f"or no parquet footers under {a.sf_dir}/"
+                            "lineitem.parquet) — pass --verify-mem "
+                            "explicitly to run anyway")
+            a.verify_mem = "64g" if rows >= 30_000_000 else None
             if a.verify_mem:
                 print(f"[gate] verify-mem defaulted to {a.verify_mem} "
                       "(sf-dir row probe says sf>=10 scale)", flush=True)
@@ -220,6 +248,15 @@ def main():
             venv["SPARK_DRIVER_MEM"] = a.verify_mem
         if a.verify_cpus:
             venv["SPARK_GRAFT_CPUS"] = a.verify_cpus
+        # Scale legs run the PRODUCTION state-store provider by default
+        # (VERDICT r19 #1); Verify logs the pin back from the live session
+        # conf, so the gate log is self-describing provenance.
+        provider = {"rocksdb": "org.apache.spark.sql.execution.streaming."
+                               "state.RocksDBStateStoreProvider",
+                    "default": None}.get(a.state_store, a.state_store)
+        if provider:
+            venv["SPARK_GRAFT_STATE_STORE"] = provider
+            print(f"[gate] verify state store: {provider}", flush=True)
         with open(vlog, "w") as lf:
             p = subprocess.run(
                 ["sbt", "-batch", f"runMain graft.Verify {a.sf_dir} {a.out_dir}"],
@@ -334,8 +371,12 @@ def main():
         + val, dict(os.environ), os.path.join(a.logdir, "ngram.log"))
 
     # fold: manifest-anchored OKs (drift-sweep mode), then sweep statuses,
-    # then replay statuses for the SKIP6
-    per_query = {q: "OK" for q in anchored}
+    # then replay statuses for the SKIP6. The SKIP6 are EXCLUDED from the
+    # anchored pre-seed (ADVICE r19): they must always earn their status
+    # from the replays, so a replay that exits 0 without emitting a status
+    # line for one of its queries surfaces as NO-STATUS instead of
+    # inheriting a pre-seeded OK.
+    per_query = {q: "OK" for q in anchored if q not in SKIP6}
     per_query.update(stages["sweep"]["statuses"])
     for st in ("minhash", "vector", "ngram"):
         for q, tag in stages[st]["statuses"].items():
@@ -366,6 +407,7 @@ def main():
               and all(s["exit"] == 0 for s in stages.values()))
     summary = {
         "sf_dir": a.sf_dir, "out_dir": a.out_dir,
+        "state_store": a.state_store if a.run_verify else "(pre-dumped tree)",
         "n_oracles": len(oracle),
         "n_ok": len(ok), "bad": bad, "replay_uncovered": still_skipped,
         # provenance split (drift-sweep mode): how many OKs came from the
