@@ -2679,6 +2679,49 @@ object SparkEntry {
       graft.api.Pipeline.runHocon(s, conf)("agg")
     }),
 
+    // §2.5 config-level SESSIONIZATION on the hash path (r20, VERDICT r19
+    // #5): the Sessionize config transform (Pipeline's wiring of
+    // StreamingOps.sessionizeBatch, next to WindowAgg) driven from a
+    // native HOCON job — LocalFile parquet feed (user_id + epoch-ns ts
+    // from Tables.load, so the feed schema is scale-independent) ->
+    // Sessionize (30-minute gap) -> Zeta Sql ns->us projection, checked
+    // against the same closed-form DuckDB sessions as q_sessionize. The
+    // streaming leg of the same transform (flatMapGroupsWithState through
+    // runStreaming) is pinned by StreamingConfigSpec.
+    "q_pipeline_sessionize" -> ((s, dir) => {
+      val tag = dir.replaceAll("\\W", "_")
+      val base = s"/tmp/graft_fixtures/pipeline_sess_$tag"
+      ensureFixture(s"$base/feed", sourceToken(dir, "events")) {
+        Tables.load(s, dir, "events").select(col("user_id"), col("ts"))
+          .write.mode("overwrite").parquet(s"$base/feed")
+      }
+      val conf =
+        s"""env { job.mode = "BATCH" }
+           |source {
+           |  LocalFile {
+           |    plugin_output = "ev"
+           |    path = "$base/feed"
+           |    file_format_type = "parquet"
+           |  }
+           |}
+           |transform {
+           |  Sessionize {
+           |    plugin_input = "ev"
+           |    plugin_output = "sess"
+           |    user_field = "user_id"
+           |    event_time_ns_field = "ts"
+           |    session_gap = "30 minutes"
+           |  }
+           |  Sql {
+           |    plugin_input = "sess"
+           |    plugin_output = "out"
+           |    query = "select user_id, session_idx, n_events, start_ns div 1000 as start_us, end_ns div 1000 as end_us from sess order by user_id, session_idx"
+           |  }
+           |}
+           |""".stripMargin
+      graft.api.Pipeline.runHocon(s, conf)("out")
+    }),
+
     // §2.1.14 TableRename as a catalog-level Pipeline plugin (prefix +
     // regex replacement + case conversion, per the reference options)
     "q_table_rename" -> ((s, dir) => {
@@ -4340,6 +4383,21 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the config-path sessionization reproduces q_sessionize's closed-form
+    // sessions exactly (same 30-minute gap, same ns->us projection)
+    "q_pipeline_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |x AS (SELECT user_id, tsn,
+        |  CASE WHEN lag(tsn) OVER w IS NULL THEN 1
+        |       WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+        |y AS (SELECT user_id, tsn,
+        |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(tsn) // 1000 AS start_us, max(tsn) // 1000 AS end_us
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     "q_table_rename" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",

@@ -478,6 +478,120 @@ class StreamingConfigSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  // ---- Sessionize config transform (r20, VERDICT r19 #5) ----
+  //
+  // The config-level wiring of StreamingOps.sessionizeBatch/
+  // sessionizeStream, next to WindowAgg. The batch leg vs the DuckDB
+  // closed-form sessions is on the hash path as q_pipeline_sessionize;
+  // these tests pin the transform's config contract itself, including the
+  // STREAMING duality (flatMapGroupsWithState through runStreaming).
+
+  test("Sessionize batch run matches StreamingOps.sessionizeBatch on the same feed") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-sess-batch").toString
+    // 3 users x events clustered into known sessions (ns timestamps)
+    spark.range(0, 90)
+      .select((col("id") % 3).as("user_id"),
+        // user's events come in bursts of 10 spaced 1 min apart, bursts
+        // separated by 2 hours: 3 sessions of 10 events per user (all-
+        // integer ns arithmetic — double would lose precision above 2^53)
+        expr("1700000000000000000 + (id DIV 30) * 7200000000000 " +
+          "+ ((id % 30) DIV 3) * 60000000000").as("ts"))
+      .write.mode("overwrite").json(s"$tmp/in")
+    val conf =
+      s"""env { job.mode = "BATCH" }
+         |source {
+         |  LocalFile {
+         |    plugin_output = "ev"
+         |    path = "$tmp/in"
+         |    file_format_type = "json"
+         |    schema = "user_id BIGINT, ts BIGINT"
+         |  }
+         |}
+         |transform {
+         |  Sessionize {
+         |    plugin_input = "ev"
+         |    plugin_output = "sess"
+         |    user_field = "user_id"
+         |    event_time_ns_field = "ts"
+         |    session_gap = "30 minutes"
+         |  }
+         |}
+         |sink { Console { } }
+         |""".stripMargin
+    val got = Pipeline.run(spark, Pipeline.parseHocon(conf))("sess")
+    assert(got.columns.sorted.toSeq ==
+      Seq("end_ns", "n_events", "session_idx", "start_ns", "user_id"))
+    val want = graft.streaming.StreamingOps.sessionizeBatch(
+      spark.read.schema("user_id BIGINT, ts BIGINT").json(s"$tmp/in"),
+      "user_id", "ts", gapNs = 1800L * 1000000000L)
+    assert(got.count() == 9) // 3 users x 3 sessions
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("Sessionize streaming run emits exactly the closed sessions " +
+      "(flatMapGroupsWithState through the runner; sentinel closes real sessions)") {
+    val tmp = Files.createTempDirectory("graft-sess-stream").toString
+    val ns = 1700000000000000000L
+    val h = 3600000000000L // 1 hour in ns
+    // user 1: [t0, t0+10s] then [t0+2h]; user 2: [t0+5s]; one far-future
+    // sentinel per user closes every real session (the sentinels' own
+    // sessions stay open and are never emitted in append mode)
+    val rows = Seq(
+      (1L, ns), (1L, ns + 10000000000L), (1L, ns + 2 * h),
+      (2L, ns + 5000000000L),
+      (1L, ns + 1000 * h), (2L, ns + 1000 * h))
+    Files.write(Paths.get(tmp, "feed.json"),
+      rows.map { case (u, t) => s"""{"user_id":$u,"ts":$t}""" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val conf =
+      s"""env { job.mode = "STREAMING" }
+         |source {
+         |  LocalFile {
+         |    plugin_output = "ev"
+         |    path = "$tmp"
+         |    file_format_type = "json"
+         |    schema = "user_id BIGINT, ts BIGINT"
+         |  }
+         |}
+         |transform {
+         |  Sessionize {
+         |    plugin_input = "ev"
+         |    plugin_output = "sess"
+         |    user_field = "user_id"
+         |    event_time_ns_field = "ts"
+         |    session_gap = "30 minutes"
+         |  }
+         |}
+         |sink { Memory { query_name = "sess_stream" } }
+         |""".stripMargin
+    val queries = Pipeline.runStreaming(spark, Pipeline.parseHocon(conf))
+    try {
+      queries.foreach(_.processAllAvailable())
+      val got = spark.table("sess_stream")
+        .select("user_id", "n_events", "start_ns", "end_ns")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // exactly the three CLOSED sessions, both set-difference directions
+      val want = Set(
+        (1L, 2L, ns, ns + 10000000000L),
+        (1L, 1L, ns + 2 * h, ns + 2 * h),
+        (2L, 1L, ns + 5000000000L, ns + 5000000000L))
+      assert(got == want, s"got=$got want=$want")
+      assert(queries.forall(_.exception.isEmpty))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("Sessionize duration grammar: parse + loud failure on junk") {
+    assert(Pipeline.parseDurationNs("30 minutes") == 1800L * 1000000000L)
+    assert(Pipeline.parseDurationNs("1 hour") == 3600L * 1000000000L)
+    assert(Pipeline.parseDurationNs("90 seconds") == 90L * 1000000000L)
+    assert(Pipeline.parseDurationNs("2 days") == 2L * 86400L * 1000000000L)
+    assert(Pipeline.parseDurationNs("500 milliseconds") == 500000000L)
+    val e = intercept[IllegalArgumentException] { Pipeline.parseDurationNs("soonish") }
+    assert(e.getMessage.contains("duration"))
+  }
+
   test("WindowAgg without aggregates fails loudly") {
     val conf =
       """env { job.mode = "BATCH" }
