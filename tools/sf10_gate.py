@@ -195,6 +195,26 @@ def main():
     val = ["--validate"] if a.validate else []
     stages = {}
 
+    # One row probe drives BOTH the heap default and the replay routing.
+    # Scale-aware ngram routing (r20, measured live on the first sf1 gate
+    # run): q_dedup_ngram's cost regime INVERTS with scale — at sf10 the
+    # verbatim self-join oracle is infeasible (1.39e10 rows) and the
+    # cand-restricted chunked replay is the instrument, while at sf1 the
+    # REPLAY's cand-restricted join fills the disk (>49 GB of DuckDB
+    # spill, [ERR] No space left) and the verbatim oracle is the feasible
+    # form. So below sf10 scale the ngram replay is skipped and
+    # q_dedup_ngram is force-included in the fresh oracle sweep (never
+    # pre-seeded from the manifest anchor), keeping the ADVICE r19
+    # invariant: superlinear-family queries always EARN their status from
+    # a fresh instrument, whichever instrument is feasible at this scale.
+    probe_rows = _lineitem_rows(a.sf_dir)
+    big_scale = probe_rows is not None and probe_rows >= 30_000_000
+    ngram_via_sweep = not big_scale
+    if ngram_via_sweep:
+        print("[gate] scale probe: sub-sf10 scale -> q_dedup_ngram via the "
+              "verbatim oracle sweep (replay's cand-restricted join is the "
+              "infeasible form at this scale)", flush=True)
+
     load_gate = {}
     if a.load_gate > 0:
         def load1():
@@ -231,8 +251,7 @@ def main():
             # r18 abort proved the 8g default heap kills sf10 Verify an
             # hour in; the gate must not depend on a remembered flag.
             # lineitem is ~6M rows/sf-unit; >=30M rows means sf>=~5 scale.
-            rows = _lineitem_rows(a.sf_dir)
-            if rows is None:
+            if probe_rows is None:
                 # an unreadable probe must not quietly proceed with the 8g
                 # heap and reproduce the exact hour-long OOM the probe was
                 # added to prevent (ADVICE r19)
@@ -240,7 +259,7 @@ def main():
                             f"or no parquet footers under {a.sf_dir}/"
                             "lineitem.parquet) — pass --verify-mem "
                             "explicitly to run anyway")
-            a.verify_mem = "64g" if rows >= 30_000_000 else None
+            a.verify_mem = "64g" if big_scale else None
             if a.verify_mem:
                 print(f"[gate] verify-mem defaulted to {a.verify_mem} "
                       "(sf-dir row probe says sf>=10 scale)", flush=True)
@@ -329,12 +348,21 @@ def main():
                              if os.path.isdir(p))
             anchored = dumped_now & man_names
             drift_only = sorted(dumped_now - man_names)
+            if ngram_via_sweep and "q_dedup_ngram" in dumped_now and \
+                    "q_dedup_ngram" not in drift_only:
+                # the superlinear family always earns a FRESH status; with
+                # the replay infeasible at this scale, the verbatim sweep
+                # is its instrument — never the manifest anchor
+                drift_only.append("q_dedup_ngram")
+                anchored.discard("q_dedup_ngram")
             print(f"[gate] drift-sweep: {len(anchored)} queries "
                   f"bit-anchored by {a.manifest_check}; oracle-sweeping "
                   f"{len(drift_only)}: {drift_only}", flush=True)
 
+    sweep_skip = [q for q in SKIP6
+                  if not (ngram_via_sweep and q == "q_dedup_ngram")]
     env = dict(os.environ,
-               GRAFT_CHECK_SKIP=",".join(SKIP6),
+               GRAFT_CHECK_SKIP=",".join(sweep_skip),
                GRAFT_CHECK_TIMEOUT=a.timeout)
     if drift_only is not None:
         env["GRAFT_CHECK_ONLY"] = ",".join(drift_only)
@@ -363,12 +391,19 @@ def main():
         "vector replay", [py, os.path.join(TOOLS, "vector_replay.py"),
                           a.sf_dir, a.out_dir, "--threads", str(a.threads)]
         + val, dict(os.environ), os.path.join(a.logdir, "vector.log"))
-    stages["ngram"] = run_stage(
-        "ngram replay", [py, os.path.join(TOOLS, "ngram_replay.py"),
-                         a.sf_dir, a.out_dir, "--threads", str(a.threads),
-                         "--mem", a.mem,
-                         "--tmp", os.path.join(a.logdir, "ngram_spill")]
-        + val, dict(os.environ), os.path.join(a.logdir, "ngram.log"))
+    if ngram_via_sweep:
+        stages["ngram"] = {"exit": 0, "wall_sec": 0.0,
+                           "log": "(skipped: sub-sf10 scale — q_dedup_ngram "
+                                  "earns its status from the verbatim sweep)",
+                           "statuses": {}}
+        print("[gate] ngram replay skipped: sub-sf10 scale", flush=True)
+    else:
+        stages["ngram"] = run_stage(
+            "ngram replay", [py, os.path.join(TOOLS, "ngram_replay.py"),
+                             a.sf_dir, a.out_dir, "--threads", str(a.threads),
+                             "--mem", a.mem,
+                             "--tmp", os.path.join(a.logdir, "ngram_spill")]
+            + val, dict(os.environ), os.path.join(a.logdir, "ngram.log"))
 
     # fold: manifest-anchored OKs (drift-sweep mode), then sweep statuses,
     # then replay statuses for the SKIP6. The SKIP6 are EXCLUDED from the
