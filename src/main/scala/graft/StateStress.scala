@@ -105,6 +105,11 @@ object StateStress {
     Files.write(Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
-    if (!ok) sys.exit(1)
+    // Halt instead of a normal exit: RocksDB's JNI maintenance threads can
+    // race JVM shutdown hooks (JniUtil "could not attach current thread" →
+    // SIGSEGV exit 134 AFTER the artifact is written — observed on the
+    // first 4g run). The measurement is already durably on disk at this
+    // point; halt skips the doomed hook ordering entirely.
+    Runtime.getRuntime.halt(if (ok) 0 else 1)
   }
 }
