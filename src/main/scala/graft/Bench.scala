@@ -419,7 +419,16 @@ object Bench {
   private[graft] def unstableAfterExtension(runs: Seq[(Double, Option[String])],
       deepExtended: Boolean): Boolean = {
     val t = steadyWindow(runs, deepExtended).sorted
-    t.nonEmpty && (t.last - t.head) > 0.25 * t(t.length / 2)
+    // Absolute noise floor (r20): the relative test alone flags sub-0.25s
+    // rows whose spread is pure scheduler/timer jitter (measured:
+    // q_field_rename 56 ms spread on a 159 ms median = 35% relative, yet
+    // the graded 2-decimal value is identical either way). A spread under
+    // 60 ms cannot make a median untrustworthy on this protocol, so it
+    // never flags.
+    t.nonEmpty && {
+      val spread = t.last - t.head
+      spread > 0.25 * t(t.length / 2) && spread > 0.06
+    }
   }
 
   /** Shallow-monotone-descent trigger for deep-extension eligibility

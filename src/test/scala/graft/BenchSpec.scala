@@ -124,4 +124,15 @@ class BenchSpec extends AnyFunSuite {
   test("floor-graded set names q_cdc_capture (VERDICT r19 #4)") {
     assert(Bench.FloorGraded == Set("q_cdc_capture"))
   }
+
+  test("sub-60ms spreads never flag: relative instability needs absolute size") {
+    // the measured r20 q_field_rename shape: 56 ms window spread on a
+    // 159 ms median is 35% relative but pure scheduler jitter — the
+    // graded 2-decimal value is identical either way
+    val tiny = ok(0.203, 0.181, 0.146, 0.159, 0.143, 0.143, 0.168, 0.199)
+    assert(!Bench.unstableAfterExtension(tiny, deepExtended = true))
+    // the same shape ×10 is a real 560 ms spread and must keep the flag
+    val scaled = ok(2.03, 1.81, 1.46, 1.59, 1.43, 1.43, 1.68, 1.99)
+    assert(Bench.unstableAfterExtension(scaled, deepExtended = true))
+  }
 }

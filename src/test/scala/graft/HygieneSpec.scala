@@ -33,7 +33,10 @@ class HygieneSpec extends AnyFunSuite {
     // PlanDump-style evidence tools at the graft package root.
     val allowed = Set("Bench.scala", "Verify.scala", "ScaleBench.scala", "Explain.scala",
       "TimeCheck.scala", "Sf1Gen.scala", "Sf1Bench.scala", "BucketPoint.scala",
-      "SlicePoint.scala", "AnnBytesPoint.scala")
+      "SlicePoint.scala", "AnnBytesPoint.scala",
+      // r20: larger-than-heap state-capacity evidence main (SCALE_r20.json
+      // state_capacity_r20)
+      "StateStress.scala")
     val offenders = scalaFiles("src/main/scala").filter { f =>
       val src = new String(Files.readAllBytes(f), "UTF-8")
       src.contains(needle) && !allowed.contains(f.getFileName.toString)
