@@ -445,7 +445,12 @@ object Bench {
     val tail = okChrono.tail
     tail.last == tail.min && {
       val s = tail.sorted
-      (s.last - s.head) > 0.10 * s(s.length / 2)
+      // same 0.06 s absolute noise floor as unstableAfterExtension (ADVICE
+      // r20): without it a sub-0.2 s row whose scheduler jitter happens to
+      // end on its min deep-extends and silently switches its grading
+      // window on pure timer noise
+      val spread = s.last - s.head
+      spread > 0.10 * s(s.length / 2) && spread > 0.06
     }
   }
 
@@ -478,12 +483,14 @@ object Bench {
     */
   private[graft] def reportedMedian(runs: Seq[(Double, Option[String])],
       deepExtended: Boolean): Double = {
-    val okChrono = runs.collect { case (t, None) => t }
+    // deep-extended rows share steadyWindow with the instability verdict
+    // (ADVICE r20: an inline re-implementation here could silently diverge
+    // from the verdict's window if one copy were edited later); the
+    // non-deep branch intentionally differs (all successful reps, no
+    // first-rep exclusion) and stays explicit.
     val window =
-      if (deepExtended) {
-        val w = runs.drop(3).collect { case (t, None) => t }
-        if (w.nonEmpty) w else okChrono
-      } else okChrono
+      if (deepExtended) steadyWindow(runs, deepExtended = true)
+      else runs.collect { case (t, None) => t }
     val s = window.sorted
     s(s.length / 2)
   }

@@ -1081,7 +1081,7 @@ object SparkEntry {
     // integer-scaled so the score is exact in every engine (no libm
     // ln/exp in the contract). The perplexity-bucketing signal.
     "q_lm_likelihood" -> ((s, dir) => {
-      TextAnalysis.bigramLikelihood(Tables.load(s, dir, "documents"),
+      TextAnalysis.bigramLikelihood(Tables.load(s, dir, "documents", fanOut = true),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1166,7 +1166,7 @@ object SparkEntry {
     // q_lm_likelihood oracle plus the same CASE.
     "q_ccnet_threshold" -> ((s, dir) => {
       TextAnalysis.likelihoodBucketsByThreshold(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
+          Tables.load(s, dir, "documents", fanOut = true), "doc_id", "text",
           fixedCuts = Some(Array(34000.0, 35000.0)))
         .orderBy("doc_id")
     }),
@@ -1176,7 +1176,7 @@ object SparkEntry {
     // (likelihoodBucketsByThreshold is the no-global-sort scale path;
     // the exact ntile variant is what an oracle can replay.)
     "q_ccnet_buckets" -> ((s, dir) => {
-      TextAnalysis.likelihoodBuckets(Tables.load(s, dir, "documents"),
+      TextAnalysis.likelihoodBuckets(Tables.load(s, dir, "documents", fanOut = true),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1487,18 +1487,22 @@ object SparkEntry {
       val nSnap = nation.count()
       val nChanges = 2 * nation.where(col("N_REGIONKEY") === 0).count() +
         nation.where(col("N_NATIONKEY") >= 20).count() + 3
-      // poll the accumulator; a read racing an in-flight append counts 0
+      // poll the accumulator; a read racing an in-flight append counts 0.
+      // r21: poll cadences halved/quartered (150->50 ms, 10->25 polls/s) —
+      // pure delivery latency of the evidence harness, not the operator;
+      // the computed result is identical and the bench row stops charging
+      // up to 2x150 ms of sleep quantization to the engine.
       def accCount(): Long =
         try s.read.parquet(acc).count() catch { case _: Throwable => 0L }
       def waitFor(target: Long): Unit = {
         val deadline = System.currentTimeMillis() + 60000
         while (accCount() < target && System.currentTimeMillis() < deadline)
-          Thread.sleep(150)
+          Thread.sleep(50)
       }
       val q = CdcCapture.captureStream(s, url, "NATION_SCD", "N_NATIONKEY",
         chunkSize = 8, statePath = s"$base/state.properties",
         onBatch = (df, _) => df.write.mode("append").parquet(acc),
-        pollsPerSecond = 10.0)
+        pollsPerSecond = 25.0)
       try {
         waitFor(nSnap) // snapshot delivered before the mutation script runs
         st.executeUpdate("UPDATE NATION_SCD SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
@@ -1584,7 +1588,7 @@ object SparkEntry {
         val deadline = System.currentTimeMillis() + 60000
         while (s.table(name).count() < expected &&
             System.currentTimeMillis() < deadline) {
-          Thread.sleep(200); q.processAllAvailable()
+          Thread.sleep(50); q.processAllAvailable() // r21: 200->50 ms poll
         }
       } finally q.stop()
       s.table(name)
@@ -1803,7 +1807,7 @@ object SparkEntry {
           |  string o_orderstatus = 2;
           |  double o_totalprice = 3;
           |}""".stripMargin
-      val orders = Tables.load(s, dir, "orders")
+      val orders = Tables.load(s, dir, "orders", fanOut = true)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       val encoded = ProtobufFormat.encode(orders, None, proto, "Order")
       ProtobufFormat.decode(encoded, "proto", proto, "Order", "rec")
@@ -1843,7 +1847,7 @@ object SparkEntry {
     // §2.4 debezium-json CDC envelope -> row-kind-tagged change rows.
     // Envelope synthesized deterministically from orders, then parsed back.
     "q_cdc_debezium" -> ((s, dir) => {
-      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+      val env = Tables.load(s, dir, "orders", fanOut = true).select(to_json(struct(
         when(col("o_orderstatus") === "O",
             struct(col("o_orderkey"), (col("o_totalprice") - 1.0d).as("o_totalprice")))
           .when(col("o_orderstatus") === "P", struct(col("o_orderkey"), col("o_totalprice")))
@@ -1861,7 +1865,7 @@ object SparkEntry {
 
     // §2.4 maxwell-json CDC envelope (single-row, old-patch pre-image)
     "q_cdc_maxwell" -> ((s, dir) => {
-      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+      val env = Tables.load(s, dir, "orders", fanOut = true).select(to_json(struct(
         struct(col("o_orderkey"), col("o_totalprice")).as("data"),
         when(col("o_orderstatus") === "O",
           struct(lit(null).cast(LongType).as("o_orderkey"),
@@ -1876,7 +1880,7 @@ object SparkEntry {
 
     // §2.4 ogg-json CDC envelope
     "q_cdc_ogg" -> ((s, dir) => {
-      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+      val env = Tables.load(s, dir, "orders", fanOut = true).select(to_json(struct(
         when(col("o_orderstatus").isin("O", "P"),
           struct(col("o_orderkey"),
             when(col("o_orderstatus") === "O", col("o_totalprice") - 1.0d)
@@ -3216,7 +3220,7 @@ object SparkEntry {
 
     // §2.4 canal-json CDC envelope (old[] patch pre-image reconstruction)
     "q_cdc_canal" -> ((s, dir) => {
-      val env = Tables.load(s, dir, "orders").select(to_json(struct(
+      val env = Tables.load(s, dir, "orders", fanOut = true).select(to_json(struct(
         array(struct(col("o_orderkey"), col("o_totalprice"))).as("data"),
         when(col("o_orderstatus") === "O",
           array(struct(lit(null).cast(LongType).as("o_orderkey"),

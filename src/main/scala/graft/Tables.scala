@@ -14,7 +14,65 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Adaptive scan fan-out (r21, guide §2.5 "input skew: one huge
+    * unsplittable file → repartition immediately after the read"): the
+    * testdata tables are single-file, single-row-group parquet, and a
+    * parquet scan cannot split below a row group — so every scan plans ONE
+    * task and any CPU-heavy pipeline fused to it serializes on one core
+    * (measured r21: q_cdc_debezium spent 1.4 s of its 1.5 s wall in a
+    * 1-task stage on a 32-core box; a post-scan repartition cut the query
+    * to 0.65-0.8 s). When the table's on-disk bytes guarantee the scan is a
+    * single split (bytes < spark.sql.files.maxPartitionBytes), shuffle the
+    * few-MB scan output to the session's core count. The bounds are
+    * scale-adaptive, not tuned constants: n = defaultParallelism (the
+    * cluster's cores), the cap follows the engine's own split size (a
+    * production-sized input has natural splits and never pays a payload
+    * shuffle), and the floor skips dimension-table-sized inputs where an
+    * exchange costs more than the parallelism buys (also keeps
+    * file-per-partition round-trip writers from scattering 25-row tables
+    * across 32 near-empty files).
+    *
+    * OPT-IN per call site (`load(..., fanOut = true)`), not a blanket load
+    * default: a quiet-box A/B over non-CPU-bound queries measured the
+    * extra exchange + 32-task stage scheduling as a pure REGRESSION
+    * wherever per-row work is light (q_dedup_exact 0.19→0.45 s,
+    * q_text_langid 0.12→0.23 s, the persist-based dedup family ~2× worse),
+    * while single-heavy-pipeline queries (from_json envelope parsing,
+    * protobuf codec, bigram explode) win 2×+. Only measured-heavy call
+    * sites opt in; evidence in OPTIMIZATION_r21.md.
+    * SPARK_GRAFT_FANOUT=0 force-disables globally.
+    */
+  /** Schema memo for the testdata tables (r21, guide §5 "the driver should
+    * do almost no data work"): every `spark.read.parquet(path)` runs a
+    * schema-inference JOB (~25-45 ms wall, measured as the "parquet at
+    * Tables.scala" stages) even though the file is unchanged between the
+    * hundreds of loads a bench/verify run issues — `registerAll` alone
+    * pays it 10×. Caching the inferred schema keyed by the files'
+    * (name,length,mtime) fingerprint lets repeat loads pass an explicit
+    * schema and skip the probe entirely; a regenerated sfDir changes the
+    * fingerprint and re-infers. METADATA memo only — never rows/results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def fileToken(f: java.io.File): String = {
+    val fs = if (f.isDirectory)
+      Option(f.listFiles()).map(_.toSeq.filter(_.isFile)).getOrElse(Seq(f))
+    else Seq(f)
+    fs.sortBy(_.getName).map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+  }
+
+  private val fanOutFloorBytes = 256L * 1024
+  private def fanOut(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_FANOUT").contains("0")) return df
+    val cap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val n = spark.sparkContext.defaultParallelism
+    if (bytes >= fanOutFloorBytes && bytes < cap && n > 1) df.repartition(n) else df
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String,
+      fanOut: Boolean = false): DataFrame = {
     // events.parquet has carried TIMESTAMP(NANOS) (rejected by Spark's
     // reader unless nanosAsLong) and timestamp[us] across testdata
     // regenerations. Contract for all downstream operators: `ts` is
@@ -26,14 +84,32 @@ object Tables {
     // predicates on the normalized ts column rewrite back onto the raw
     // timestamp attribute so parquet row-group pruning still applies
     graft.plans.TsPushdown.install(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(_.name == "ts").map(_.dataType) match {
+    val path = s"$sfDir/$name.parquet"
+    val file = new java.io.File(path)
+    val token = fileToken(file)
+    val cached = Option(schemaCache.get(path)).collect { case (t, sc) if t == token => sc }
+    val df = cached match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None =>
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, (token, d.schema))
+        d
+    }
+    val normalized = df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampType) |
            Some(org.apache.spark.sql.types.TimestampNTZType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
           org.apache.spark.sql.functions.col("ts")
             .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
       case _ => df
+    }
+    if (!fanOut) normalized
+    else {
+      val bytes =
+        if (file.isDirectory)
+          Option(file.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+        else file.length
+      this.fanOut(spark, normalized, bytes)
     }
   }
 

@@ -442,7 +442,10 @@ object Pipeline {
     val pat = "(?i)^\\s*(\\d+)\\s*(nanosecond|microsecond|millisecond|second|minute|hour|day)s?\\s*$".r
     s match {
       case pat(n, unit) =>
-        val mult = unit.toLowerCase match {
+        // Locale.ROOT: a default-locale lowercase turns "30 MINUTES" into
+        // "mınute" under a Turkish-locale JVM — a MatchError instead of
+        // the intended IllegalArgumentException (ADVICE r20)
+        val mult = unit.toLowerCase(java.util.Locale.ROOT) match {
           case "nanosecond"  => 1L
           case "microsecond" => 1000L
           case "millisecond" => 1000000L
@@ -581,6 +584,17 @@ object Pipeline {
       if (df.isStreaming) {
         val sp = df.sparkSession
         import sp.implicits._
+        // loud up-front contract check (ADVICE r20): the streaming leg's
+        // state key is SessionEvent(user: Long, ...) and a string key would
+        // cast to null and die in the non-nullable encoder with an opaque
+        // runtime error — while the batch leg of the SAME config accepts
+        // arbitrary key types. Fail at config time with the real reason.
+        val keyType = df.schema(sessUser).dataType
+        if (!keyType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          throw new IllegalArgumentException(
+            s"Sessionize streaming requires a numeric user_field (got " +
+              s"'$sessUser': ${keyType.simpleString}); the batch leg of the " +
+              "same config is key-type-generic")
         val idleMs = p.strOpt("idle_timeout")
           .map(parseDurationNs(_) / 1000000L).getOrElse(0L)
         graft.streaming.StreamingOps.sessionizeStream(

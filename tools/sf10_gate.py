@@ -208,7 +208,19 @@ def main():
     # invariant: superlinear-family queries always EARN their status from
     # a fresh instrument, whichever instrument is feasible at this scale.
     probe_rows = _lineitem_rows(a.sf_dir)
-    big_scale = probe_rows is not None and probe_rows >= 30_000_000
+    if probe_rows is None:
+        # An unreadable probe must bail for BOTH consumers (ADVICE r20): it
+        # already bailed for the verify-heap default, but big_scale=False
+        # would also route q_dedup_ngram into the verbatim oracle sweep —
+        # on a pre-dumped sf10 tree that is the documented-infeasible
+        # 1.39e10-row self-join that can fill the shared /tmp DuckDB spill
+        # (the r16 lost-run failure mode) before the sweep timeout fires.
+        print("[gate] ABORT: sf-dir row probe unreadable (pyarrow missing "
+              f"or no parquet footers under {a.sf_dir}/lineitem.parquet) — "
+              "the probe drives ngram routing, so the gate cannot proceed "
+              "safely at any scale", flush=True)
+        return 1
+    big_scale = probe_rows >= 30_000_000
     ngram_via_sweep = not big_scale
     if ngram_via_sweep:
         print("[gate] scale probe: sub-sf10 scale -> q_dedup_ngram via the "
