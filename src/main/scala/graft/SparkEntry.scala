@@ -185,6 +185,11 @@ object SparkEntry {
     */
   private[graft] def imageFixture(s: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_fixtures/imgs_${dir.replaceAll("\\W", "_")}"
+    // layout note (r21): a multi-file fixture was tried and REVERTED — the
+    // downstream operator is persist-based (banded cache + self-join), and
+    // a 32-block unmaterialized cache under AQE's concurrent stage futures
+    // measured ~2.3x WORSE than the single-file layout (bench 1.15→2.61 s;
+    // details in OPTIMIZATION_r21.md "negative results").
     ensureFixture(path, sourceToken(dir, "documents")) {
       val mkPng = udf((id: Long) => graft.multimodal.BinaryOps.neardupFixturePng(id))
       Tables.load(s, dir, "documents")
@@ -201,8 +206,11 @@ object SparkEntry {
     */
   private def streamFixture(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
-    ensureFixture(s"$base/a_v2", sourceToken(dir, "events")) {
+    // layout=v2 (r21): multi-file feed — a single json file caps every
+    // micro-batch's source scan at one task (same fix as imageFixture)
+    ensureFixture(s"$base/a_v2", sourceToken(dir, "events") + "|layout=v2") {
       Tables.load(s, dir, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           expr("ts DIV 1000").as("ts_us"))
         .write.mode("overwrite").json(s"$base/a_v2")
@@ -1488,21 +1496,22 @@ object SparkEntry {
       val nChanges = 2 * nation.where(col("N_REGIONKEY") === 0).count() +
         nation.where(col("N_NATIONKEY") >= 20).count() + 3
       // poll the accumulator; a read racing an in-flight append counts 0.
-      // r21: poll cadences halved/quartered (150->50 ms, 10->25 polls/s) —
-      // pure delivery latency of the evidence harness, not the operator;
-      // the computed result is identical and the bench row stops charging
-      // up to 2x150 ms of sleep quantization to the engine.
+      // r21 note: faster polling was tried (150->50 ms sleep, 10->25
+      // polls/s) and REVERTED — more capture polls mean more micro-batches,
+      // each appending another (often empty) parquet part that accCount()
+      // then re-lists, so the reps ASCENDED instead of dropping (measured:
+      // medians 1.94-2.0 -> 2.1-3.8). The original cadence is the floor.
       def accCount(): Long =
         try s.read.parquet(acc).count() catch { case _: Throwable => 0L }
       def waitFor(target: Long): Unit = {
         val deadline = System.currentTimeMillis() + 60000
         while (accCount() < target && System.currentTimeMillis() < deadline)
-          Thread.sleep(50)
+          Thread.sleep(150)
       }
       val q = CdcCapture.captureStream(s, url, "NATION_SCD", "N_NATIONKEY",
         chunkSize = 8, statePath = s"$base/state.properties",
         onBatch = (df, _) => df.write.mode("append").parquet(acc),
-        pollsPerSecond = 25.0)
+        pollsPerSecond = 10.0)
       try {
         waitFor(nSnap) // snapshot delivered before the mutation script runs
         st.executeUpdate("UPDATE NATION_SCD SET N_NAME = N_NAME || '_x' WHERE N_REGIONKEY = 0")
@@ -1967,8 +1976,10 @@ object SparkEntry {
     // (FileSourcesSpec).
     "q_deadletter" -> ((s, dir) => {
       val base = s"/tmp/graft_fixtures/dlq_${dir.replaceAll("\\W", "_")}"
-      ensureFixture(s"$base/src", sourceToken(dir, "orders")) {
-        Tables.load(s, dir, "orders").select(
+      ensureFixture(s"$base/src", sourceToken(dir, "orders") + "|layout=v2") {
+        // layout=v2 (r21): multi-file feed, same single-task-scan fix
+        Tables.load(s, dir, "orders")
+          .repartition(s.sparkContext.defaultParallelism).select(
           when(pmod(col("o_orderkey"), lit(13)) === 0,
               concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"),
                 lit(", \"o_cust"))) // truncated mid-key: unparseable
@@ -2306,9 +2317,13 @@ object SparkEntry {
       val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
       val ev = Tables.load(s, dir, "events").select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
-      ensureFixture(s"$base/dup", sourceToken(dir, "events")) {
-        ev.write.mode("overwrite").json(s"$base/dup")
-        ev.where(pmod(col("event_id"), lit(3)) === 0).write.mode("append").json(s"$base/dup")
+      ensureFixture(s"$base/dup", sourceToken(dir, "events") + "|layout=v2") {
+        // layout=v2 (r21): multi-file feed, same single-task-scan fix as
+        // streamFixture
+        val n = s.sparkContext.defaultParallelism
+        ev.repartition(n).write.mode("overwrite").json(s"$base/dup")
+        ev.where(pmod(col("event_id"), lit(3)) === 0)
+          .repartition(n).write.mode("append").json(s"$base/dup")
       }
       val schema = new StructType().add("event_id", LongType).add("user_id", LongType)
         .add("event_type", StringType).add("value", DoubleType).add("ts_us", LongType)
