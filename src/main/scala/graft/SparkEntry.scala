@@ -206,11 +206,15 @@ object SparkEntry {
     */
   private def streamFixture(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
-    // layout=v2 (r21): multi-file feed — a single json file caps every
-    // micro-batch's source scan at one task (same fix as imageFixture)
-    ensureFixture(s"$base/a_v2", sourceToken(dir, "events") + "|layout=v2") {
+    // layout: SINGLE json file (r22 — VERDICT r21 #2). The r21 multi-file
+    // feed (defaultParallelism files) was driver-measured as a 40-100%
+    // regression across the streaming family at 32 cores: per-micro-batch
+    // listing + 32-task scans swamp the sf0.1 floors. It also buys nothing
+    // at scale — json-lines files are SPLITTABLE, so a big feed file still
+    // fans out to maxPartitionBytes-sized tasks in each micro-batch's scan;
+    // only a sub-split-size file scans as one task, where one task is right.
+    ensureFixture(s"$base/a_v2", sourceToken(dir, "events")) {
       Tables.load(s, dir, "events")
-        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           expr("ts DIV 1000").as("ts_us"))
         .write.mode("overwrite").json(s"$base/a_v2")
@@ -1089,7 +1093,12 @@ object SparkEntry {
     // integer-scaled so the score is exact in every engine (no libm
     // ln/exp in the contract). The perplexity-bucketing signal.
     "q_lm_likelihood" -> ((s, dir) => {
-      TextAnalysis.bigramLikelihood(Tables.load(s, dir, "documents", fanOut = true),
+      // r22: fanOut reverted (VERDICT r21 #1 — the fanned scan fed
+      // bigramLikelihood's three consumers unpersisted, tripling the
+      // round-robin shuffle; driver-regressed at 32 cores). The shared
+      // bigram table is now persisted inside bigramLikelihood instead,
+      // so the tokenize+explode pass runs once per query.
+      TextAnalysis.bigramLikelihood(Tables.load(s, dir, "documents"),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1173,8 +1182,9 @@ object SparkEntry {
     // frozen near this corpus's terciles; oracle derived from the proven
     // q_lm_likelihood oracle plus the same CASE.
     "q_ccnet_threshold" -> ((s, dir) => {
+      // r22: fanOut reverted; see q_lm_likelihood
       TextAnalysis.likelihoodBucketsByThreshold(
-          Tables.load(s, dir, "documents", fanOut = true), "doc_id", "text",
+          Tables.load(s, dir, "documents"), "doc_id", "text",
           fixedCuts = Some(Array(34000.0, 35000.0)))
         .orderBy("doc_id")
     }),
@@ -1184,7 +1194,8 @@ object SparkEntry {
     // (likelihoodBucketsByThreshold is the no-global-sort scale path;
     // the exact ntile variant is what an oracle can replay.)
     "q_ccnet_buckets" -> ((s, dir) => {
-      TextAnalysis.likelihoodBuckets(Tables.load(s, dir, "documents", fanOut = true),
+      // r22: fanOut reverted; see q_lm_likelihood
+      TextAnalysis.likelihoodBuckets(Tables.load(s, dir, "documents"),
           "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1597,7 +1608,11 @@ object SparkEntry {
         val deadline = System.currentTimeMillis() + 60000
         while (s.table(name).count() < expected &&
             System.currentTimeMillis() < deadline) {
-          Thread.sleep(50); q.processAllAvailable() // r21: 200->50 ms poll
+          // r22: 200 ms poll restored (the r21 50 ms poll reproduced the
+          // q_stream_scd2 failure mode — each poll round re-drives
+          // processAllAvailable, whose no-data micro-batches add state-store
+          // commits; driver mins went 1.61->2.85 s with it)
+          Thread.sleep(200); q.processAllAvailable()
         }
       } finally q.stop()
       s.table(name)
@@ -1976,10 +1991,11 @@ object SparkEntry {
     // (FileSourcesSpec).
     "q_deadletter" -> ((s, dir) => {
       val base = s"/tmp/graft_fixtures/dlq_${dir.replaceAll("\\W", "_")}"
-      ensureFixture(s"$base/src", sourceToken(dir, "orders") + "|layout=v2") {
-        // layout=v2 (r21): multi-file feed, same single-task-scan fix
-        Tables.load(s, dir, "orders")
-          .repartition(s.sparkContext.defaultParallelism).select(
+      ensureFixture(s"$base/src", sourceToken(dir, "orders")) {
+        // single-file feed (r22: the r21 multi-file layout driver-regressed
+        // 0.67x at 32 cores; text files are splittable, so one file costs
+        // nothing at scale — see streamFixture)
+        Tables.load(s, dir, "orders").select(
           when(pmod(col("o_orderkey"), lit(13)) === 0,
               concat(lit("{\"o_orderkey\": "), col("o_orderkey").cast("string"),
                 lit(", \"o_cust"))) // truncated mid-key: unparseable
@@ -2317,13 +2333,12 @@ object SparkEntry {
       val base = s"/tmp/graft_fixtures/stream_${dir.replaceAll("\\W", "_")}"
       val ev = Tables.load(s, dir, "events").select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), expr("ts DIV 1000").as("ts_us"))
-      ensureFixture(s"$base/dup", sourceToken(dir, "events") + "|layout=v2") {
-        // layout=v2 (r21): multi-file feed, same single-task-scan fix as
-        // streamFixture
-        val n = s.sparkContext.defaultParallelism
-        ev.repartition(n).write.mode("overwrite").json(s"$base/dup")
-        ev.where(pmod(col("event_id"), lit(3)) === 0)
-          .repartition(n).write.mode("append").json(s"$base/dup")
+      ensureFixture(s"$base/dup", sourceToken(dir, "events")) {
+        // single-file feeds (r22: the r21 multi-file layout driver-regressed
+        // the streaming family at 32 cores; json-lines is splittable — see
+        // streamFixture)
+        ev.write.mode("overwrite").json(s"$base/dup")
+        ev.where(pmod(col("event_id"), lit(3)) === 0).write.mode("append").json(s"$base/dup")
       }
       val schema = new StructType().add("event_id", LongType).add("user_id", LongType)
         .add("event_type", StringType).add("value", DoubleType).add("ts_us", LongType)

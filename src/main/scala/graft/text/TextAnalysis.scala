@@ -496,12 +496,21 @@ object TextAnalysis {
     */
   def bigramLikelihood(df: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
+    import graft.GraftCaches.PersistOps
+    // The bigram instance table feeds THREE consumers (c12, c1, the final
+    // join) and Spark shares no subplans across them — unpersisted, the
+    // scan + tokenize + explode (and any upstream fan-out exchange) would
+    // execute three times per query (VERDICT r21: with a fanned-out input
+    // that tripled the round-robin shuffles and made q_ccnet_buckets the
+    // slowest bench row at 32 cores). Persisting caps the upstream work at
+    // ONE execution whatever the input's partitioning.
     val bigrams = df
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("__toks"))
       .where(size(col("__toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(__toks) - 1), i -> " +
           "concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))")).as("bg"))
+      .graftPersist
     val c12 = bigrams.groupBy("bg").agg(count(lit(1)).as("__c12"))
     val c1 = bigrams
       .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
