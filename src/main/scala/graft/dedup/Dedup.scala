@@ -540,14 +540,41 @@ object Dedup {
     // the filtered table is small, AQE turns the back-join into a
     // broadcast when it fits — not forced, since at extreme corpus sizes
     // even the filtered gram table may exceed driver memory
-    val indexable = grams.select("gram").groupBy("gram").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= least(lit(indexDocFreq), lit(maxDocFreq)))
+    val dfCap = least(lit(indexDocFreq), lit(maxDocFreq))
+    val gramDfs = grams.select("gram").groupBy("gram").agg(count(lit(1)).as("__df"))
+    val indexable = gramDfs.where(col("__df") <= dfCap)
 
     // the probe doubles as the one materialization pass of the persisted
     // shingle table (both paths consume all of src immediately after)
     val nDocs = src.count()
 
     if (nDocs <= prefixMinDocs) {
+      // Stop-gram probe (r22, guide §2.4 "remove shuffles outright"): when
+      // NO gram exceeds the df cap — the common case for small corpora,
+      // where the cap exists to bound pathological inputs, not to fire —
+      // `indexable` is ALL grams, every doc is fully indexed, and the
+      // fallback branch below is provably empty. One tiny aggregate probe
+      // then replaces: the indexable back-join + its persisted cache, the
+      // per-doc __n_idx join, the fullyIndexed split, the two fallback
+      // broadcasts and the union (measured: 10 fewer jobs/rep, q_dedup_ngram
+      // 1.83 -> see OPTIMIZATION_r22.md). Data-derived plan choice computed
+      // in-query from this run's input, like the nDocs branch above.
+      val hasStopGrams = !gramDfs.where(col("__df") > dfCap).isEmpty
+      if (!hasStopGrams) {
+        val a = grams.select(col("gram"), col("doc").as("id_a")).hint("shuffle_hash")
+        val b = grams.select(col("gram"), col("doc").as("id_b"))
+        val stats = broadcast(src.select(col("doc"),
+          size(col("hashes")).cast("long").as("__n_tot")))
+        return a.join(b, Seq("gram"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("__common"))
+          .join(stats.select(col("doc").as("id_a"), col("__n_tot").as("__na")), Seq("id_a"))
+          .join(stats.select(col("doc").as("id_b"), col("__n_tot").as("__nb")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("__common") / (col("__na") + col("__nb") - col("__common")))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+      }
       // ---- small-corpus path: count-aggregate join ----
       // For a pair whose docs are BOTH fully indexed (every gram df <= cap),
       // the per-pair match count from the gram self-join IS the exact

@@ -159,6 +159,33 @@ class DedupSpec extends SparkSpec {
     assert(pairSet.size == 2)
   }
 
+  test("ngramJaccardPairs stop-gram small path matches the large path at the same cap") {
+    // The r22 small-corpus short-circuit fires only when NO gram exceeds
+    // the df cap, so the pre-existing general branch (fullyIndexed split +
+    // fallback full-array verify) needs a corpus that trips the cap:
+    // 20/21/22 are triplicates (every gram df 3 > cap 2 -> all stopped, no
+    // candidates), and 60/61 are near-dups whose shared lead gram also
+    // appears in 62 (df 3 -> stopped), leaving them PARTIALLY indexed so
+    // their candidate pair goes through the fallback verify. The general
+    // small branch and the PPJoin large branch must agree exactly.
+    val stopDocs = docs.unionByName(Seq(
+      (22L, "spark shuffles data between executors during wide transformations always"),
+      (60L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (61L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (62L, "alpha beta gamma completely different ending words forever and ever")
+    ).toDF("doc_id", "text"))
+    def run(minDocs: Int) =
+      Dedup.ngramJaccardPairs(stopDocs, "doc_id", "text", n = 3, threshold = 0.5,
+        indexDocFreq = 2, prefixMinDocs = minDocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val small = run(10000)
+    assert(small == run(0))
+    // the fallback-verified near-dup pair survives; the stop-only
+    // triplicates cannot form candidates under the cap
+    assert(small.exists { case (a, b, _) => (a, b) == (60L, 61L) }, s"got $small")
+    assert(!small.exists { case (a, b, _) => Set(a, b).subsetOf(Set(20L, 21L, 22L)) })
+  }
+
   test("ngramJaccardPairs prefix path finds the same pairs as the naive index") {
     // default prefixMinDocs keeps this 6-doc corpus on the naive path;
     // prefixMinDocs = 0 forces the PPJoin prefix path — pair sets and
