@@ -2863,7 +2863,8 @@ object SparkEntry {
     // independently.
     "q_image_neardup" -> ((s, dir) => {
       val imgs = imageFixture(s, dir)
-      val pairs = Dedup.imageNearDupPairs(imgs, "doc_id", "img", maxHamming = 10)
+      val fanned = imgs.repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.imageNearDupPairs(fanned, "doc_id", "img", maxHamming = 10)
       Dedup.dropNearDups(imgs, "doc_id", pairs).select("doc_id").orderBy("doc_id")
     }),
 

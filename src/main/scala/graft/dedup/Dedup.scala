@@ -25,6 +25,11 @@ object Dedup {
       .agg(count(lit(1)).as("__bucket_n"))
       .where(col("__bucket_n") > cap)
       .select(keys.map(col): _*)
+    // r22 note: an isEmpty probe that skips the anti-join when no bucket
+    // exceeds the cap was A/B'd and REJECTED — the probe runs the count
+    // aggregate as a serial job BEFORE the query, while the lazy form
+    // folds it into the AQE DAG where it overlaps other stages (4-query
+    // cohort: lazy 2.77 s, probe 3.20 s, hard-skip floor 2.38 s).
     df.join(broadcast(oversized), keys, "left_anti")
   }
 
