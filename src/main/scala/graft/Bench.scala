@@ -416,18 +416,23 @@ object Bench {
     * is no post-cold population to test, so all reps count. The raw
     * arrays stay in reps_detail either way.
     */
+  /** Absolute noise floor shared by unstableAfterExtension and
+    * monotoneDescent (r20; extracted r22 per ADVICE r21 — the two copies
+    * must stay in sync by construction, not by comment): the relative
+    * tests alone flag sub-0.25s rows whose spread is pure scheduler/timer
+    * jitter (measured: q_field_rename 56 ms spread on a 159 ms median =
+    * 35% relative, yet the graded 2-decimal value is identical either
+    * way). A spread under 60 ms cannot make a median untrustworthy on
+    * this protocol, so it never flags (and never deep-extends).
+    */
+  private val noiseFloorSec = 0.06
+
   private[graft] def unstableAfterExtension(runs: Seq[(Double, Option[String])],
       deepExtended: Boolean): Boolean = {
     val t = steadyWindow(runs, deepExtended).sorted
-    // Absolute noise floor (r20): the relative test alone flags sub-0.25s
-    // rows whose spread is pure scheduler/timer jitter (measured:
-    // q_field_rename 56 ms spread on a 159 ms median = 35% relative, yet
-    // the graded 2-decimal value is identical either way). A spread under
-    // 60 ms cannot make a median untrustworthy on this protocol, so it
-    // never flags.
     t.nonEmpty && {
       val spread = t.last - t.head
-      spread > 0.25 * t(t.length / 2) && spread > 0.06
+      spread > 0.25 * t(t.length / 2) && spread > noiseFloorSec
     }
   }
 
@@ -445,12 +450,12 @@ object Bench {
     val tail = okChrono.tail
     tail.last == tail.min && {
       val s = tail.sorted
-      // same 0.06 s absolute noise floor as unstableAfterExtension (ADVICE
-      // r20): without it a sub-0.2 s row whose scheduler jitter happens to
-      // end on its min deep-extends and silently switches its grading
-      // window on pure timer noise
+      // shares noiseFloorSec with unstableAfterExtension (ADVICE r20/r21):
+      // without it a sub-0.2 s row whose scheduler jitter happens to end
+      // on its min deep-extends and silently switches its grading window
+      // on pure timer noise
       val spread = s.last - s.head
-      spread > 0.10 * s(s.length / 2) && spread > 0.06
+      spread > 0.10 * s(s.length / 2) && spread > noiseFloorSec
     }
   }
 

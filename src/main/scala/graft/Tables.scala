@@ -62,6 +62,15 @@ object Tables {
     fs.sortBy(_.getName).map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
   }
 
+  /** Recursive on-disk size (ADVICE r21: the fanOut byte probe summed only
+    * top-level files, so a partitioned parquet directory measured ~0 bytes
+    * and silently skipped fan-out despite being a single-split scan).
+    */
+  private def treeBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+    else f.length
+
   private val fanOutFloorBytes = 256L * 1024
   private def fanOut(spark: SparkSession, df: DataFrame, bytes: Long): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_FANOUT").contains("0")) return df
@@ -92,7 +101,10 @@ object Tables {
       case Some(sc) => spark.read.schema(sc).parquet(path)
       case None =>
         val d = spark.read.parquet(path)
-        schemaCache.put(path, (token, d.schema))
+        // ADVICE r21: only cache if the file wasn't regenerated while the
+        // schema was being inferred — a mismatched (token, schema) pair
+        // would serve the stale schema until the NEXT regeneration.
+        if (fileToken(file) == token) schemaCache.put(path, (token, d.schema))
         d
     }
     val normalized = df.schema.find(_.name == "ts").map(_.dataType) match {
@@ -104,19 +116,23 @@ object Tables {
       case _ => df
     }
     if (!fanOut) normalized
-    else {
-      val bytes =
-        if (file.isDirectory)
-          Option(file.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
-        else file.length
-      this.fanOut(spark, normalized, bytes)
-    }
+    else this.fanOut(spark, normalized, treeBytes(file))
   }
 
   /** Epoch-nanos long → timestamp (microsecond precision). */
   def nsToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
 
+  /** r22 note: memoizing registerAll was A/B'd twice and REJECTED. A
+    * skip-if-same-fingerprint memo won ~0.1 s/query on the SQL family but
+    * is a correctness trap: q_pipeline_hocon's SQL transform registers its
+    * OWN "orders" view (plugin_input = "orders"), and a skipped
+    * re-registration would leave later SQL queries reading the pipeline's
+    * view. The safe variant (memoize the DataFrame plans, always re-point
+    * the views) measured no win — the cost is createOrReplaceTempView
+    * itself, not `load` (sql trio 1.47 s baseline vs 1.52 s memoized vs
+    * 1.18 s unsafe-skip).
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

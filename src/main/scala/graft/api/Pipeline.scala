@@ -584,15 +584,22 @@ object Pipeline {
       if (df.isStreaming) {
         val sp = df.sparkSession
         import sp.implicits._
-        // loud up-front contract check (ADVICE r20): the streaming leg's
-        // state key is SessionEvent(user: Long, ...) and a string key would
-        // cast to null and die in the non-nullable encoder with an opaque
-        // runtime error — while the batch leg of the SAME config accepts
-        // arbitrary key types. Fail at config time with the real reason.
+        // loud up-front contract check (ADVICE r20/r21): the streaming
+        // leg's state key is SessionEvent(user: Long, ...), so the key
+        // must cast to long. Numeric types always do; StringType stays
+        // ALLOWED (numeric-string ids like "123" cast fine and previously
+        // worked — only non-numeric strings cast to null and die in the
+        // non-nullable encoder). Everything else (arrays, structs, maps,
+        // binary) fails at config time with the real reason instead of an
+        // opaque encoder crash; the batch leg of the SAME config stays
+        // key-type-generic.
         val keyType = df.schema(sessUser).dataType
-        if (!keyType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        val castable = keyType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          keyType == org.apache.spark.sql.types.StringType ||
+          keyType == org.apache.spark.sql.types.BooleanType
+        if (!castable)
           throw new IllegalArgumentException(
-            s"Sessionize streaming requires a numeric user_field (got " +
+            s"Sessionize streaming requires a long-castable user_field (got " +
               s"'$sessUser': ${keyType.simpleString}); the batch leg of the " +
               "same config is key-type-generic")
         val idleMs = p.strOpt("idle_timeout")
